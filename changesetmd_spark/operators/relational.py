@@ -1,0 +1,536 @@
+"""Core relational operator surface (SURVEY.md §2.2-2.8).
+
+The reference implements no query execution itself — its schema + README
+define the surface Postgres executes (equality/range predicates implied by
+the indexes at ref queries.py:43-46, the changeset⋈comment join implied by
+ref queries.py:22, counting aggregates at ref README.md:110-124).  Here that
+surface — plus the standard relational algebra any replacement engine needs —
+is expressed as declarative DataFrame plans so Catalyst gets pushdown,
+pruning, join selection and AQE for free.
+
+Scale notes (100 TB): every query below shuffles only on its aggregation or
+join keys; dimension tables (region/nation/supplier/customer) are explicitly
+`broadcast()` so the big fact tables (orders/lineitem) never shuffle for those
+joins; aggregations use Spark's automatic partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import as_double, fmt_date, money, one_minus, one_plus, rate
+from ..registry import register
+from ..tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: filtered aggregate rollup (TPC-H Q1 shape) — pricing summary.
+# Partial aggregation happens map-side; the only shuffle is on the tiny
+# (returnflag, linestatus) key space.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))
+               * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = money("l_extendedprice") * one_minus(rate("l_discount"))
+    charge = disc_price * one_plus(rate("l_tax"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(money("l_quantity")).alias("_sum_qty"),
+        F.sum(money("l_extendedprice")).alias("_sum_base"),
+        F.sum(disc_price).alias("_sum_disc"),
+        F.sum(charge).alias("_sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        as_double(F.col("_sum_qty")).alias("sum_qty"),
+        as_double(F.col("_sum_base")).alias("sum_base_price"),
+        # round the exact decimal to scale 2 BEFORE the double cast: above
+        # 2^53 of scaled integer, DuckDB's decimal->double conversion is not
+        # correctly rounded, so both engines cast the narrower value
+        as_double(F.round(F.col("_sum_disc"), 2)).alias("sum_disc_price"),
+        as_double(F.round(F.col("_sum_charge"), 2)).alias("sum_charge"),
+        F.round(as_double(F.col("_sum_qty")) / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(as_double(F.col("_sum_base")) / F.col("count_order"), 4).alias("avg_price"),
+        "count_order",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry()): multi-way star join + aggregate (TPC-H Q5 shape).
+# Dimensions are broadcast — at 100 TB the only shuffle left is the final
+# groupBy on n_name (25 keys).  lineitem⋈orders stays a shuffled hash/SMJ on
+# orderkey, the natural co-partitioning key for both fact tables.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    dims = F.broadcast(
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    revenue = money("l_extendedprice") * one_minus(rate("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            as_double(F.sum(revenue)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-shape join + group + deterministic top-k (TPC-H Q3 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = money("l_extendedprice") * one_minus(rate("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .select("l_orderkey", "revenue", fmt_date("o_orderdate").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (SURVEY §2.3: free in Spark, exercised by dedup too).
+# ---------------------------------------------------------------------------
+@register(
+    "q_semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+    """,
+)
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_anti_join_dormant_customers",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left outer join + aggregate keeping empty groups.
+# ---------------------------------------------------------------------------
+@register(
+    "q_outer_join_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            as_double(
+                F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            ).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions: ranking top-k per group (row_number for determinism).
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_topk_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             ROUND(o_totalprice, 2) AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 analytic windows: running total + lag over a fully-specified order.
+# Money kept decimal inside the running SUM so the fold is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS prev_price
+    FROM orders
+    """,
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_date("o_orderdate").alias("orderdate"),
+        as_double(
+            F.sum(money("o_totalprice")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("running_spend"),
+        as_double(F.lag(money("o_totalprice")).over(w)).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations: UNION / INTERSECT / EXCEPT (distinct semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "q_set_ops_customer_cohorts",
+    oracle="""
+    SELECT c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.union(rich).distinct().subtract(finished)
+
+
+@register(
+    "q_intersect_segments",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+# ---------------------------------------------------------------------------
+# A5: ROLLUP / CUBE grouping sets.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_nation_segment",
+    oracle="""
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def q_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            as_double(F.sum(money("c_acctbal"))).alias("total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@register(
+    "q_cube_order_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: exact distinct aggregation (approx_count_distinct is exercised in tests,
+# not oracle-checked — it is estimator-dependent by design).
+# ---------------------------------------------------------------------------
+@register(
+    "q_distinct_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: LIKE / prefix predicates (ref README.md:118 `LIKE 'JOSM%'`) +
+# conditional aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_like_part_types",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS n_promo,
+           SUM(CASE WHEN p_type LIKE '%LARGE%' THEN 1 ELSE 0 END) AS n_large,
+           SUM(CASE WHEN p_name LIKE '%a' THEN 1 ELSE 0 END) AS n_name_suffix_a
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_like_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        one_if(F.col("p_type").like("PROMO%")).alias("n_promo"),
+        one_if(F.col("p_type").like("%LARGE%")).alias("n_large"),
+        one_if(F.col("p_name").like("%a")).alias("n_name_suffix_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: range predicate on the time column (the reference's created_idx
+# declares this access path, ref queries.py:45) + per-month rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q_orders_per_month",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        orders.groupBy(
+            fmt_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_double(F.sum(money("o_totalprice"))).alias("total_sales"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 extension): for each purchase event, the most
+# recent prior-or-simultaneous 'view' by the same user.  Implemented with the
+# scalable union+window algorithm — one shuffle on user_id, no UDF, no
+# per-key pandas; this survives 100 TB where a merge_asof-per-key would not.
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_purchase_last_view",
+    oracle="""
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(MAX(v.ts), '%Y-%m-%d %H:%M:%S') AS last_view_ts
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.ts
+    """,
+)
+def q_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("_is_left")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("_is_left"),
+    )
+    # right rows sort before left rows at equal ts => "<=" as-of semantics
+    unioned = purchases.unionByName(views).withColumn(
+        "_right_ts", F.when(F.col("_is_left") == 0, F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_view", F.last("_right_ts", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_view", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+        )
+    )

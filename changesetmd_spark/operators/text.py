@@ -1,0 +1,172 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11 E4).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting and
+document fingerprinting over the ``documents`` table.  All pure native column
+expressions — regexp/sha2/length run JVM-side inside whole-stage codegen, so
+at 100 TB these are embarrassingly-parallel scans with no shuffle except the
+final (tiny) aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# whole-match token pattern; idx=0 selects group 0 (Spark defaults to 1)
+_TOKEN_RE = r"\S+"
+
+# tiny per-language stopword cues for the heuristic language-ID
+_LANG_CUES = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|das|und|nicht)\b",
+    "fr": r"\b(le|la|les|et|une)\b",
+    "es": r"\b(el|los|las|y|una)\b",
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via regexp matches (mirrors DuckDB exactly)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: lowercase, collapse whitespace, trim,
+    sha256 — the exact-dedup key (E1)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.sha2(normalized, 256)
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword heuristics used for corpus filtering."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_LANG_CUES["en"]), 0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            (n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4
+        ),
+        "punct_ratio": F.round(n_punct * 1.0 / n_chars, 6),
+        "stopword_ratio": F.round(n_stop * 1.0 / n_tokens, 6),
+    }
+
+
+@register(
+    "q_text_token_stats",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '\S+'))) * 1.0 / COUNT(*), 4)
+             AS avg_tokens,
+           MAX(len(regexp_extract_all(text, '\S+'))) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        docs.withColumn("n_tokens", n)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") * 1.0 / F.count("*"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text), 6)
+             AS punct_ratio,
+           ROUND(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) * 1.0
+                 / len(regexp_extract_all(text, '\S+')), 6) AS stopword_ratio
+    FROM documents
+    WHERE length(text) > 0 AND len(regexp_extract_all(text, '\S+')) > 0
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (token_count(F.col("text")) > 0)
+    )
+    q = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_text_lang_id_confusion",
+    oracle=r"""
+    WITH scored AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|y|una)\b')) AS s_es
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def q_text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))
+        for lang, pat in _LANG_CUES.items()
+    }
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,127 @@
+"""Event-time windowed aggregation, batch form (SURVEY §2.9 T6).
+
+The reference's only notion of a window is the replication file-sequence
+number (ref changesetmd.py:179-186); event-time windows are the [extension]
+surface every Spark engine provides.  These are the *batch* equivalents of the
+streaming queries in ``changesetmd_spark.streaming`` — identical semantics
+(`F.window` / `F.session_window` work in both modes), which is exactly why
+they are oracle-checkable here while the streaming variants are covered by
+pytest with `availableNow` triggers.
+
+Scale note: `F.window` is a projection + hash aggregate — one shuffle on the
+(window, key) pair; `session_window` merges sessions inside the aggregate.
+Sums over the double `value` column are cast to DECIMAL first so partial
+aggregation order cannot change the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import as_double
+from ..registry import register
+from ..tables import load_table
+
+_VAL = "decimal(18,6)"
+
+
+@register(
+    "q_window_tumbling_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            as_double(F.sum(F.col("value").cast(_VAL))).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                      - k.k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour windows sliding every 30 minutes: each event lands in exactly 2
+    # windows; the oracle materializes the same assignment via unnest([0,1]).
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            as_double(F.sum(F.col("value").cast(_VAL))).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_window_session_per_user",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window(gap): a new event extends the session while
+    # event.ts < last.ts + gap, i.e. a gap >= 30min starts a new session —
+    # the oracle's gaps-and-islands mirrors that boundary exactly.
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

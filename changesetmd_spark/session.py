@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tested on ``local[N]`` but every setting is chosen for a multi-executor
+cluster: AQE on (runtime coalesce + skew-join splitting), broadcast threshold
+left at default so small dimension tables broadcast, UTC session timezone so
+timestamp semantics match the reference's ``timestamp without time zone``
+columns (ref queries.py:10,15,25), Arrow enabled for the few pandas-UDF
+operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the test harness (local[32], 128 GiB); on a real
+# cluster shuffle.partitions should be ~2-3x total cores and is overridable
+# via SPARK_GRAFT_SHUFFLE_PARTITIONS.
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scan tuning: group small files, keep row-group pruning on
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.parquet.filterPushdown": "true",
+    # our oracle comparisons depend on timezone-stable timestamps
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # the driver's events.parquet stores TIMESTAMP(NANOS); Spark's reader
+    # rejects that type unless surfaced as long (tables.load_table converts
+    # back to a micros timestamp with exact integer division)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
+}
+
+
+def get_spark(
+    app_name: str = "changesetmd-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` resolution order: explicit arg, $SPARK_GRAFT_MASTER,
+    ``local[$SPARK_GRAFT_CPUS]``, ``local[*]``.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

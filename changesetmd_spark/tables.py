@@ -1,0 +1,68 @@
+"""Test-table catalog: the driver's deterministic parquet tables.
+
+``/root/testdata/sf*/{region,nation,customer,supplier,part,orders,lineitem,
+events,documents,embeddings}.parquet`` (see TESTDATA.md / FIXTURES.md §B).
+Plain ``spark.read.parquet`` so Catalyst gets native scans with predicate
+pushdown + column pruning; no schema inference surprises because parquet is
+self-describing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries must behave identically under a caller-owned SparkSession
+    (the driver's verify constructs its own): events.parquet stores
+    TIMESTAMP(NANOS) which Spark only reads via the nanosAsLong fallback,
+    and formatted-timestamp output must be timezone-stable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong; convert with exact integer
+    # division (a double division would lose precision at 1e18 nanos) —
+    # truncation to micros matches DuckDB's nanos->micros read.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register each table as a temp view (for the spark.sql query surface)."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n + suffix)
