@@ -38,6 +38,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     # import for registration side effects; keep cheap (no Spark work at import)
     from .operators import (  # noqa: F401
+        changesets,
         dedup,
         geometry,
         multimodal,

@@ -1,0 +1,124 @@
+"""Golden-fixture ingest tests (SURVEY.md §5.2): the XML source must produce
+exactly the rows the reference's parser would have inserted
+(ref changesetmd.py:78-125), covering tags present/absent, multi-comment
+discussion, anonymous user, open changeset, out-of-range latitudes and
+bbox-less changesets."""
+
+from __future__ import annotations
+
+import datetime
+import os
+from decimal import Decimal
+
+from changesetmd_spark.sources import (
+    CHANGESET_SCHEMA,
+    comments_table,
+    normalize_changesets,
+    parse_changeset_xml_strings,
+    read_changeset_xml,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "changesets_golden.xml")
+
+
+def _golden(spark):
+    return normalize_changesets(read_changeset_xml(spark, FIXTURE))
+
+
+def test_schema_matches_declaration(spark):
+    df = _golden(spark)
+    assert [f.name for f in df.schema.fields] == [f.name for f in CHANGESET_SCHEMA.fields]
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in CHANGESET_SCHEMA.fields}
+    assert got == want
+
+
+def test_full_changeset_row(spark):
+    row = _golden(spark).filter("id = 1001").collect()[0]
+    assert row.user_id == 11
+    assert row.user_name == "alice"
+    assert row.created_at == datetime.datetime(2014, 3, 1, 10, 0, 0)
+    assert row.closed_at == datetime.datetime(2014, 3, 1, 10, 5, 0)
+    assert row.open is False
+    assert row.num_changes == 42
+    assert row.min_lat == Decimal("47.1000000")
+    assert row.max_lon == Decimal("8.6000000")
+    assert row.tags == {"comment": "fixed a building", "created_by": "JOSM/1.5 (7182 en)"}
+    assert len(row.comments) == 2
+    c2 = row.comments[1]
+    assert c2.comment_user_id == 22
+    assert c2.comment_user_name == "carol"
+    assert c2.comment_date == datetime.datetime(2014, 3, 3, 9, 30, 0)
+    assert c2.comment_text.strip() == "second comment, with & escaped entity"
+
+
+def test_open_changeset_has_null_closed_at(spark):
+    row = _golden(spark).filter("id = 1002").collect()[0]
+    assert row.open is True
+    assert row.closed_at is None
+    assert row.comments == []  # no <discussion> → empty list (ref :94)
+
+
+def test_anonymous_and_bboxless(spark):
+    row = _golden(spark).filter("id = 1003").collect()[0]
+    # .get(..., None) semantics of ref changesetmd.py:108-113
+    assert row.user_id is None and row.user_name is None
+    assert row.min_lat is None and row.max_lon is None
+    assert row.tags == {}  # no <tag> children → empty map (ref :90)
+
+
+def test_out_of_range_latitude_preserved_raw(spark):
+    # the reference stores raw values and clamps only at query time
+    # (ref README.md:78); ingest must not silently alter data
+    row = _golden(spark).filter("id = 1004").collect()[0]
+    assert row.min_lat == Decimal("-95.5000000")
+    assert row.max_lat == Decimal("95.5000000")
+
+
+def test_comments_child_table(spark):
+    ct = comments_table(_golden(spark))
+    assert [f.name for f in ct.schema.fields] == [
+        "comment_changeset_id",
+        "comment_user_id",
+        "comment_user_name",
+        "comment_date",
+        "comment_text",
+    ]
+    rows = ct.collect()
+    assert len(rows) == 2  # only 1001 has a discussion; inner explode
+    assert {r.comment_changeset_id for r in rows} == {1001}
+
+
+def test_from_xml_string_path_matches_file_path(spark):
+    xml = (
+        '<changeset id="1001" created_at="2014-03-01T10:00:00Z" '
+        'closed_at="2014-03-01T10:05:00Z" open="false" user="alice" uid="11" '
+        'min_lat="47.1000000" max_lat="47.2000000" min_lon="8.5000000" '
+        'max_lon="8.6000000" num_changes="42">'
+        '<tag k="comment" v="fixed a building"/>'
+        '<tag k="created_by" v="JOSM/1.5 (7182 en)"/>'
+        "<discussion>"
+        '<comment uid="21" user="bob" date="2014-03-02T09:00:00Z">'
+        "<text>looks good</text></comment>"
+        '<comment uid="22" user="carol" date="2014-03-03T09:30:00Z">'
+        "<text>second comment, with &amp; escaped entity</text></comment>"
+        "</discussion></changeset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    got = normalize_changesets(parse_changeset_xml_strings(df, "xml")).collect()[0]
+    want = _golden(spark).filter("id = 1001").collect()[0]
+    assert got.id == want.id and got.tags == want.tags
+    assert [c.comment_user_id for c in got.comments] == [
+        c.comment_user_id for c in want.comments
+    ]
+
+
+def test_gz_input_reads_identically(spark, tmp_path):
+    import gzip
+    import shutil
+
+    gz = tmp_path / "dump.osm.gz"
+    with open(FIXTURE, "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    df = normalize_changesets(read_changeset_xml(spark, str(gz)))
+    assert sorted(r.id for r in df.select("id").collect()) == [1001, 1002, 1003, 1004]

@@ -1,0 +1,157 @@
+"""Replication + upsert tests (SURVEY.md §5.3): sequence-path arithmetic,
+state.yaml parsing, catch-up planning, and the T4 idempotence / T5
+open→closed lifecycle properties of the upsert sink."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from changesetmd_spark.sinks import ChangesetStore, latest_per_key
+from changesetmd_spark.sources.replication import (
+    BASE_REPL_URL,
+    parse_state_yaml,
+    plan_catchup,
+    replication_url,
+    sequence_path,
+)
+
+# ---------------------------------------------------------------------------
+# pure functions
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_path_arithmetic():
+    # same div/mod/zero-pad as ref changesetmd.py:128-131
+    assert sequence_path(0) == "000/000/000.osm.gz"
+    assert sequence_path(1) == "000/000/001.osm.gz"
+    assert sequence_path(1_234) == "000/001/234.osm.gz"
+    assert sequence_path(2_345_678) == "002/345/678.osm.gz"
+    assert sequence_path(999_999_999) == "999/999/999.osm.gz"
+    assert replication_url(42) == BASE_REPL_URL + "000/000/042.osm.gz"
+    with pytest.raises(ValueError):
+        sequence_path(-1)
+
+
+def test_parse_state_yaml():
+    st = parse_state_yaml("---\nlast_run: 2024-05-01 12:34:56.789 +00:00\nsequence: 6103451\n")
+    assert st.sequence == 6103451
+    assert st.last_run == "2024-05-01 12:34:56.789 +00:00"
+    with pytest.raises(ValueError):
+        parse_state_yaml("nonsense")
+
+
+def test_plan_catchup():
+    assert list(plan_catchup(10, 13)) == [11, 12, 13]
+    assert list(plan_catchup(13, 13)) == []
+    with pytest.raises(ValueError):  # uninitialized watermark, ref :156-158
+        plan_catchup(-1, 5)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end store lifecycle over local fixture diffs
+# ---------------------------------------------------------------------------
+
+
+def _diff_xml(changesets: list[str]) -> bytes:
+    body = "\n".join(changesets)
+    return f'<?xml version="1.0" encoding="UTF-8"?>\n<osm>\n{body}\n</osm>\n'.encode()
+
+
+def _cs(cid: int, open_: bool, num_changes: int, user: str = "u") -> str:
+    closed = '' if open_ else f'closed_at="2024-05-01T0{cid % 10}:30:00Z" '
+    return (
+        f'<changeset id="{cid}" created_at="2024-05-01T0{cid % 10}:00:00Z" {closed}'
+        f'open="{str(open_).lower()}" user="{user}" uid="1" num_changes="{num_changes}"/>'
+    )
+
+
+@pytest.fixture()
+def fixture_fetcher(tmp_path):
+    """Local stand-in for the HTTP fetcher: sequence → .osm.gz on disk.
+
+    seq 101: changeset 7 opens (1 change), changeset 8 closed.
+    seq 102: changeset 7 closes (5 changes) — same id reappears (T5).
+    seq 103: changeset 9 closed.
+    """
+    diffs = {
+        101: _diff_xml([_cs(7, True, 1), _cs(8, False, 2)]),
+        102: _diff_xml([_cs(7, False, 5)]),
+        103: _diff_xml([_cs(9, False, 3, user="v")]),
+    }
+
+    def fetch(seq: int) -> str:
+        p = tmp_path / f"{seq}.osm.gz"
+        if not p.exists():
+            p.write_bytes(gzip.compress(diffs[seq]))
+        return str(p)
+
+    return fetch
+
+
+def _state_rows(store):
+    return sorted(
+        (r.id, r.open, r.num_changes, r.sequence)
+        for r in store.changesets().collect()
+    )
+
+
+def test_replication_lifecycle_and_idempotence(spark, tmp_path, fixture_fetcher):
+    store = ChangesetStore(spark, str(tmp_path / "store"))
+    store.create()
+    assert store.state() == {"last_sequence": -1, "last_timestamp": None}
+
+    # bootstrapping from an uninitialized watermark must refuse (ref :156-158)
+    with pytest.raises(ValueError):
+        store.replicate(103, fixture_fetcher)
+
+    store._write_state(100, None)  # bootstrap watermark
+    applied = store.replicate(103, fixture_fetcher, server_timestamp="2024-05-01T04:00:00Z")
+    assert applied == 3
+    assert store.state()["last_sequence"] == 103
+
+    rows = _state_rows(store)
+    # changeset 7 evolved open→closed across diffs: latest (seq 102) wins
+    assert rows == [
+        (7, False, 5, 102),
+        (8, False, 2, 101),
+        (9, False, 3, 103),
+    ]
+
+    # T4 idempotence: replaying the same diffs bit-identically preserves state
+    store._write_state(100, None)
+    assert store.replicate(103, fixture_fetcher) == 3
+    assert _state_rows(store) == rows
+
+    # replaying only a STALE diff must also be safe (ref README.md:59) —
+    # note the reference (and we) apply it last-write-wins by arrival, so
+    # replay of seq 101 alone resurrects the open version of 7; applying
+    # 102 again converges.  This matches reference semantics exactly:
+    # delete+insert per id with no sequence comparison.
+    store._write_state(101, None)
+    store.replicate(103, fixture_fetcher)
+    assert _state_rows(store) == rows
+
+
+def test_latest_per_key_window(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 12, "b"), (2, 11, "c")], "id long, sequence long, v string"
+    )
+    got = sorted((r.id, r.sequence, r.v) for r in latest_per_key(df).collect())
+    assert got == [(1, 12, "b"), (2, 11, "c")]
+
+
+def test_bulk_load_partitioned_by_date(spark, tmp_path):
+    import os
+
+    from tests.test_ingest import FIXTURE
+
+    store = ChangesetStore(spark, str(tmp_path / "store"))
+    store.create()
+    n = store.bulk_load(FIXTURE, start_sequence=0)
+    assert n == 4
+    # physical layout: partitioned by created_date (SURVEY §4.2 created_idx replacement)
+    parts = [d for d in os.listdir(store.table_dir) if d.startswith("created_date=")]
+    assert parts == ["created_date=2014-03-01"]
+    assert store.state()["last_sequence"] == 0
