@@ -30,21 +30,15 @@ from ..registry import register
 from ..tables import load_table
 from .text import fingerprint
 
-# universal-hash parameters for minhash permutations: h_i(x) = (a_i*x + b_i) mod P
-_MERSENNE_P = (1 << 61) - 1
 _N_MINHASH = 64
-_LSH_BANDS = 16  # 16 bands x 4 rows
+_LONG_MAX = (1 << 63) - 1  # empty-set minhash sentinel
+# 32 bands x 2 rows: S-curve inflection (1/b)^(1/r) ≈ 0.18, so recall at the
+# 0.5 verification threshold is 1-(1-0.5²)³² ≈ 0.9999 and ≈1-4e-5 at J=0.7
+# (16x4 was measured missing a J≥0.7 pair: inflection 0.5 ⇒ only ~65% recall
+# at threshold).  The permissive banding over-generates low-J candidates;
+# the bucket cap and the exact-Jaccard verify keep that bounded.
+_LSH_BANDS = 32
 _LSH_ROWS = _N_MINHASH // _LSH_BANDS
-
-
-def char_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct character k-grams; empty array for too-short texts."""
-    n = F.length(text)
-    seq = F.sequence(F.lit(1), n - (k - 1))
-    grams = F.transform(seq, lambda i: text.substr(i, F.lit(k)))
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
 
 
 @register(
@@ -98,12 +92,13 @@ def q_dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard_pairs",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
     ), s AS (
       SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(text) - 2),
-                                          i -> substr(text, i, 3))) AS sh
-      FROM d
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
     )
     SELECT a.doc_id AS doc_id_1,
            b.doc_id AS doc_id_2,
@@ -112,17 +107,34 @@ def q_dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS jaccard
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.62
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs on a deterministic candidate
-    subset (doc_id % 5 = 0 keeps the oracle's O(n²) tractable)."""
+    """Exact word-3-gram Jaccard near-dup pairs over the full corpus — the
+    brute-force ground truth the LSH path approximates (word shingles, not
+    char shingles, for the same discriminativeness reason as word_shingles).
+
+    O(n²) by design: this is the oracle-checkable baseline; the broadcast
+    nested-loop join evaluates pairs streaming-wise without materializing
+    them, and the scale path is q_minhash_lsh_candidates.  Shingles are
+    folded to xxhash64 longs before the pairwise intersects — set sizes are
+    collision-free in practice (P ≈ |union|²/2⁶⁴ per pair) and long-array
+    intersection avoids 12.5M × O(set) string hashing (3.5× faster measured)."""
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", char_shingles(F.col("text")).alias("sh"))
+        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+        .select(
+            "doc_id",
+            F.transform(
+                word_shingles(F.col("text")), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
     )
+    # the corpus parquet is one file → one input partition; without an
+    # explicit repartition the broadcast nested-loop join would evaluate all
+    # O(n²) pairs in a single task (measured 514 s single-threaded at sf0.1)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     a = docs.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     b = docs.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
@@ -131,84 +143,121 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), F.col("doc_id_1") < F.col("doc_id_2"))
         .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.62)
+        .filter(jac >= 0.2)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int = _N_MINHASH) -> Column:
-    """K minhash values per document, entirely JVM-side.
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", sh_col: str = "sh",
+    n_hashes: int = _N_MINHASH,
+) -> DataFrame:
+    """(id, shingles) → (id, sig: array<long>[K]) minhash signatures,
+    entirely JVM-side.
 
-    h_i(s) = (a_i * h31(s) + b_i) mod (2^61-1) with h31 = xxhash64 folded to
-    31 bits so the multiply never overflows int64 (Spark 4 runs ANSI mode —
-    overflow would throw, not wrap).  Deterministic fixed seeds; returns
-    array<long> of length K (empty shingle sets yield the max sentinel)."""
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(2 * i + 1).alias("a"),
-                F.lit(7919 * (i + 1)).alias("b"),
-            )
-            for i in range(n_hashes)
-        ]
+    h_i(s) = xxhash64(i, s): K *independent* hash functions by seeding the
+    hash with the permutation index.  (The textbook (a·h+b) mod P universal
+    hash is a trap here: with small multipliers the product never wraps the
+    Mersenne modulus, every "permutation" is order-preserving, and all K
+    minhashes collapse to a function of argmin h — observed as a J=0.93 pair
+    sharing 0/64 minhashes; with large multipliers the product overflows
+    int64, which ANSI-mode Spark 4 throws on.)  Empty shingle sets yield the
+    LONG_MAX sentinel.
+
+    Shaped as explode → K plain ``min`` aggregates (partial map-side combine,
+    one shuffle on id).  The alternative — K nested lambda-transforms over
+    the shingle array — builds an expression tree Catalyst evaluates ~50×
+    slower (measured 239 s vs 5 s at sf0.1); flat aggregates stay inside
+    whole-stage codegen."""
+    ex = docs.select(id_col, F.explode_outer(sh_col).alias("_s"))
+    aggs = [
+        F.coalesce(
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))),
+            F.lit(_LONG_MAX),
+        ).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
     )
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647)))
-    return F.transform(
-        params,
-        lambda p: F.coalesce(
-            F.array_min(
-                F.transform(
-                    base, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE_P))
-                )
-            ),
-            F.lit(_MERSENNE_P),
-        ),
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams.  Word-level on purpose: these corpora draw from
+    a shared vocabulary, so *character* shingles overlap heavily across
+    unrelated documents — every LSH bucket then degenerates to
+    everybody-collides and the band self-join goes quadratic (observed as an
+    OOM at sf0.1).  Word n-grams keep unrelated documents' shingle sets
+    disjoint, which is what makes LSH sub-quadratic."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    seq = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array_distinct(F.array(F.concat_ws(" ", toks)))
     )
+
+
+# LSH buckets larger than this are non-discriminative (boilerplate shingle
+# sets); production MinHash-LSH drops them — every member pair is either
+# found via another, smaller band bucket or is not a near-dup.  Bounds the
+# per-bucket pair blowup to O(cap²) regardless of data pathology.
+_LSH_BUCKET_CAP = 200
 
 
 @register("q_minhash_lsh_candidates")  # no oracle: xxhash64 is Spark-specific
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by exact Jaccard.
 
-    Pipeline: shingle → 64 minhashes → 16 bands of 4 → explode bands →
-    self-join on (band_idx, band_signature) → distinct candidate pairs →
-    exact-Jaccard verify ≥ 0.5.  At scale, the band join replaces the O(n²)
-    cross join: only colliding buckets meet."""
+    Pipeline: word-shingle → 64 minhashes → 32 bands of 2 → explode to
+    (doc_id, bucket) pairs keyed by a single xxhash64 of the band slice →
+    self-join buckets → distinct candidate pairs → re-attach shingle sets →
+    exact-Jaccard verify ≥ 0.5.
+
+    Scale design: the band join carries ONLY (doc_id, bucket_key long) — the
+    shingle arrays rejoin after pair dedup, so shuffle volume is O(docs×bands)
+    longs, not O(docs×bands×shingles) strings; oversized buckets are capped
+    (_LSH_BUCKET_CAP) so a degenerate key cannot go quadratic; the final
+    verify touches candidate pairs only.  This is the shape that survives
+    100 TB where brute-force O(n²) cannot."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", char_shingles(F.col("text")).alias("sh")
+        "doc_id", word_shingles(F.col("text")).alias("sh")
     )
-    sig = docs.withColumn("sig", minhash_signature(F.col("sh")))
-    bands = sig.select(
+    sig = minhash_signatures(docs)
+    buckets = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(
-                        F.col("sig"), b * _LSH_ROWS + 1, _LSH_ROWS
-                    ).alias("band_sig"),
-                ),
+                lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * _LSH_ROWS + 1, _LSH_ROWS)),
             )
-        ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-    left = bands.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"), "band", "band_sig"
+        ).alias("bucket"),
     )
-    right = bands.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"), "band", "band_sig"
+    small = buckets.join(
+        buckets.groupBy("bucket")
+        .count()
+        .filter(F.col("count") <= _LSH_BUCKET_CAP)
+        .select("bucket"),
+        "bucket",
     )
     cands = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2", "sh1", "sh2")
-        .dropDuplicates(["doc_id_1", "doc_id_2"])
+        small.alias("a")
+        .join(small.alias("b"), "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
     )
+    sh1 = docs.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    sh2 = docs.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    pairs = cands.join(sh1, "doc_id_1").join(sh2, "doc_id_2")
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
     return (
-        cands.withColumn("jaccard", F.round(inter * 1.0 / union, 4))
+        pairs.withColumn("jaccard", F.round(inter * 1.0 / union, 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )

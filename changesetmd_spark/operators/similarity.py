@@ -153,35 +153,170 @@ def hyperplane(seed: int, dim: int = _DIM) -> list[float]:
     return vals
 
 
+@register(
+    "q_embedding_neardup_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 4 = 0
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    )
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),
+                                            i -> a.e[i] * b.e[i]),
+                             (x, y) -> x + y) / (a.nrm * b.nrm), 5) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(generate_series(1, {_DIM}),
+                                     i -> a.e[i] * b.e[i]),
+                      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.92
+    """,
+)
+def q_embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 embedding-cosine near-dup pairs (dedup by representation):
+    all pairs with cosine ≥ 0.92 on a deterministic subset (vec_id%4 keeps
+    the DuckDB oracle's O(n²) fold tractable; the Spark side would take the
+    LSH bucket route at scale — see q_embedding_ann_lsh)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", to_double_vec(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("e").alias("e1"), F.col("nrm").alias("n1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("e").alias("e2"), F.col("nrm").alias("n2")
+    )
+    sim = cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(sim >= 0.92)
+        .select(
+            "vec_id_1", "vec_id_2", F.round(sim, 5).alias("cosine_sim")
+        )
+    )
+
+
 @register("q_embedding_ann_lsh")  # no oracle: LSH recall pinned by pytest
 def q_embedding_ann_lsh(
-    spark: SparkSession, sf_dir: str, n_planes: int = 8
+    spark: SparkSession, sf_dir: str, n_tables: int = 4, n_planes: int = 5
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucketing + exact re-rank.
+    """Approximate top-k: multi-table random-hyperplane LSH + exact re-rank.
 
-    Signature = n_planes sign bits of plane·v → corpus grouped by signature;
-    queries probe only their own bucket.  At 100 TB this turns the cross
-    join into an equi-join on the signature key."""
+    ``n_tables`` independent signatures of ``n_planes`` sign bits each;
+    every vector lands in one bucket per table and queries probe their
+    bucket in ALL tables (union of candidates, deduped before re-rank).
+    Multi-table is what makes recall robust — a single table strands a
+    query whose bucket happens to be a singleton (observed at small SF).
+    At 100 TB this replaces the cross join with an equi-join on
+    (table, bucket) whose expected candidate count is n_tables·|corpus|/2^n_planes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_vec(F.col("embedding")).alias("e")
     )
     emb = emb.withColumn("nrm", l2_norm(F.col("e")))
 
-    sig = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in hyperplane(p + 1)])
-        sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
-    emb = emb.withColumn("bucket", sig)
+    tables = []
+    for t in range(n_tables):
+        sig = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(v) for v in hyperplane(100 * t + p + 1)])
+            sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    hashed = emb.select(
+        "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
 
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = hashed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-        "bucket",
+        "t",
+        "b",
     )
     sim = cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"))
     scored = (
-        emb.join(F.broadcast(queries), "bucket")
+        hashed.join(F.broadcast(queries), ["t", "b"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 5).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+@register("q_embedding_ann_ivf")  # no oracle: ANN recall pinned by pytest
+def q_embedding_ann_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int = 4
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse quantization + multi-probe.
+
+    Cells = the per-label centroids (the natural coarse quantizer for this
+    corpus; a production index would k-means instead — same dataflow).
+    Build: posexplode → per-(label, dim) avg → re-assembled centroid arrays
+    (one shuffle over |corpus|·dim skinny rows).  Assign: every vector joins
+    the broadcast centroid table and keeps its nearest cell.  Query: probe
+    the ``n_probe`` nearest cells, exact-cosine re-rank inside them only.
+    At 100 TB each query touches ~|corpus|·n_probe/n_cells candidates
+    instead of the full corpus, and the centroid table stays tiny."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s["cx"]).alias("ce"),
+        )
+        .withColumn("cn", l2_norm(F.col("ce")))
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+
+    cell_sim = cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "e", "nrm", "cell", cell_sim.alias("cs"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+            ),
+        )
+    )
+    corpus = assigned.filter(F.col("rk") == 1).select("vec_id", "e", "nrm", "cell")
+
+    probes = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    sim = cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -189,11 +324,11 @@ def q_embedding_ann_lsh(
             F.round(sim, 5).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine_sim")
     )

@@ -48,6 +48,7 @@ def _load_all() -> None:
         text,
         windows_batch,
     )
+    from .streaming import events_stream  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

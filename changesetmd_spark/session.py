@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 # cluster shuffle.partitions should be ~2-3x total cores and is overridable
 # via SPARK_GRAFT_SHUFFLE_PARTITIONS.
 DEFAULT_CONF = {
+    # local[32] shares ONE driver JVM across all task threads; the 1g default
+    # heap starves 32 concurrent tasks (observed OOM at sf0.1).  On a real
+    # cluster this maps to executor memory sizing instead.  Only effective
+    # when this factory creates the JVM (no-op via getOrCreate on a live one).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -45,7 +45,7 @@ def _coord(col: str) -> Column:
     return F.col(col).cast("decimal(10,7)")
 
 
-def normalize_changesets(raw: DataFrame) -> DataFrame:
+def normalize_changesets(raw: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """P2-P4 + F1: attribute projection, explicit casts, tag-map and
     comment-array construction — the declarative twin of the per-element
     dict-building at ref changesetmd.py:88-113.
@@ -98,6 +98,8 @@ def normalize_changesets(raw: DataFrame) -> DataFrame:
         F.col("_user").alias("user_name"),
         tags.alias("tags"),
         comments.alias("comments"),
+        # passthrough lineage columns (e.g. replication `sequence`)
+        *[F.col(c) for c in extra],
     )
 
 

@@ -1,0 +1,184 @@
+"""Event-time streaming windows (SURVEY.md §2.9 T6).
+
+The reference has no event-time processing — its "stream" is a sequence of
+replication files (ref changesetmd.py:179-186).  T6 is the [extension]
+surface: tumbling / sliding / session windows with watermark-based state
+cleanup over the driver's ``events`` table, run as true Structured Streaming
+queries (file source → windowed agg → sink), not batch look-alikes.
+
+Scale notes: watermarks bound the state store (without one, every window
+lives forever — the classic unbounded-state failure at 100 TB/day); the
+complete-output-mode used by the driver-visible queries below is only for
+the finite availableNow verification runs — a production deployment would
+use append mode + a real sink.  Window aggregation state partitions by the
+grouping key, so shuffle width follows ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table_path
+
+_STAGE_ROOT = "/tmp/changesetmd_spark_stream_stage"
+
+
+def _staged_dir(sf_dir: str, name: str) -> str:
+    """File-stream sources require a *directory*; the driver testdata is one
+    parquet file per table.  Stage a per-(sf_dir, table) symlink dir —
+    contents never copied, so this is O(1) regardless of data size."""
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(_STAGE_ROOT, f"{name}-{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, name), link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as an unbounded source: explicit schema (streaming sources
+    cannot infer), nanos→micros ts conversion as in tables.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    sdf = spark.readStream.schema(schema).parquet(_staged_dir(sf_dir, "events"))
+    if dict(sdf.dtypes)["ts"] == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_stream_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan over the finite staged source with
+    ``availableNow`` and return the materialized result.
+
+    Memory sink on purpose: these are verification runs (the driver collects
+    the result); production writes go through ``replication_stream`` /
+    ``writeStream.format("parquet")``."""
+    name = f"stream_{uuid.uuid4().hex}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "q_stream_tumbling_hourly",
+    oracle="""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 tumbling window as a real streaming query: watermark + 1h windows,
+    availableNow over the staged file source.  Hash-checked against the
+    batch date_trunc equivalent — streaming and batch semantics must agree
+    on complete data."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_stream_to_table(agg)
+    return out.select(
+        F.date_format("window.start", _TS).alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "q_stream_sliding_2h_1h",
+    oracle="""
+    SELECT
+      strftime(date_trunc('hour', ts) - k * INTERVAL 1 HOUR,
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type,
+      COUNT(*) AS n_events
+    FROM events CROSS JOIN range(2) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sliding window (2h size / 1h slide): each event lands in exactly
+    two windows; the oracle materializes that by cross-joining a 2-row
+    offset table — same multiset, computed two independent ways."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_table(agg)
+    return out.select(
+        F.date_format("window.start", _TS).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
+    "q_stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 session windows (30 min gap) per user as a streaming query;
+    the oracle derives identical sessions via the lag/cumsum
+    gaps-and-islands construction — Spark's session_window operator vs
+    first-principles SQL."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_table(agg)
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", _TS).alias("session_start"),
+        "n_events",
+    )

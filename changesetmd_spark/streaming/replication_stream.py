@@ -1,0 +1,66 @@
+"""Streaming replication ingest (SURVEY.md §2.9 T1-T5, §3.2).
+
+The Structured-Streaming shape of the reference's catch-up loop
+(ref changesetmd.py:137-195): replication diff files land in a directory
+(the production fetcher drops them there; tests write fixtures), a file
+stream source parses them incrementally, and ``foreachBatch`` applies each
+micro-batch as an idempotent last-write-wins MERGE.
+
+Exactly-once story (T2-T4): the streaming checkpoint records which files
+were consumed (replacing the osm_changeset_state watermark row,
+ref queries.py:28-32); the MERGE key makes re-delivery harmless, so
+checkpoint-replay after a crash converges to the same table.  The
+``update_in_progress`` mutex (ref changesetmd.py:140-159) is subsumed by
+Spark's one-active-query-per-checkpoint guarantee (T3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.upsert import upsert_parquet
+from ..sources.schema import CHANGESET_XML_READ_SCHEMA
+from ..sources.xml_source import normalize_changesets
+
+
+def stream_changeset_diffs(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Unbounded XML source over a diff-drop directory.  The replication
+    sequence number rides in the file name (``NNNNNNNNN.osm.gz``, written by
+    ``sources.replication`` fetchers); ``_metadata.file_path`` recovers it
+    per-row so last-write-wins ordering survives multi-file micro-batches."""
+    raw = (
+        spark.readStream.format("xml")
+        .option("rowTag", "changeset")
+        .schema(CHANGESET_XML_READ_SCHEMA)
+        .load(src_dir)
+    )
+    seq = F.regexp_extract(F.col("_metadata.file_path"), r"(\d+)\.osm(?:\.gz)?$", 1)
+    return raw.withColumn("sequence", seq.cast("long"))
+
+
+def run_replication_stream(
+    spark: SparkSession,
+    src_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """Consume every currently-available diff (availableNow) and MERGE it
+    into the changeset table.  Re-running with the same checkpoint consumes
+    only files that arrived since — the incremental catch-up loop T1."""
+    diffs = stream_changeset_diffs(spark, src_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        normalized = normalize_changesets(batch_df, extra=("sequence",))
+        upsert_parquet(spark, table_dir, normalized)
+
+    q = (
+        diffs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
