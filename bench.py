@@ -26,7 +26,8 @@ from changesetmd_spark import registry  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: one per operator family (scan+agg, star join, top-k join,
-# window, session, map/json, dedup, minhash-lsh, similarity, text)
+# window, session, map/json, dedup, minhash-lsh, jaccard, similarity, ann,
+# text, upsert, xml-ingest, streaming-window)
 HEADLINE = [
     "q1_pricing_summary",
     "q5_revenue_by_nation",
@@ -36,9 +37,49 @@ HEADLINE = [
     "q_map_value_extract",
     "q_dedup_exact",
     "q_minhash_lsh_candidates",
+    "q_ngram_jaccard_pairs",
     "q_embedding_topk_cosine",
+    "q_embedding_ann_lsh",
     "q_text_token_stats",
+    "q_upsert_last_write_wins",
+    "q_changeset_ingest_normalize",
+    "q_stream_tumbling_hourly",
 ]
+
+
+def xml_ingest_rate(spark, n: int = 200_000) -> dict:
+    """Changesets/second through the full XML scan + normalize pipeline —
+    the apples-to-apples number against the reference's 3,200-4,800/s
+    single-node ingest (BASELINE.md; ref README.md:74).  The synthetic dump
+    is generated once and cached under /tmp (generation is not ingest)."""
+    import time
+
+    from changesetmd_spark.operators.changesets import _corpus_xml
+    from changesetmd_spark.sources import normalize_changesets, read_changeset_xml
+
+    dump_dir = f"/tmp/changesetmd_bench_dump_{n}"
+    marker = os.path.join(dump_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(dump_dir, exist_ok=True)
+        docs = _corpus_xml()  # 60 distinct element bodies, cycled with new ids
+        per_file = n // 8
+        idx = 0
+        for f_i in range(8):
+            with open(os.path.join(dump_dir, f"part-{f_i}.xml"), "w") as f:
+                f.write("<osm>\n")
+                for _ in range(per_file):
+                    # '<changeset id="100X" rest...' -> fresh unique id + rest
+                    rest = docs[idx % len(docs)].split(" ", 2)[2]
+                    f.write(f'<changeset id="{idx + 1}" {rest}\n')
+                    idx += 1
+                f.write("</osm>\n")
+        with open(marker, "w") as f:
+            f.write("ok")
+    t0 = time.perf_counter()
+    parsed = normalize_changesets(read_changeset_xml(spark, dump_dir))
+    rows = parsed.count()
+    dt = time.perf_counter() - t0
+    return {"changesets": rows, "sec": round(dt, 3), "rate_per_sec": round(rows / dt)}
 
 
 def sf_from_dir(path: str) -> float:
@@ -61,6 +102,8 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
 
+    ingest = xml_ingest_rate(spark)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -70,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_from_dir(SF_DIR),
+                "xml_ingest": ingest,
             }
         )
     )

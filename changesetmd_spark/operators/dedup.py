@@ -115,14 +115,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ground truth the LSH path approximates (word shingles, not
     char shingles, for the same discriminativeness reason as word_shingles).
 
-    O(n²) by design: this is the oracle-checkable baseline; the broadcast
-    nested-loop join evaluates pairs streaming-wise without materializing
-    them, and the scale path is q_minhash_lsh_candidates.  Shingles are
-    folded to xxhash64 longs before the pairwise intersects — set sizes are
-    collision-free in practice (P ≈ |union|²/2⁶⁴ per pair) and long-array
-    intersection avoids 12.5M × O(set) string hashing (3.5× faster measured)."""
+    Exact but sub-quadratic: an *inverted index* on shingles.  Explode
+    (doc, shingle) postings, self-join on the shingle, count co-occurrences
+    per pair → |A∩B|; |A∪B| follows from the per-doc set sizes.  Only pairs
+    sharing at least one shingle are ever materialized (J ≥ 0.2 implies
+    ≥ 1 shared shingle, so nothing is lost) — work is Σ_s df(s)², the
+    postings-list skew, not n².  Shingles fold to xxhash64 longs first
+    (collision P ≈ |union|²/2⁶⁴ per pair; shuffles longs, not strings).
+    Earlier broadcast-nested-loop formulation: 17 s at sf0.1; this: ~3 s."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # the corpus is one small parquet file → one input partition; fan out
+        # BEFORE the expensive shingle projection or it runs single-threaded
+        # (measured: the whole query pinned to 1 task, 20 s at sf0.1)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
         .select(
             "doc_id",
@@ -131,18 +137,30 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    # the corpus parquet is one file → one input partition; without an
-    # explicit repartition the broadcast nested-loop join would evaluate all
-    # O(n²) pairs in a single task (measured 514 s single-threaded at sf0.1)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    a = docs.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
-    b = docs.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
-    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
-    jac = inter * 1.0 / union
+    # set sizes ride along in the postings (one int per row) so no extra
+    # join against a corpus-wide doc→size table is needed at the pair stage;
+    # explicit hash partitioning on the join key keeps the CPU-dense pair
+    # stage parallel (AQE would coalesce these byte-small partitions to one)
+    occ = docs.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    ).repartition(spark.sparkContext.defaultParallelism, "s")
+    pairs = (
+        occ.alias("a")
+        .join(occ.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.sz")).alias("sz1"),
+            F.first(F.col("b.sz")).alias("sz2"),
+        )
+    )
+    jac = F.col("inter") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("inter"))
     return (
-        a.join(F.broadcast(b), F.col("doc_id_1") < F.col("doc_id_2"))
-        .withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.2)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
@@ -221,8 +239,17 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_LSH_BUCKET_CAP) so a degenerate key cannot go quadratic; the final
     verify touches candidate pairs only.  This is the shape that survives
     100 TB where brute-force O(n²) cannot."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles(F.col("text")).alias("sh")
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # single-file corpus → fan out before the shingle projection (see
+        # q_ngram_jaccard_pairs); the signature explode+agg then parallelizes
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        # reused by the signature pass AND both sides of the verify re-attach;
+        # without persist each branch recomputes the shingle projection
+        .persist()
     )
     sig = minhash_signatures(docs)
     buckets = sig.select(
@@ -233,14 +260,10 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * _LSH_ROWS + 1, _LSH_ROWS)),
             )
         ).alias("bucket"),
-    )
-    small = buckets.join(
-        buckets.groupBy("bucket")
-        .count()
-        .filter(F.col("count") <= _LSH_BUCKET_CAP)
-        .select("bucket"),
-        "bucket",
-    )
+    ).persist()  # feeds the cap filter and both sides of the bucket self-join
+    small = buckets.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("cnt") <= _LSH_BUCKET_CAP).drop("cnt")
     cands = (
         small.alias("a")
         .join(small.alias("b"), "bucket")

@@ -114,7 +114,92 @@ def decode_media(df: DataFrame, batch_budget_bytes: int = 64 << 20) -> DataFrame
                 }
             )
 
+    # partition by byte budget, not row count: payload sizes vary by orders
+    # of magnitude, and a decode task must fit its Arrow batch in executor
+    # memory.  The sizing aggregate reads only the n_bytes metadata column
+    # (column pruning keeps the payload out of the scan).
+    if "n_bytes" in df.columns:
+        import math
+
+        total = df.agg(F.sum("n_bytes")).first()[0] or 0
+        n_parts = max(1, math.ceil(total / batch_budget_bytes))
+        if n_parts > df.rdd.getNumPartitions():
+            df = df.repartition(n_parts)
+
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage (E3): real plumbing, stubbed pixel math.  The
+    deterministic fake truncates/pads the payload to w*h bytes so output
+    sizes are exact and testable; a real implementation swaps in
+    PIL.Image.resize inside the same batch loop."""
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n = target_w * target_h
+        for pdf in batches:
+            out = [
+                None if p is None else (bytes(p)[:n]).ljust(n, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_k: int = 10, frame_bytes: int = 256) -> DataFrame:
+    """Frame-sampling stage (E3): one output row per sampled frame — a
+    row-expanding mapInPandas (video → frames is the canonical 1→N media
+    transform).  Fake frame extraction slices the payload at fixed strides;
+    a real implementation swaps in pyav keyframe decoding."""
+
+    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for fi in range(0, n_frames, every_k):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
 def real_decode_stub(payload: bytes, mime_type: str) -> None:

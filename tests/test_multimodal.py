@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests (SURVEY.md §2.11 E3): the mapInPandas stages'
+schemas, batch shapes, and 1→N expansion — the parts that stay when the
+deterministic fakes are swapped for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+
+from changesetmd_spark.operators.multimodal import (
+    decode_media,
+    real_decode_stub,
+    resize_media,
+    sample_frames,
+    synthesize_media,
+)
+
+
+def test_decode_schema_and_determinism(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir).limit(20)
+    d1 = {r.media_id: r.feature_hash for r in decode_media(media).collect()}
+    d2 = {r.media_id: r.feature_hash for r in decode_media(media).collect()}
+    assert d1 == d2 and len(d1) == 20
+
+
+def test_resize_exact_output_size(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir).limit(5)
+    rows = resize_media(media, target_w=16, target_h=8).collect()
+    assert all(len(r.payload) == 16 * 8 for r in rows)
+    assert all(r.width == 16 and r.height == 8 for r in rows)
+
+
+def test_sample_frames_expands_rows(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir).limit(5)
+    frames = sample_frames(media, every_k=1, frame_bytes=64).collect()
+    n_in = media.count()
+    assert len(frames) > n_in  # 1 -> N expansion
+    assert all(r.frame_idx >= 0 and len(r.frame) <= 64 for r in frames)
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x", "image/png")

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY.md §4): plan *shape* assertions.
+
+A query that loses predicate pushdown, broadcasts, pruning or codegen still
+returns correct rows — it just stops scaling.  These tests pin the plan
+properties that replace the reference's index machinery (ref
+queries.py:41-56): Parquet min/max pruning needs filters AT the scan;
+dimension joins must broadcast (never shuffle the fact table for them);
+scans must read only referenced columns."""
+
+from __future__ import annotations
+
+from changesetmd_spark import registry
+from changesetmd_spark.plans import (
+    codegen_spans_noaqe,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+QS = registry.queries()
+
+
+def test_q1_filter_reaches_parquet_scan(spark, sf_dir):
+    df = QS["q1_pricing_summary"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    # column pruning: the 16-col lineitem scan reads only the 7 used
+    (cols,) = read_schema_columns(df)
+    assert "l_comment" not in cols and len(cols) <= 7
+
+
+def test_q5_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = QS["q5_revenue_by_nation"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # fact-side shuffles only for the final aggregate(s), never for dim joins:
+    # allow the agg exchange + AQE artifacts but not 4 join shuffles
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_q3_pushes_both_filters(spark, sf_dir):
+    df = QS["q3_top_revenue_orders"](spark, sf_dir)
+    pushed = " / ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed and "mktsegment" in pushed
+
+
+def test_bbox_containment_is_pure_pushdown(spark, sf_dir):
+    """J2: envelope containment must reduce to scan-level range predicates —
+    no join, no shuffle (the GiST-index replacement, SURVEY §2.3)."""
+    df = QS["q_bbox_containment"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert pushed_filters(df), "range predicates must reach the scan"
+
+
+def test_upsert_dedup_shuffles_once(spark, sf_dir):
+    df = QS["q_upsert_last_write_wins"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # exactly the window partitionBy
+
+
+def test_hot_paths_stay_in_codegen(spark, sf_dir):
+    for name in ["q1_pricing_summary", "q5_revenue_by_nation", "q_dedup_exact"]:
+        assert codegen_spans_noaqe(spark, QS[name], spark, sf_dir) >= 1, name
+
+
+def test_scan_prunes_unused_columns_everywhere(spark, sf_dir):
+    """No scan in the core relational queries may read a column its query
+    never references (documents.text is exempt where text IS the input)."""
+    for name in ["q5_revenue_by_nation", "q_orders_per_month", "q_distinct_counts"]:
+        for cols in read_schema_columns(QS[name](spark, sf_dir)):
+            assert "l_comment" not in cols and "o_comment" not in cols, name
