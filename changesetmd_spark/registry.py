@@ -44,11 +44,12 @@ def _load_all() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         tags_json,
         text,
         windows_batch,
     )
-    from .streaming import events_stream  # noqa: F401
+    from .streaming import events_stream, stateful  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
