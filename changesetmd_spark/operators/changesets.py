@@ -166,6 +166,54 @@ def q_changeset_comments_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_changeset_join_comments",
+    oracle=f"""
+    SELECT
+      1000 + i AS id,
+      CASE WHEN i % 7 = 0 THEN NULL
+           ELSE 'user_' || CAST(10 + i % 5 AS VARCHAR) END AS user_name,
+      CASE WHEN i % 3 = 0 THEN 'JOSM' ELSE 'iD' END AS created_by,
+      1        AS n_comments,
+      1440     AS first_comment_delay_min
+    FROM range(1, {_N + 1}) t(i)
+    WHERE i % 4 = 0 AND i % 2 = 0
+    ORDER BY id
+    """,
+)
+def q_changeset_join_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the changesets⋈comments equi-join (FK-by-convention
+    comment_changeset_id → id, ref queries.py:22 / README.md:99) — commented
+    changesets that also carry a comment *tag* (P5), with comment count and
+    minutes from creation to first discussion comment.  On real data the
+    comment side is the small one → broadcast; the changeset scan never
+    shuffles."""
+    from ..sources.xml_source import comments_table
+
+    cs = _parsed_corpus(spark)
+    comments = comments_table(cs)
+    per_cs = comments.groupBy(
+        F.col("comment_changeset_id").alias("id")
+    ).agg(
+        F.count("*").alias("n_comments"),
+        F.min("comment_date").alias("first_comment"),
+    )
+    return (
+        cs.filter(F.map_contains_key("tags", "comment"))
+        .join(F.broadcast(per_cs), "id")
+        .select(
+            "id",
+            "user_name",
+            F.col("tags")["created_by"].alias("created_by"),
+            "n_comments",
+            ((F.unix_timestamp("first_comment") - F.unix_timestamp("created_at")) / 60)
+            .cast("int")
+            .alias("first_comment_delay_min"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
     "q_upsert_last_write_wins",
     oracle="""
     SELECT user_id, event_type, event_id AS last_event_id, value AS last_value

@@ -122,3 +122,16 @@ def test_gz_input_reads_identically(spark, tmp_path):
         shutil.copyfileobj(src, dst)
     df = normalize_changesets(read_changeset_xml(spark, str(gz)))
     assert sorted(r.id for r in df.select("id").collect()) == [1001, 1002, 1003, 1004]
+
+
+def test_bz2_input_reads_identically(spark, tmp_path):
+    # S2: the reference needs the bz2file module for multi-stream dumps
+    # (ref changesetmd.py:23-27, 241-246); Hadoop's Bzip2Codec reads them
+    # natively AND splittably
+    import bz2
+
+    bz = tmp_path / "dump.osm.bz2"
+    with open(FIXTURE, "rb") as src:
+        bz.write_bytes(bz2.compress(src.read()))
+    df = normalize_changesets(read_changeset_xml(spark, str(bz)))
+    assert sorted(r.id for r in df.select("id").collect()) == [1001, 1002, 1003, 1004]
