@@ -44,6 +44,9 @@ HEADLINE = [
     "q_upsert_last_write_wins",
     "q_changeset_ingest_normalize",
     "q_stream_tumbling_hourly",
+    "q_stream_stateful_user_totals",
+    "q_embedding_ann_ivf",
+    "q_salted_join_skewed_types",
 ]
 
 
@@ -95,14 +98,16 @@ def main() -> None:
     # warmup: start executors + codegen on a trivial plan
     qs["q_distinct_counts"](spark, SF_DIR).collect()
 
+    # measure ingest before the query gauntlet fragments the heap — the
+    # rate is the headline comparison against the reference's 3.2-4.8k/s
+    ingest = xml_ingest_rate(spark)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         rows = qs[name](spark, SF_DIR).collect()
         times[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
-
-    ingest = xml_ingest_rate(spark)
 
     total = round(sum(times.values()), 3)
     print(

@@ -54,23 +54,44 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
-def run_stream_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming plan over the finite staged source with
     ``availableNow`` and return the materialized result.
+
+    ``shuffle_partitions`` pins the stateful-operator width for THIS query
+    (it is frozen into the checkpoint at first start): every state
+    partition pays a fixed state-store + (for Python-stateful ops) Arrow
+    worker round-trip per batch, so a small-keyspace operator on a
+    200-partition default session spends its time on empty partitions —
+    measured 5.6 s → 1.9 s going 32 → 8 for the user-totals accumulator.
+    Production sizing follows |distinct keys| and executor count instead.
 
     Memory sink on purpose: these are verification runs (the driver collects
     the result); production writes go through ``replication_stream`` /
     ``writeStream.format("parquet")``."""
+    spark = stream_df.sparkSession
     name = f"stream_{uuid.uuid4().hex}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 _TS = "yyyy-MM-dd HH:mm:ss"

@@ -97,7 +97,9 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     source; after the final batch each user's state equals the batch
     aggregate — hash-checked against plain SQL."""
     ev = stream_events(spark, sf_dir)
-    out = run_stream_to_table(stateful_user_totals(ev), output_mode="update")
+    out = run_stream_to_table(
+        stateful_user_totals(ev), output_mode="update", shuffle_partitions=8
+    )
     # keep only each user's final state (multi-batch runs emit one row per
     # batch per touched key; the last has the full accumulation)
     from pyspark.sql import Window
