@@ -301,6 +301,9 @@ def q_embedding_ann_ivf(
                 Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
             ),
         )
+        # read by both the corpus branch and the probe branch — persist or
+        # the centroid build + assignment join runs twice
+        .persist()
     )
     corpus = assigned.filter(F.col("rk") == 1).select("vec_id", "e", "nrm", "cell")
 
