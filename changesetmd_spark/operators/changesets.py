@@ -166,6 +166,53 @@ def q_changeset_comments_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_changeset_readme_examples",
+    oracle=f"""
+    WITH c AS (SELECT i, 1000 + i AS id FROM range(1, {_N + 1}) t(i))
+    SELECT
+      (SELECT COUNT(*) FROM c WHERE i % 2 = 0)             AS n_with_comment_tag,
+      (SELECT COUNT(*) FROM c WHERE i % 3 = 0)             AS n_created_by_josm,
+      (SELECT COUNT(*) FROM c
+        WHERE i % 11 <> 0
+          AND -50 + i * 0.5 >= -40 AND -50 + i * 0.5 + 0.25 <= -20
+          AND -100 + i      >= -95 AND -100 + i + 0.5      <= -55) AS n_in_envelope
+    """,
+)
+def q_changeset_readme_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's three documented example queries, 1:1
+    (ref README.md:106-124), on the deterministic corpus:
+
+    1. ``SELECT COUNT(*) FROM osm_changeset WHERE tags ? 'comment'``
+       (hstore key-existence, ref README.md:110-112) → ``map_contains_key``.
+    2. ``... WHERE tags -> 'created_by' LIKE 'JOSM%'``
+       (value extraction + prefix LIKE, ref README.md:114-118) →
+       ``try_element_at(...).like('JOSM%')``.
+    3. ``... WHERE ST_CoveredBy(geom, ST_MakeEnvelope(-95,-40,-55,-20,4326))``
+       (spatial containment, ref README.md:120-124) → four range predicates
+       on the bbox columns (operators.geometry.bbox_contains).
+    """
+    from .geometry import bbox_contains
+
+    cs = _parsed_corpus(spark)
+    in_env = bbox_contains(
+        F.col("min_lon").cast("double"),
+        F.col("min_lat").cast("double"),
+        F.col("max_lon").cast("double"),
+        F.col("max_lat").cast("double"),
+        env=(-95.0, -40.0, -55.0, -20.0),
+    )
+    return cs.agg(
+        F.count(F.when(F.map_contains_key("tags", "comment"), 1)).alias(
+            "n_with_comment_tag"
+        ),
+        F.count(
+            F.when(F.try_element_at("tags", F.lit("created_by")).like("JOSM%"), 1)
+        ).alias("n_created_by_josm"),
+        F.count(F.when(in_env, 1)).alias("n_in_envelope"),
+    )
+
+
+@register(
     "q_changeset_join_comments",
     oracle=f"""
     SELECT

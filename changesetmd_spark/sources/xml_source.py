@@ -24,7 +24,11 @@ from .schema import CHANGESET_XML_READ_SCHEMA
 # closed_at / comment date attributes fed raw to Postgres timestamp columns
 # at ref changesetmd.py:108-113); parsed as timezone-naive (timestamp_ntz)
 # for `timestamp without time zone` parity (ref queries.py:10,15,25).
-OSM_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+#
+# Every cast below is a try_cast: Spark 4 runs ANSI mode, where a plain cast
+# on one malformed attribute fails the whole distributed job — a 40 GB dump
+# with one glitched element must quarantine that row (null id), not abort
+# (see test_malformed_changeset_does_not_poison_batch).
 
 
 def read_changeset_xml(spark: SparkSession, path: str) -> DataFrame:
@@ -38,11 +42,14 @@ def read_changeset_xml(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _ts(col: str) -> Column:
-    return F.to_timestamp_ntz(F.col(col), F.lit(OSM_TS_FORMAT))
+    # string→ntz cast accepts ISO-8601 and drops the 'Z' designator — the
+    # same coercion Postgres applies feeding these strings into
+    # `timestamp without time zone` columns
+    return F.col(col).try_cast("timestamp_ntz")
 
 
 def _coord(col: str) -> Column:
-    return F.col(col).cast("decimal(10,7)")
+    return F.col(col).try_cast("decimal(10,7)")
 
 
 def normalize_changesets(raw: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
@@ -69,11 +76,9 @@ def normalize_changesets(raw: DataFrame, extra: tuple[str, ...] = ()) -> DataFra
         F.transform(
             "discussion.comment",
             lambda c: F.struct(
-                c["_uid"].cast("long").alias("comment_user_id"),
+                c["_uid"].try_cast("long").alias("comment_user_id"),
                 c["_user"].alias("comment_user_name"),
-                F.to_timestamp_ntz(c["_date"], F.lit(OSM_TS_FORMAT)).alias(
-                    "comment_date"
-                ),
+                c["_date"].try_cast("timestamp_ntz").alias("comment_date"),
                 c["text"].alias("comment_text"),
             ),
         ),
@@ -85,16 +90,16 @@ def normalize_changesets(raw: DataFrame, extra: tuple[str, ...] = ()) -> DataFra
     )
 
     return raw.select(
-        F.col("_id").cast("long").alias("id"),
-        F.col("_uid").cast("long").alias("user_id"),
+        F.col("_id").try_cast("long").alias("id"),
+        F.col("_uid").try_cast("long").alias("user_id"),
         _ts("_created_at").alias("created_at"),
         _coord("_min_lat").alias("min_lat"),
         _coord("_max_lat").alias("max_lat"),
         _coord("_min_lon").alias("min_lon"),
         _coord("_max_lon").alias("max_lon"),
         _ts("_closed_at").alias("closed_at"),
-        F.col("_open").cast("boolean").alias("open"),
-        F.col("_num_changes").cast("int").alias("num_changes"),
+        F.col("_open").try_cast("boolean").alias("open"),
+        F.col("_num_changes").try_cast("int").alias("num_changes"),
         F.col("_user").alias("user_name"),
         tags.alias("tags"),
         comments.alias("comments"),

@@ -124,6 +124,28 @@ def test_gz_input_reads_identically(spark, tmp_path):
     assert sorted(r.id for r in df.select("id").collect()) == [1001, 1002, 1003, 1004]
 
 
+def test_malformed_changeset_does_not_poison_batch(spark, tmp_path):
+    """Robustness at scale: a 40 GB dump WILL contain glitches.  PERMISSIVE
+    parsing must surface the bad element as a null-id row (filterable /
+    quarantinable) while every well-formed sibling ingests normally —
+    a single bad record must never fail the distributed job."""
+    bad = tmp_path / "mixed.xml"
+    bad.write_text(
+        "<osm>\n"
+        '<changeset id="1" created_at="2024-05-01T00:00:00Z" open="false" num_changes="1"/>\n'
+        '<changeset id="not-a-number" created_at="also-not-a-date" open="maybe" num_changes="x"/>\n'
+        '<changeset id="3" created_at="2024-05-01T02:00:00Z" open="true" num_changes="3"/>\n'
+        "</osm>\n"
+    )
+    df = normalize_changesets(read_changeset_xml(spark, str(bad)))
+    rows = {r.id: r for r in df.collect()}
+    assert 1 in rows and 3 in rows  # good siblings unharmed
+    assert rows[3].open is True
+    bad_rows = [r for r in rows.values() if r.id is None]
+    assert len(bad_rows) == 1  # malformed element became a quarantinable row
+    assert bad_rows[0].created_at is None and bad_rows[0].open is None
+
+
 def test_bz2_input_reads_identically(spark, tmp_path):
     # S2: the reference needs the bz2file module for multi-stream dumps
     # (ref changesetmd.py:23-27, 241-246); Hadoop's Bzip2Codec reads them
