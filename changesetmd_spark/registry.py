@@ -44,6 +44,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         similarity,
+        sketches,
         skew,
         tags_json,
         text,
