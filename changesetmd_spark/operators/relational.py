@@ -534,3 +534,65 @@ def q_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("last_view", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (SURVEY §2.4 extension): wide<->long reshaping as native
+# relational ops.  Pivot with an EXPLICIT value list — at scale an implicit
+# pivot needs a distinct-scan planning pass AND yields nondeterministic
+# column order; explicit values keep the schema static and the plan
+# single-pass (groupBy + pivoted conditional aggregates).
+# ---------------------------------------------------------------------------
+@register(
+    "q_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "q_unpivot_quantity_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey % 1000 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price' AS measure,
+           CAST(l_extendedprice AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey % 1000 = 0
+    """,
+)
+def q_unpivot_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via native unpivot (Spark's melt): zero shuffles, one scan
+    emitting two rows per input — the inverse reshape of pivot."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 1000 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "price"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
