@@ -95,8 +95,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # warmup: start executors + codegen on a trivial plan
+    # warmup: start executors + codegen on a trivial plan, and spin up the
+    # Python worker pool (the pandas-stateful/mapInPandas queries otherwise
+    # pay daemon startup inside their measurement)
     qs["q_distinct_counts"](spark, SF_DIR).collect()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
 
     # measure ingest before the query gauntlet fragments the heap — the
     # rate is the headline comparison against the reference's 3.2-4.8k/s
