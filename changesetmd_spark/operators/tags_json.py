@@ -128,3 +128,30 @@ def q_map_explode_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag_key")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_json_typed_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 ``from_json`` with a declared schema → typed struct column (the
+    schema-on-read path; get_json_object covers the stringly path).  The
+    parse happens once per row into native columns, so downstream
+    aggregation is ordinary codegen arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json(F.col("props"), "k INT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+    )

@@ -170,3 +170,26 @@ def q_text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "q_text_quality_by_source",
+    oracle=r"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(length(text)), 4) AS avg_chars,
+           ROUND(AVG(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation rollup: per-(source, lang) volume and length stats —
+    the first thing a training-data pipeline reports per crawl source.
+    Map-side partial aggregation; one shuffle on the tiny key space."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+    )
