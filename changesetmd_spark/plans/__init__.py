@@ -2,6 +2,7 @@ from .inspect import (
     codegen_spans_noaqe,
     explain_str,
     has_broadcast_join,
+    partition_filters,
     pushed_filters,
     read_schema_columns,
     shuffle_count,
@@ -12,6 +13,7 @@ __all__ = [
     "codegen_spans_noaqe",
     "explain_str",
     "has_broadcast_join",
+    "partition_filters",
     "pushed_filters",
     "read_schema_columns",
     "shuffle_count",

@@ -51,6 +51,19 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
     return schemas
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Non-empty PartitionFilters entries — predicates resolved against the
+    partition directory layout, pruning whole partitions before any file
+    is opened (the created_idx replacement, SURVEY §4.2)."""
+    plan = explain_str(df)
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.append(entry)
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     plan = explain_str(df)
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

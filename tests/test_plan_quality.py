@@ -62,6 +62,29 @@ def test_hot_paths_stay_in_codegen(spark, sf_dir):
         assert codegen_spans_noaqe(spark, QS[name], spark, sf_dir) >= 1, name
 
 
+def test_date_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
+    """The ChangesetStore's partitionBy(created_date) layout (SURVEY §4.2:
+    the created_idx replacement) must turn date predicates into
+    PartitionFilters — whole directories skipped before any file opens."""
+    from pyspark.sql import functions as F
+
+    from changesetmd_spark.plans import partition_filters
+    from changesetmd_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    target = str(tmp_path / "events_by_date")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(target)
+
+    read = spark.read.parquet(target).filter(
+        F.col("event_date") == "2024-01-02"
+    )
+    pf = partition_filters(read)
+    assert pf and "event_date" in pf[0], pf
+    assert read.count() > 0
+
+
 def test_scan_prunes_unused_columns_everywhere(spark, sf_dir):
     """No scan in the core relational queries may read a column its query
     never references (documents.text is exempt where text IS the input)."""
