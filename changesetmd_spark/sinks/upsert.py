@@ -51,7 +51,7 @@ def upsert_parquet(
     spark: SparkSession,
     target_dir: str,
     batch: DataFrame,
-    key: str = "id",
+    key: str | list[str] = "id",
     order_col: str = "sequence",
 ) -> None:
     """MERGE ``batch`` into the parquet table at ``target_dir``:
@@ -63,12 +63,13 @@ def upsert_parquet(
     mid-write leaves the old table intact, mirroring the reference's
     single-transaction-per-file commit (ref changesetmd.py:123).
     """
-    incoming = latest_per_key(batch, key=key, order_col=order_col)
+    key_cols = [key] if isinstance(key, str) else list(key)
+    incoming = latest_per_key(batch, key=key_cols, order_col=order_col)
 
     if os.path.exists(target_dir):
         current = spark.read.parquet(target_dir)
-        keys = incoming.select(key).distinct()
-        kept = current.join(F.broadcast(keys), on=key, how="left_anti")
+        keys = incoming.select(*key_cols).distinct()
+        kept = current.join(F.broadcast(keys), on=key_cols, how="left_anti")
         new_state = kept.unionByName(incoming)
     else:
         new_state = incoming

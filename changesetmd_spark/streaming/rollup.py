@@ -1,0 +1,70 @@
+"""Continuous aggregate ("hypertable rollup") — an incrementally-maintained
+time-bucketed aggregate table over a stream.
+
+TimescaleDB-style continuous aggregates, Spark-first: the stream runs an
+update-mode windowed aggregation (watermark bounds the state store); every
+micro-batch emits the CURRENT totals for each window it touched, and
+``foreachBatch`` MERGEs those rows into a parquet rollup table keyed by
+(window_start, group key).  Late rows inside the watermark update their
+window's totals on the next batch; replay converges because the MERGE is
+last-write-wins by batch id (same mechanism as the replication sink, T4).
+
+Scale notes: the rollup table is tiny relative to the stream (one row per
+bucket×key), so the MERGE's broadcast-anti-join never shuffles history;
+aggregation state is bounded by watermark retention × |keys|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.upsert import upsert_parquet
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """The rollup definition: tumbling 1h window × event_type → count+sum."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_hourly_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Maintain the rollup table incrementally: one availableNow pass over
+    whatever new data the checkpoint hasn't seen, MERGE into ``rollup_dir``."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(
+            spark,
+            rollup_dir,
+            batch_df.withColumn("sequence", F.lit(batch_id).cast("long")),
+            key=["bucket_start", "event_type"],
+        )
+
+    q = (
+        hourly_event_rollup(events)
+        .writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
