@@ -42,6 +42,7 @@ def _load_all() -> None:
         dedup,
         geometry,
         multimodal,
+        rangejoin,
         relational,
         similarity,
         sketches,
