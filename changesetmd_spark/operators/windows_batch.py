@@ -16,7 +16,7 @@ aggregation order cannot change the result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import as_double
@@ -124,4 +124,36 @@ def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@register(
+    "q_window_trailing_hour_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                 2) AS DOUBLE) AS trailing_1h_sum
+    FROM events
+    """,
+)
+def q_window_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (§2.5): per-user trailing-1-hour sum — frame
+    bounds in event-time units, not row counts (rowsBetween is covered by
+    the running-total query).  Ordered by epoch seconds so Spark's
+    long-typed rangeBetween and DuckDB's RANGE ... PRECEDING agree exactly;
+    one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_1h_sum"),
     )
