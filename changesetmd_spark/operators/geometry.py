@@ -151,7 +151,8 @@ def q_bbox_area_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS ({_BBOX_SQL})
     SELECT COUNT(*) AS n_small,
-           SUM(CASE WHEN max_lat > 90 OR min_lat < -90 THEN 1 ELSE 0 END) AS n_clamped
+           CAST(SUM(CASE WHEN max_lat > 90 OR min_lat < -90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
     FROM b
     WHERE 6371000.0 * 6371000.0
           * ABS(radians(max_lon - min_lon))

@@ -217,7 +217,7 @@ def real_decode_stub(payload: bytes, mime_type: str) -> None:
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
            COUNT(*) AS n_items,
-           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
            MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
     FROM documents
     GROUP BY 1

@@ -436,9 +436,12 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            COUNT(*) AS n_parts,
-           SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS n_promo,
-           SUM(CASE WHEN p_type LIKE '%LARGE%' THEN 1 ELSE 0 END) AS n_large,
-           SUM(CASE WHEN p_name LIKE '%a' THEN 1 ELSE 0 END) AS n_name_suffix_a
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_promo,
+           CAST(SUM(CASE WHEN p_type LIKE '%LARGE%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large,
+           CAST(SUM(CASE WHEN p_name LIKE '%a' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_name_suffix_a
     FROM part
     GROUP BY p_brand
     """,

@@ -69,7 +69,7 @@ def q_map_key_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_value_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(SUM(CAST(props->>'$.k' AS BIGINT)) * 1.0 / COUNT(*), 4) AS avg_k,
            COUNT(*) AS n_events
     FROM events
@@ -135,7 +135,8 @@ def q_map_explode_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events
     GROUP BY event_type

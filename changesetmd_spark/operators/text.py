@@ -63,7 +63,8 @@ def quality_columns(text: Column) -> dict[str, Column]:
     oracle=r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS total_tokens,
            ROUND(SUM(len(regexp_extract_all(text, '\S+'))) * 1.0 / COUNT(*), 4)
              AS avg_tokens,
            MAX(len(regexp_extract_all(text, '\S+'))) AS max_tokens
