@@ -78,10 +78,20 @@ def xml_ingest_rate(spark, n: int = 200_000) -> dict:
                 f.write("</osm>\n")
         with open(marker, "w") as f:
             f.write("ok")
+    import shutil
+    import uuid
+
+    # Materialize via a real parquet write: a bare count() lets Catalyst
+    # prune the normalize projection away (measuring XML element counting,
+    # not ingest), and the reference's 3.2-4.8k/s includes the Postgres
+    # insert — parse + store is the apples-to-apples pipeline.
+    out_dir = f"/tmp/changesetmd_bench_out_{uuid.uuid4().hex}"
     t0 = time.perf_counter()
     parsed = normalize_changesets(read_changeset_xml(spark, dump_dir))
-    rows = parsed.count()
+    parsed.write.mode("overwrite").parquet(out_dir)
     dt = time.perf_counter() - t0
+    rows = spark.read.parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
     return {"changesets": rows, "sec": round(dt, 3), "rate_per_sec": round(rows / dt)}
 
 

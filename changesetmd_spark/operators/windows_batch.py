@@ -132,8 +132,8 @@ def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))
-                  OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
                  2) AS DOUBLE) AS trailing_1h_sum
     FROM events
     """,
@@ -141,14 +141,16 @@ def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (§2.5): per-user trailing-1-hour sum — frame
     bounds in event-time units, not row counts (rowsBetween is covered by
-    the running-total query).  Ordered by epoch seconds so Spark's
-    long-typed rangeBetween and DuckDB's RANGE ... PRECEDING agree exactly;
-    one shuffle on user_id."""
+    the running-total query).  The frame key is epoch MICROseconds on both
+    sides (Spark ``unix_micros`` / DuckDB ``epoch_us``): truncating to whole
+    seconds diverges from a fractional-seconds oracle whenever two events sit
+    exactly 3600 whole seconds apart with sub-second parts ordered the other
+    way.  One shuffle on user_id."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return events.select(
         "event_id",

@@ -7,15 +7,32 @@ is MERGE semantics expressed as set algebra over immutable columnar files:
 
     new_state = latest_per_key(batch)  ∪  (current ∖ batch.keys)
 
-computed with a window dedup + broadcast anti-join, written atomically via
-staging-directory swap (Delta Lake's MERGE would subsume the swap; plain
-parquet keeps this repo dependency-free and the algebra identical).
+computed with a window dedup + broadcast anti-join, applied **per partition**:
+the table is hive-partitioned by ``created_date`` (the layout ``bulk_load``
+writes, SURVEY §4.2's created_idx replacement) and a MERGE rewrites ONLY the
+partitions that contain batch keys — every other partition's files are left
+untouched, byte for byte.  This is the reference's true incremental semantics
+(delete+insert touches only the affected rows) at columnar scale: a minutely
+diff against a 100 TB store rewrites a handful of day-partitions, not the
+table.
 
-Scale notes (100 TB): the anti-join broadcasts only the *batch key set* (a
-minutely diff is thousands of ids — tiny), so the current table is never
-shuffled; the window dedup shuffles only the incoming batch on ``id``.  At
-real scale the store would be partitioned by ``date(created_at)`` (SURVEY
-§4.2) so the rewrite touches only partitions containing batch keys.
+Scale notes (100 TB):
+  * the anti-join broadcasts only the *batch key set* (a minutely diff is
+    thousands of ids — tiny), so current data is never shuffled;
+  * locating the partitions that hold batch keys is a column-pruned scan of
+    ``(key, partition_col)`` only — parquet reads two narrow columns;
+  * the rewrite reads back just the affected partitions (partition-pruned
+    scan) and swaps exactly those partition directories.
+
+Crash safety: each partition directory is replaced by rename after its
+replacement is fully staged.  A crash mid-swap leaves a prefix of partitions
+updated — and the store's watermark unadvanced, so the batch replays, which
+the idempotent MERGE absorbs (T4; the same contract as the reference's
+replayable diffs, ref README.md:59).
+
+Tables without a timestamp to partition on (``partition_source=None``) fall
+back to a whole-table rewrite with an atomic directory swap — correct for
+small stores like the streaming rollup table, never for the changeset table.
 """
 
 from __future__ import annotations
@@ -27,6 +44,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+PARTITION_COL = "created_date"
+PARTITION_SOURCE = "created_at"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 
 def latest_per_key(
     df: DataFrame, key: str | list[str] = "id", order_col: str = "sequence"
@@ -34,17 +55,76 @@ def latest_per_key(
     """Last-write-wins dedup: keep each key's row from the highest
     ``order_col`` (a changeset appears in many diffs as it evolves
     open→closed, T5; the reference overwrites the row each time it is seen,
-    ref changesetmd.py:105-106).  Ties broken deterministically by preferring
-    the row with the latest ``closed_at``-bearing content is unnecessary:
-    within one replication file an id appears at most once, so
-    (key, sequence) is unique."""
+    ref changesetmd.py:105-106).
+
+    Within one replication file an id normally appears once, but nothing
+    guarantees it — and the reference's sequential delete+insert keeps the
+    *last* occurrence deterministically.  ``row_number`` over the order col
+    alone would pick an arbitrary survivor on ties, so ties break on the more
+    evolved row (``closed_at`` present beats open, then more ``num_changes``)
+    and finally on a whole-row hash: a total order, so replaying the same
+    batch always keeps the same row."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    order = [F.col(order_col).desc()]
+    if "closed_at" in df.columns:
+        order.append(F.col("closed_at").desc_nulls_last())
+    if "num_changes" in df.columns:
+        order.append(F.col("num_changes").desc_nulls_last())
+    hashable = [
+        f.name for f in df.schema.fields if not _contains_map(f.dataType)
+    ]  # Spark prohibits hash functions over MAP (unordered ⇒ unstable hash)
+    if hashable:
+        order.append(F.xxhash64(*[F.col(c) for c in hashable]).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _contains_map(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _partition_dirs(target_dir: str, partition_col: str) -> list[str]:
+    return [
+        d
+        for d in os.listdir(target_dir)
+        if d.startswith(f"{partition_col}=")
+        and os.path.isdir(os.path.join(target_dir, d))
+    ]
+
+
+def _partition_dirname(partition_col: str, value) -> str:
+    return f"{partition_col}={_HIVE_NULL if value is None else value.isoformat()}"
+
+
+def _write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    (
+        df.sortWithinPartitions(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def _swap_dirs(target_dir: str, staging: str) -> None:
+    backup = f"{target_dir}.old-{uuid.uuid4().hex}"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, backup)
+        os.rename(staging, target_dir)
+        shutil.rmtree(backup)
+    else:
+        os.rename(staging, target_dir)
 
 
 def upsert_parquet(
@@ -53,19 +133,106 @@ def upsert_parquet(
     batch: DataFrame,
     key: str | list[str] = "id",
     order_col: str = "sequence",
+    partition_source: str | None = PARTITION_SOURCE,
+    partition_col: str = PARTITION_COL,
 ) -> None:
-    """MERGE ``batch`` into the parquet table at ``target_dir``:
-    batch rows replace current rows with the same key (delete+insert parity,
-    S6), applied idempotently — replaying the identical batch yields an
-    identical table (T4; proven by the replay test).
+    """MERGE ``batch`` into the parquet table at ``target_dir``: batch rows
+    replace current rows with the same key (delete+insert parity, S6),
+    applied idempotently — replaying the identical batch yields an identical
+    table (T4; proven by the replay test).
 
-    Atomicity: write to a staging dir, then swap directories — a crash
-    mid-write leaves the old table intact, mirroring the reference's
-    single-transaction-per-file commit (ref changesetmd.py:123).
+    With a ``partition_source`` timestamp column present, the table is kept
+    hive-partitioned on ``date(partition_source)`` and the MERGE rewrites
+    only the partitions containing batch keys; files of untouched partitions
+    are not rewritten.
     """
     key_cols = [key] if isinstance(key, str) else list(key)
     incoming = latest_per_key(batch, key=key_cols, order_col=order_col)
 
+    partitioned = partition_source is not None and partition_source in batch.columns
+    if not partitioned:
+        _upsert_full_rewrite(spark, target_dir, incoming, key_cols)
+        return
+    if partition_col not in incoming.columns:
+        incoming = incoming.withColumn(partition_col, F.to_date(partition_source))
+
+    if not os.path.exists(target_dir):
+        _write_partitioned(incoming, target_dir, partition_col)
+        return
+
+    if not _partition_dirs(target_dir, partition_col):
+        # Unpartitioned legacy layout: one-time migration into the canonical
+        # date-partitioned layout via full rewrite.
+        current = spark.read.parquet(target_dir)
+        if partition_col not in current.columns:
+            current = current.withColumn(partition_col, F.to_date(partition_source))
+        keys = incoming.select(*key_cols).distinct()
+        kept = current.join(F.broadcast(keys), on=key_cols, how="left_anti")
+        staging = f"{target_dir}.staging-{uuid.uuid4().hex}"
+        _write_partitioned(kept.unionByName(incoming), staging, partition_col)
+        _swap_dirs(target_dir, staging)
+        return
+
+    keys = incoming.select(*key_cols).distinct()
+    current = spark.read.parquet(target_dir)
+
+    # Partitions to rewrite: where a batch key currently lives (column-pruned
+    # scan of key + partition col only, broadcast semi-join — no shuffle of
+    # current data) ∪ where incoming rows land.  created_at is immutable for
+    # a changeset in practice, so the two sets normally coincide; computing
+    # both keeps a key whose date DID change from leaving a stale row behind.
+    hit = (
+        current.select(*key_cols, partition_col)
+        .join(F.broadcast(keys), on=key_cols, how="left_semi")
+        .select(partition_col)
+    )
+    affected = [
+        r[0]
+        for r in hit.union(incoming.select(partition_col)).distinct().collect()
+    ]
+    if not affected:
+        return
+
+    non_null = [d for d in affected if d is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(d is None for d in affected):
+        cond = cond | F.col(partition_col).isNull()
+
+    kept = current.filter(cond).join(
+        F.broadcast(keys), on=key_cols, how="left_anti"
+    )
+    new_state = kept.unionByName(incoming.select(*kept.columns))
+
+    staging = f"{target_dir}.staging-{uuid.uuid4().hex}"
+    _write_partitioned(new_state, staging, partition_col)
+
+    # Swap exactly the affected partition directories; an affected partition
+    # absent from staging lost all its rows (key moved dates) and is removed.
+    backups = []
+    for value in affected:
+        name = _partition_dirname(partition_col, value)
+        old = os.path.join(target_dir, name)
+        new = os.path.join(staging, name)
+        if os.path.exists(old):
+            bak = f"{old}.old-{uuid.uuid4().hex}"
+            os.rename(old, bak)
+            backups.append(bak)
+        if os.path.exists(new):
+            os.rename(new, os.path.join(target_dir, name))
+    for bak in backups:
+        shutil.rmtree(bak)
+    shutil.rmtree(staging)
+
+
+def _upsert_full_rewrite(
+    spark: SparkSession,
+    target_dir: str,
+    incoming: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Whole-table MERGE for unpartitionable (small) tables: anti-join keeps
+    + union + atomic directory swap — the round-1 shape, acceptable only
+    where the table is batch-sized (e.g. the continuous-aggregate rollup)."""
     if os.path.exists(target_dir):
         current = spark.read.parquet(target_dir)
         keys = incoming.select(*key_cols).distinct()
@@ -73,12 +240,6 @@ def upsert_parquet(
         new_state = kept.unionByName(incoming)
     else:
         new_state = incoming
-
     staging = f"{target_dir}.staging-{uuid.uuid4().hex}"
     new_state.write.mode("overwrite").parquet(staging)
-    backup = f"{target_dir}.old-{uuid.uuid4().hex}"
-    if os.path.exists(target_dir):
-        os.rename(target_dir, backup)
-    os.rename(staging, target_dir)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
+    _swap_dirs(target_dir, staging)

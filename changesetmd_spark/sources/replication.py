@@ -98,7 +98,17 @@ def urllib_fetcher(staging_dir: str, base_url: str = BASE_REPL_URL) -> Fetcher:
     def fetch(seq: int) -> str:
         dest = os.path.join(staging_dir, f"{seq:09d}.osm.gz")
         if not os.path.exists(dest):
-            urllib.request.urlretrieve(replication_url(seq, base_url), dest)
+            # Download to a temp path and rename into place only on success,
+            # so the existence check above always implies a COMPLETE file —
+            # a crash mid-download must not leave a truncated .osm.gz that
+            # every later run silently reuses.
+            tmp = f"{dest}.part-{os.getpid()}"
+            try:
+                urllib.request.urlretrieve(replication_url(seq, base_url), tmp)
+                os.rename(tmp, dest)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         return dest
 
     return fetch

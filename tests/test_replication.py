@@ -142,6 +142,75 @@ def test_latest_per_key_window(spark):
     assert got == [(1, 12, "b"), (2, 11, "c")]
 
 
+def test_latest_per_key_tiebreak_deterministic(spark):
+    """An id appearing twice within ONE diff (same sequence) must resolve
+    deterministically to the more evolved row — the reference's sequential
+    delete+insert keeps the later (closed) occurrence."""
+    import datetime as dt
+
+    rows = [
+        (7, 101, None, 1),                                   # open version
+        (7, 101, dt.datetime(2024, 5, 1, 1, 30), 5),         # closed version
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, sequence long, closed_at timestamp_ntz, num_changes int"
+    )
+    for _ in range(3):  # stable across repeated evaluation
+        got = latest_per_key(df).collect()
+        assert len(got) == 1
+        assert got[0].num_changes == 5 and got[0].closed_at is not None
+
+
+def test_bulk_load_then_replicate_prunes_partitions(
+    spark, tmp_path, fixture_fetcher
+):
+    """The reference's core workflow (-f bulk load, then -r replication,
+    ref §3.1→§3.2) as one flow: the MERGE must accept the partitioned layout
+    bulk_load wrote (round-1 bug: AnalysisException on the created_date
+    column), keep the table partitioned, and rewrite ONLY partitions touched
+    by the batch — the bulk-loaded 2014 partition's files stay byte-identical
+    (the delete+insert touches only affected rows, ref changesetmd.py:71-76).
+    """
+    import os
+
+    from tests.test_ingest import FIXTURE
+
+    store = ChangesetStore(spark, str(tmp_path / "store"))
+    store.create()
+    assert store.bulk_load(FIXTURE, start_sequence=100) == 4
+
+    def part_files(name):
+        d = os.path.join(store.table_dir, name)
+        return {
+            f: (os.stat(os.path.join(d, f)).st_mtime_ns, os.stat(os.path.join(d, f)).st_ino)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = part_files("created_date=2014-03-01")
+    assert before, "bulk load must produce the 2014 partition"
+
+    # diffs are all dated 2024-05-01 → only that partition may be (re)written
+    assert store.replicate(103, fixture_fetcher) == 3
+    assert part_files("created_date=2014-03-01") == before
+
+    parts = sorted(
+        d for d in os.listdir(store.table_dir) if d.startswith("created_date=")
+    )
+    assert parts == ["created_date=2014-03-01", "created_date=2024-05-01"]
+
+    rows = _state_rows(store)
+    assert [r[0] for r in rows if r[0] in (7, 8, 9)] == [7, 8, 9]
+    assert len(rows) == 7  # 4 bulk + 3 replicated
+
+    # MERGE an update to an EXISTING 2024 key: 2014 partition still untouched
+    assert store.state()["last_sequence"] == 103
+    store._write_state(101, None)
+    store.replicate(102, fixture_fetcher)
+    assert part_files("created_date=2014-03-01") == before
+    assert len(_state_rows(store)) == 7
+
+
 def test_bulk_load_partitioned_by_date(spark, tmp_path):
     import os
 
