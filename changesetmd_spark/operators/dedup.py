@@ -288,6 +288,58 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_neardup_verify_jaccard",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS doc_id_1,
+           b.doc_id AS doc_id_2,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             AS jaccard,
+           len(list_intersect(a.sh, b.sh)) * 1.0
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+             AS is_duplicate
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_neardup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-verify stage of the MinHash-LSH pipeline, isolated over a
+    deterministic candidate set so it is driver-hash-checkable (the LSH
+    *candidate generation* is xxhash64-specific and stays rows-only; this
+    pins the math that decides a candidate's fate).  Candidates here are
+    consecutive doc_ids; the verify computes exact word-3-gram Jaccard and
+    flags pairs at the pipeline's ≥ 0.5 dedup threshold."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    b = docs.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
+    jac = inter * 1.0 / union
+    return (
+        a.join(b, F.col("doc_id_2") == F.col("doc_id_1") + 1)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jac, 4).alias("jaccard"),
+            (jac >= 0.5).alias("is_duplicate"),
+        )
+    )
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash of a token array, native expressions only.
 
@@ -316,12 +368,80 @@ def simhash64(tokens: Column) -> Column:
     return out
 
 
+def simhash_band_pairs(
+    signatures: DataFrame,
+    max_distance: int = 8,
+    id_col: str = "doc_id",
+    sim_col: str = "sim",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """All (id_1, id_2, hamming) pairs at Hamming distance ≤ ``max_distance``
+    from a (id, 64-bit simhash) frame — via banding, never all-pairs.
+
+    Exactness by pigeonhole: split the 64 bits into ``max_distance + 1``
+    disjoint bands — at most ``max_distance`` bands can contain a differing
+    bit, so every qualifying pair agrees exactly on ≥ 1 band.  Candidates are
+    an equi-join on (band, band value); a Hamming verify on the carried
+    signatures discards false positives.  The Manku/Jain/Sarma web-crawl
+    design is the ``max_distance=3`` instance (4 bands × 16 bits).
+
+    Scale: shuffle carries only (id, band-key long, sig long); candidate
+    volume per band bucket is quadratic in bucket size, and band keys have
+    ``2^(64/(d+1))`` possible values — wider tolerances mean coarser bands
+    (d=8 → 7-bit bands → 128 buckets/band), so for large corpora either keep
+    d small (d=3's 65 536 buckets/band) or pass ``bucket_cap`` to drop
+    degenerate buckets like the MinHash-LSH path (documented recall cost:
+    a capped bucket's pairs are found only via their other, smaller bands).
+    """
+    n_bands = max_distance + 1
+    band_bits = 64 // n_bands  # bits [n_bands*band_bits, 64) ride in no band,
+    # which only *reduces* the number of dirty bands — exactness holds.
+    mask = (1 << band_bits) - 1
+    sim = F.col(sim_col)
+    keys = F.array(
+        *[
+            # one long key per band: band index in the high bits, slice low
+            F.shiftright(sim, i * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .bitwiseOR(F.lit((i + 1) << band_bits))
+            for i in range(n_bands)
+        ]
+    )
+    bucketed = signatures.select(
+        F.col(id_col), sim.alias("_sim"), F.explode(keys).alias("_band")
+    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        bucketed = (
+            bucketed.withColumn(
+                "_cnt", F.count("*").over(Window.partitionBy("_band"))
+            )
+            .filter(F.col("_cnt") <= bucket_cap)
+            .drop("_cnt")
+        )
+    hamming = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    return (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "_band")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_1"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()  # a pair can agree on several bands
+    )
+
+
 @register("q_simhash_near_dup")  # no oracle: xxhash64 is Spark-specific
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 8, candidate-limited by
-    banding the 64-bit signature into 4x16-bit keys (a pair within distance 8
-    shares at least one exact 16-bit band only heuristically; for the bounded
-    candidate set here we join on doc_id % 5 like the Jaccard oracle)."""
+    """SimHash near-dup pairs at Hamming distance ≤ 8 over the sampled
+    corpus, found via pigeonhole-exact 9-band × 7-bit bucketing
+    (:func:`simhash_band_pairs`) — an equi-join on band keys, NOT the
+    round-1 broadcast nested-loop all-pairs join.  Equivalence to the
+    all-pairs formulation is pinned by pytest (test_dedup_lsh.py)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
@@ -332,12 +452,4 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    a = docs.select(F.col("doc_id").alias("doc_id_1"), F.col("sim").alias("sim1"))
-    b = docs.select(F.col("doc_id").alias("doc_id_2"), F.col("sim").alias("sim2"))
-    hamming = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
-    return (
-        a.join(F.broadcast(b), F.col("doc_id_1") < F.col("doc_id_2"))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 8)
-        .select("doc_id_1", "doc_id_2", "hamming")
-    )
+    return simhash_band_pairs(docs, max_distance=8)

@@ -203,6 +203,74 @@ def q_embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_verify_rerank",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),
+                                              i -> q.e[i] * c.e[i]),
+                               (a, b) -> a + b) / (q.nrm * c.nrm), 5) AS cosine_sim
+      FROM n q JOIN n c ON q.vec_id < {_N_QUERIES}
+                       AND c.label = q.label AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_ann_verify_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact re-rank stage of the ANN pipelines, isolated over a
+    deterministic candidate set so it is driver-hash-checkable (bucket
+    membership in the LSH/IVF paths depends on engine-specific hashing and
+    stays rows-only; this pins the scoring + top-k math those pipelines end
+    with).  Candidates = vectors sharing the query's label — exactly the
+    IVF verify with the label as the coarse cell and n_probe=1."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    sim = cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"))
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 5).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
 @register("q_embedding_ann_lsh")  # no oracle: LSH recall pinned by pytest
 def q_embedding_ann_lsh(
     spark: SparkSession, sf_dir: str, n_tables: int = 4, n_planes: int = 5

@@ -51,7 +51,7 @@ def _load_all() -> None:
         text,
         windows_batch,
     )
-    from .streaming import events_stream, stateful  # noqa: F401
+    from .streaming import events_stream, rollup, stateful  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -16,9 +16,13 @@ aggregation state is bounded by watermark retention × |keys|.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import register
 from ..sinks.upsert import upsert_parquet
 
 
@@ -68,3 +72,44 @@ def run_hourly_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "q_stream_rollup_hourly",
+    oracle="""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start_s,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous aggregate end-to-end through the driver contract:
+    run the streaming rollup (availableNow over the staged file source,
+    foreachBatch MERGE into a parquet rollup table), then read the TABLE
+    back — hash-checked against the batch aggregate it must converge to.
+    This is the rollup's at-rest state being verified, not a transient
+    query result."""
+    from .events_stream import stream_events
+
+    base = f"/tmp/changesetmd_rollup_q_{uuid.uuid4().hex}"
+    rollup_dir = os.path.join(base, "rollup")
+    run_hourly_rollup(
+        spark,
+        stream_events(spark, sf_dir),
+        rollup_dir,
+        os.path.join(base, "checkpoint"),
+    )
+    roll = spark.read.parquet(rollup_dir)
+    return roll.select(
+        F.date_format("bucket_start", _TS).alias("bucket_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

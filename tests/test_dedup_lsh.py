@@ -43,6 +43,37 @@ def test_lsh_recovers_high_jaccard_pairs(spark, sf_dir):
     assert _brute_force_pairs(spark, sf_dir, 0.7) <= lsh
 
 
+def test_simhash_banding_equals_all_pairs(spark, sf_dir):
+    """The banded candidate generation is pigeonhole-EXACT for d ≤ 8 (9
+    disjoint bands; ≤ 8 differing bits dirty ≤ 8 of them), so it must return
+    precisely the pairs a brute-force all-pairs Hamming scan returns — and
+    without a BroadcastNestedLoopJoin anywhere in its plan."""
+    from changesetmd_spark.operators.dedup import simhash64, simhash_band_pairs
+    from changesetmd_spark.plans.inspect import explain_str
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        simhash64(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+            "sim"
+        ),
+    )
+    banded = simhash_band_pairs(docs, max_distance=8)
+    assert "BroadcastNestedLoopJoin" not in explain_str(banded)
+    got = {(r.doc_id_1, r.doc_id_2, r.hamming) for r in banded.collect()}
+
+    a = docs.select(F.col("doc_id").alias("d1"), F.col("sim").alias("s1"))
+    b = docs.select(F.col("doc_id").alias("d2"), F.col("sim").alias("s2"))
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    want = {
+        (r.d1, r.d2, r.h)
+        for r in a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("h"))
+        .filter(F.col("h") <= 8)
+        .collect()
+    }
+    assert got == want
+
+
 def test_minhash_signature_properties(spark):
     df = spark.createDataFrame(
         [
