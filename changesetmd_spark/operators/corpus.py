@@ -1,0 +1,379 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY §2.11
+extension surface, beyond the E1-E4 baseline): relevance scoring (BM25 /
+TF-IDF), deterministic train/test splitting, per-source quota sampling, and
+connected-component dedup groups.
+
+All are [extension] operators (no reference citation by definition — the
+reference delegates its query surface to Postgres, ref README.md:106-124);
+each is hash-checked against a DuckDB oracle, including the *iterative*
+connected-components operator (recursive CTE oracle).
+
+Scale notes are per-operator; the common theme is: score with array
+expressions instead of explode where the term set is fixed (no shuffle),
+explode into an inverted index where it is not (shuffle carries (token,
+doc_id) longs), and keep every global constant (N, avgdl) a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .dedup import word_shingles
+
+# Fixed keyword-query for the BM25 entry (deterministic; the corpus draws
+# from a small synthetic vocabulary, see TESTDATA.md).
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_TOP_K = 10
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased — the shared tokenizer of text.py
+    (token_count) and the DuckDB oracles (string_split_regex)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def _bm25_oracle() -> str:
+    """The oracle is generated from the same term list as the Spark side so
+    the two can never drift.  The per-term score sum is written as an
+    explicit fixed-order expression (term0 + term1 + term2), NOT SUM() over
+    rows — double addition is not associative and a GROUP BY's fold order is
+    engine-dependent."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    score = " + ".join(
+        f"(ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({_BM25_K1} + 1) / (tf_{i} + {norm}))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d
+    ), g AS (
+      SELECT {df_cols} FROM t
+    )
+    SELECT doc_id, ROUND({score}, 4) AS bm25
+    FROM t CROSS JOIN s CROSS JOIN g
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_TOP_K}
+    """
+
+
+@register("q_bm25_keyword_search", oracle=_bm25_oracle())
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75) for a fixed term set, top-10.
+
+    Scale shape: the term set is FIXED, so term frequencies are per-row
+    array expressions (``size(filter(toks, ...))``) — no explode, no
+    inverted-index shuffle, the whole score is one codegen projection.  The
+    corpus constants (N, avgdl, per-term document frequencies) reduce to a
+    single 1-row aggregate that is broadcast back; top-k is a TakeOrdered,
+    not a global sort.  Per-term scores are added in fixed textual order on
+    both engines because double addition is order-sensitive."""
+    def _eq(term: str):
+        # arity matters: a (x, term=...) default-arg lambda would be read by
+        # PySpark's HOF inference as the 2-arg (element, index) form
+        return lambda x: x == F.lit(term)
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        *[
+            F.size(F.filter(tokens(F.col("text")), _eq(term))).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    norm = _BM25_K1 * (1 - _BM25_B) + F.lit(_BM25_B * _BM25_K1) * F.col(
+        "dl"
+    ) / F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        part = idf * F.col(f"tf_{i}") * (_BM25_K1 + 1) / (F.col(f"tf_{i}") + norm)
+        score = part if score is None else score + part
+    matched = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    return (
+        t.crossJoin(F.broadcast(stats))
+        .filter(matched > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_TOP_K)
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, lang, unnest(toks) AS term FROM d
+    ), n AS (SELECT COUNT(*) AS n FROM d),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM ex GROUP BY lang, term)
+    SELECT lang, term,
+           ROUND(tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY ROUND(tf * ln(n.n * 1.0 / df.df), 4)
+                                          DESC, term) <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per language — the inverted-index shape (contrast
+    with BM25's fixed-term projection): explode to (doc, lang, term)
+    postings, aggregate tf and df, score, per-group top-k.
+
+    Scale shape: the explode shuffles (term, doc_id) pairs once for the df
+    aggregate and (lang, term) once for tf — both partial-aggregated
+    map-side; the df table joins term-to-term (no broadcast needed, it is
+    the same shuffle key).  tf is an exact integer and idf a single ln, so
+    the score is deterministic (no float-sum ordering)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    ex = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).persist()
+    # corpus size as a broadcast 1-row frame, not an eager driver action
+    n_df = docs.agg(F.count("*").alias("n"))
+    df_t = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = ex.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "term", "tfidf")
+    )
+    return out
+
+
+@register(
+    "q_train_test_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test assignment by content-free key hash
+    (md5 of the doc id: stable across runs, engines, and partitionings —
+    the property a reproducible pipeline needs; first hex byte < 0xcc keeps
+    204/256 ≈ 79.7%).  Pure projection + aggregate: no shuffle beyond the
+    final small groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
+    )
+    split = F.when(bucket < "cc", "train").otherwise("test")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_source_quota_sample",
+    oracle="""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (corpus balancing): keep the 5 longest
+    documents per source, deterministic tie-break on doc_id.  One shuffle on
+    ``source``; at 100 TB a skewed source is bounded by the quota itself
+    (rank ≤ 5 terminates the per-group scan under Spark's window TopK
+    optimization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+# --- connected-component dedup groups --------------------------------------
+
+_CC_JACCARD = 0.3
+# deterministic candidate edges: id-distance 1 and 2 (chains make components
+# non-trivial while keeping the oracle's recursive closure tractable)
+_CC_DISTANCES = (1, 2)
+
+
+def _cc_edges_sql() -> str:
+    dist = ", ".join(str(d) for d in _CC_DISTANCES)
+    # WITH RECURSIVE up front covers the `walk` CTE appended by the caller
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    ), e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM s a JOIN s b ON b.doc_id - a.doc_id IN ({dist})
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {_CC_JACCARD}
+    )
+    """
+
+
+@register(
+    "q_dedup_groups",
+    oracle=_cc_edges_sql()
+    + """
+    , und AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), nodes AS (
+      SELECT doc_id FROM s
+    ), walk AS (
+      SELECT doc_id, doc_id AS reach FROM nodes
+      UNION
+      SELECT w.doc_id, u.b AS reach
+      FROM walk w JOIN und u ON u.a = w.reach
+    ), comp AS (
+      SELECT doc_id, MIN(reach) AS component FROM walk GROUP BY doc_id
+    )
+    SELECT component,
+           COUNT(*) AS group_size,
+           MIN(doc_id) AS keep_doc_id
+    FROM comp
+    GROUP BY component
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup groups: near-dup pairs form edges; each
+    component keeps one canonical document (its minimum doc_id) — the
+    transitive-closure step every large-scale dedup pipeline ends with
+    (pairwise ≥ threshold is not transitive, so groups need components).
+
+    Spark side: iterative min-label propagation with pointer jumping —
+    labels converge in O(log diameter) rounds; each round is one join +
+    min-aggregate on (node, label) pairs, persisted so branches don't
+    recompute.  The oracle computes the same components with a recursive
+    CTE (full reachability closure, tractable on the deterministic
+    candidate edge set).  This is the engine's iterative-algorithm shape:
+    a driver loop over DataFrames with a convergence check, not a UDF."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .persist()
+    )
+    a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh1"))
+    b = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh2"))
+    cond = F.col("b") - F.col("a")
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
+    edges = (
+        a.join(b, cond.isin(list(_CC_DISTANCES)))
+        .filter(inter * 1.0 / union >= _CC_JACCARD)
+        .select("a", "b")
+    )
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.persist()
+
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("comp")).persist()
+    for _ in range(50):  # converges in O(log diameter); 50 is a safety bound
+        nbr = (
+            und.join(labels, und.a == labels.doc_id)
+            .select(F.col("b").alias("doc_id"), "comp")
+        )
+        relabeled = (
+            labels.select("doc_id", "comp")
+            .union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: follow comp -> comp's own label (halves chains)
+        ptr = relabeled.select(
+            F.col("doc_id").alias("p_doc"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            relabeled.join(ptr, relabeled.comp == ptr.p_doc)
+            .select("doc_id", F.least("comp", "p_comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy(F.col("comp").alias("component"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+    return out

@@ -78,7 +78,9 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, batch_budget_bytes: int = 64 << 20) -> DataFrame:
+def decode_media(
+    df: DataFrame, batch_budget_bytes: int | None = None
+) -> DataFrame:
     """Decode/feature-extract stage as Arrow-batched ``mapInPandas``.
 
     The actual codec call is stubbed (no image/audio libs in this container)
@@ -86,6 +88,11 @@ def decode_media(df: DataFrame, batch_budget_bytes: int = 64 << 20) -> DataFrame
     feature hash from the payload bytes.  Swap ``_fake_decode`` for a real
     decoder (PIL/av/torchaudio) in production — the Spark contract
     (schema, batching, partitioning) is unchanged.
+
+    ``batch_budget_bytes`` opts into byte-budget repartitioning for inputs
+    whose partitioning ignores payload size (it costs one eager metadata
+    aggregate, so it is NOT on by default — a well-partitioned source, e.g.
+    parquet sized by ``spark.sql.files.maxPartitionBytes``, doesn't need it).
     """
 
     def _fake_decode(payload: bytes | None) -> tuple[int, int, int, int]:
@@ -118,7 +125,7 @@ def decode_media(df: DataFrame, batch_budget_bytes: int = 64 << 20) -> DataFrame
     # of magnitude, and a decode task must fit its Arrow batch in executor
     # memory.  The sizing aggregate reads only the n_bytes metadata column
     # (column pruning keeps the payload out of the scan).
-    if "n_bytes" in df.columns:
+    if batch_budget_bytes is not None and "n_bytes" in df.columns:
         import math
 
         total = df.agg(F.sum("n_bytes")).first()[0] or 0

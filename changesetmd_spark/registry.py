@@ -39,6 +39,7 @@ def _load_all() -> None:
     # import for registration side effects; keep cheap (no Spark work at import)
     from .operators import (  # noqa: F401
         changesets,
+        corpus,
         dedup,
         geometry,
         multimodal,
@@ -51,7 +52,7 @@ def _load_all() -> None:
         text,
         windows_batch,
     )
-    from .streaming import events_stream, rollup, stateful  # noqa: F401
+    from .streaming import events_stream, joins, rollup, stateful  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

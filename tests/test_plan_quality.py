@@ -57,6 +57,31 @@ def test_upsert_dedup_shuffles_once(spark, sf_dir):
     assert shuffle_count(df) == 1  # exactly the window partitionBy
 
 
+def test_bm25_is_projection_shaped(spark, sf_dir):
+    """Fixed-term BM25 must not explode or build an inverted index: term
+    frequencies are array expressions, corpus stats a broadcast 1-row agg —
+    at most one exchange end-to-end, and the scan reads only (doc_id, text)."""
+    df = QS["q_bm25_keyword_search"](spark, sf_dir)
+    assert shuffle_count(df) <= 1, shuffle_count(df)
+    assert has_broadcast_join(df)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_quota_sample_single_window_shuffle(spark, sf_dir):
+    df = QS["q_source_quota_sample"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # the source window, nothing else
+    (cols,) = read_schema_columns(df)
+    assert cols == {"source", "doc_id", "n_chars"}
+
+
+def test_train_test_split_single_agg_shuffle(spark, sf_dir):
+    df = QS["q_train_test_split"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # the final groupBy only
+    (cols,) = read_schema_columns(df)
+    assert "text" not in cols  # hash key is the id, not content
+
+
 def test_hot_paths_stay_in_codegen(spark, sf_dir):
     for name in ["q1_pricing_summary", "q5_revenue_by_nation", "q_dedup_exact"]:
         assert codegen_spans_noaqe(spark, QS[name], spark, sf_dir) >= 1, name
