@@ -1,4 +1,9 @@
-from .upsert import latest_per_key, upsert_parquet
+from .upsert import ConcurrentUpsertError, latest_per_key, upsert_parquet
 from .store import ChangesetStore
 
-__all__ = ["latest_per_key", "upsert_parquet", "ChangesetStore"]
+__all__ = [
+    "ConcurrentUpsertError",
+    "latest_per_key",
+    "upsert_parquet",
+    "ChangesetStore",
+]

@@ -24,11 +24,27 @@ Scale notes (100 TB):
   * the rewrite reads back just the affected partitions (partition-pruned
     scan) and swaps exactly those partition directories.
 
-Crash safety: each partition directory is replaced by rename after its
-replacement is fully staged.  A crash mid-swap leaves a prefix of partitions
-updated — and the store's watermark unadvanced, so the batch replays, which
-the idempotent MERGE absorbs (T4; the same contract as the reference's
-replayable diffs, ref README.md:59).
+Crash safety: all scratch state (staging writes AND pre-swap backups) lives
+in *sibling* directories of the target (``{target}.staging-*``,
+``{target}.bak-*``, ``{target}.old-*``) — never inside it, so Spark
+partition discovery on a replay can never parse leftover scratch as data.
+``upsert_parquet`` starts by recovering from any interrupted predecessor:
+a partition (or the whole table) that was moved out to a backup but whose
+replacement never landed is renamed back, then every remaining scratch
+sibling is swept.  After recovery the table holds either the pre-batch or
+the post-batch rows for each partition — and the store's watermark is
+unadvanced, so the batch replays, which the idempotent MERGE absorbs (T4;
+the same contract as the reference's replayable diffs, ref README.md:59).
+
+Concurrency: the reference takes an exclusive NOWAIT lock on the state
+table and bails if another run is live (ref changesetmd.py:140-143,
+153-159).  ``upsert_parquet`` mirrors that with an exclusive lock file
+(``{target}.lock``, O_CREAT|O_EXCL): a second concurrent upsert against the
+same target raises :class:`ConcurrentUpsertError` immediately.  A lock left
+by a *crashed* process (recorded pid no longer alive) is stolen, matching
+the reference's session-scoped lock that dies with its holder.  Single-host
+semantics by design — a multi-writer cluster deployment would front this
+with a transactional table format (Delta/Iceberg) instead.
 
 Tables without a timestamp to partition on (``partition_source=None``) fall
 back to a whole-table rewrite with an atomic directory swap — correct for
@@ -47,6 +63,126 @@ from pyspark.sql import functions as F
 PARTITION_COL = "created_date"
 PARTITION_SOURCE = "created_at"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentUpsertError(RuntimeError):
+    """Another upsert holds the exclusive lock on this target (parity with
+    the reference's LOCK ... ACCESS EXCLUSIVE NOWAIT bail-out, ref
+    changesetmd.py:140-143)."""
+
+
+def _lock_path(target_dir: str) -> str:
+    return f"{os.path.abspath(target_dir)}.lock"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _acquire_lock(target_dir: str) -> str:
+    path = _lock_path(target_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    for attempt in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    holder = int(fh.read().strip() or "-1")
+            except (OSError, ValueError):
+                holder = -1
+            if attempt == 0 and holder != -1 and not _pid_alive(holder):
+                # crashed holder: steal the stale lock and retry once
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentUpsertError(
+                f"upsert already in progress on {target_dir!r} "
+                f"(lock {path}, holder pid {holder})"
+            ) from None
+    raise ConcurrentUpsertError(f"could not acquire lock {path}")  # pragma: no cover
+
+
+def _release_lock(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:  # pragma: no cover
+        pass
+
+
+def _scratch_siblings(target_dir: str) -> list[str]:
+    target_dir = os.path.abspath(target_dir)
+    parent, base = os.path.dirname(target_dir), os.path.basename(target_dir)
+    if not os.path.isdir(parent):
+        return []
+    out = []
+    for d in os.listdir(parent):
+        for marker in (".staging-", ".bak-", ".old-"):
+            if d.startswith(base + marker):
+                out.append(os.path.join(parent, d))
+                break
+    return sorted(out)
+
+
+def _recover_and_sweep(target_dir: str, partition_col: str) -> None:
+    """Undo any interrupted predecessor's swap, then remove its scratch.
+
+    Invariants restored: every partition (and the table root) exists exactly
+    once under its canonical name; no ``.staging-* / .bak-* / .old-*``
+    scratch survives, either as a sibling of the target or (legacy layout)
+    inside it."""
+    target_dir = os.path.abspath(target_dir)
+    scratch = _scratch_siblings(target_dir)
+
+    # Whole-dir swap crashed between rename(target→old) and
+    # rename(staging→target): the newest .old- backup IS the table.
+    if not os.path.exists(target_dir):
+        olds = [d for d in scratch if f"{os.path.basename(target_dir)}.old-" in os.path.basename(d)]
+        if olds:
+            os.rename(olds[-1], target_dir)
+            scratch = [d for d in scratch if d != olds[-1]]
+
+    # Partition swap crashed mid-loop: restore any partition that was moved
+    # out to a .bak- root but whose replacement never landed.
+    if os.path.isdir(target_dir):
+        for d in scratch:
+            if ".bak-" not in os.path.basename(d) or not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                dst = os.path.join(target_dir, name)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(d, name), dst)
+
+        # Legacy (pre-round-3) layout staged backups INSIDE target_dir as
+        # '<partition>.old-<uuid>'; restore if the partition is gone, else drop.
+        for name in os.listdir(target_dir):
+            if ".old-" not in name:
+                continue
+            path = os.path.join(target_dir, name)
+            canonical = os.path.join(target_dir, name.split(".old-")[0])
+            if not os.path.exists(canonical):
+                os.rename(path, canonical)
+            elif os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.unlink(path)
+
+    for d in scratch:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        elif os.path.exists(d):
+            os.unlink(d)
 
 
 def latest_per_key(
@@ -146,6 +282,25 @@ def upsert_parquet(
     only the partitions containing batch keys; files of untouched partitions
     are not rewritten.
     """
+    lock = _acquire_lock(target_dir)
+    try:
+        _recover_and_sweep(target_dir, partition_col)
+        _upsert_parquet_locked(
+            spark, target_dir, batch, key, order_col, partition_source, partition_col
+        )
+    finally:
+        _release_lock(lock)
+
+
+def _upsert_parquet_locked(
+    spark: SparkSession,
+    target_dir: str,
+    batch: DataFrame,
+    key: str | list[str],
+    order_col: str,
+    partition_source: str | None,
+    partition_col: str,
+) -> None:
     key_cols = [key] if isinstance(key, str) else list(key)
     incoming = latest_per_key(batch, key=key_cols, order_col=order_col)
 
@@ -208,19 +363,21 @@ def upsert_parquet(
 
     # Swap exactly the affected partition directories; an affected partition
     # absent from staging lost all its rows (key moved dates) and is removed.
-    backups = []
+    # Backups are staged in a SIBLING root (never inside target_dir, where
+    # partition discovery would read them as data); per partition the order
+    # is move-out-then-move-in, so _recover_and_sweep can always restore a
+    # partition whose replacement never landed.
+    bak_root = f"{target_dir}.bak-{uuid.uuid4().hex}"
+    os.makedirs(bak_root)
     for value in affected:
         name = _partition_dirname(partition_col, value)
         old = os.path.join(target_dir, name)
         new = os.path.join(staging, name)
         if os.path.exists(old):
-            bak = f"{old}.old-{uuid.uuid4().hex}"
-            os.rename(old, bak)
-            backups.append(bak)
+            os.rename(old, os.path.join(bak_root, name))
         if os.path.exists(new):
             os.rename(new, os.path.join(target_dir, name))
-    for bak in backups:
-        shutil.rmtree(bak)
+    shutil.rmtree(bak_root)
     shutil.rmtree(staging)
 
 

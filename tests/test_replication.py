@@ -224,3 +224,120 @@ def test_bulk_load_partitioned_by_date(spark, tmp_path):
     parts = [d for d in os.listdir(store.table_dir) if d.startswith("created_date=")]
     assert parts == ["created_date=2014-03-01"]
     assert store.state()["last_sequence"] == 0
+
+
+# ---------------------------------------------------------------------------
+# concurrency guard + crash recovery (ref changesetmd.py:140-143 lock parity)
+# ---------------------------------------------------------------------------
+
+
+def _mini_batch(spark, ids, seq=100, day=1):
+    import datetime as dt
+
+    rows = [(i, seq, dt.datetime(2024, 5, day, 12, 0), f"v{seq}") for i in ids]
+    return spark.createDataFrame(
+        rows, "id long, sequence long, created_at timestamp_ntz, v string"
+    )
+
+
+def _table_rows(spark, path):
+    df = spark.read.parquet(path)
+    return sorted((r.id, r.sequence, r.v) for r in df.collect())
+
+
+def test_concurrent_upsert_fails_fast(spark, tmp_path):
+    """A second upsert against a locked target must bail immediately, like
+    the reference's NOWAIT exclusive lock (ref changesetmd.py:140-143)."""
+    import os
+
+    import pytest
+
+    from changesetmd_spark.sinks import ConcurrentUpsertError, upsert_parquet
+    from changesetmd_spark.sinks.upsert import _lock_path
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(spark, target, _mini_batch(spark, [1, 2]))
+
+    # simulate a live concurrent holder: our own (alive) pid in the lock
+    lock = _lock_path(target)
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
+    with pytest.raises(ConcurrentUpsertError):
+        upsert_parquet(spark, target, _mini_batch(spark, [3], seq=101))
+    os.unlink(lock)
+
+    # a stale lock (dead pid) is stolen and the upsert proceeds
+    with open(lock, "w") as fh:
+        fh.write("999999999")
+    upsert_parquet(spark, target, _mini_batch(spark, [3], seq=101))
+    assert not os.path.exists(lock)
+    assert [i for i, _, _ in _table_rows(spark, target)] == [1, 2, 3]
+
+
+def test_recovery_restores_partition_moved_to_backup(spark, tmp_path):
+    """Crash window: a partition was moved out to the sibling .bak- root but
+    its replacement never landed.  The next upsert must restore it — no rows
+    lost — before applying its own batch."""
+    import os
+
+    from changesetmd_spark.sinks import upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(spark, target, _mini_batch(spark, [1, 2], day=1))
+    upsert_parquet(spark, target, _mini_batch(spark, [10], day=2))
+
+    # simulate the crash: day-2 partition sits in a .bak- root, gone from table
+    bak = target + ".bak-deadbeef"
+    os.makedirs(bak)
+    os.rename(
+        os.path.join(target, "created_date=2024-05-02"),
+        os.path.join(bak, "created_date=2024-05-02"),
+    )
+    # plus an orphan staging dir from the dead run
+    os.makedirs(target + ".staging-deadbeef")
+
+    upsert_parquet(spark, target, _mini_batch(spark, [1], seq=105, day=1))
+    rows = _table_rows(spark, target)
+    assert rows == [(1, 105, "v105"), (2, 100, "v100"), (10, 100, "v100")]
+    assert not os.path.exists(bak)
+    assert not os.path.exists(target + ".staging-deadbeef")
+
+
+def test_recovery_restores_whole_table_from_old_sibling(spark, tmp_path):
+    """Crash window in the whole-dir swap: target renamed away, staging never
+    moved in.  The next upsert must rename the .old- backup back instead of
+    treating the table as empty (which would silently drop all history)."""
+    import os
+
+    from changesetmd_spark.sinks import upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(spark, target, _mini_batch(spark, [1, 2]))
+    os.rename(target, target + ".old-deadbeef")
+
+    upsert_parquet(spark, target, _mini_batch(spark, [3], seq=101))
+    assert [i for i, _, _ in _table_rows(spark, target)] == [1, 2, 3]
+    assert not os.path.exists(target + ".old-deadbeef")
+
+
+def test_recovery_sweeps_legacy_backup_inside_target(spark, tmp_path):
+    """Pre-round-3 layout staged '<partition>.old-<uuid>' INSIDE target_dir;
+    leftovers must be restored (partition missing) or dropped (present), so
+    partition discovery never parses them as data."""
+    import os
+
+    from changesetmd_spark.sinks import upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(spark, target, _mini_batch(spark, [1], day=1))
+    upsert_parquet(spark, target, _mini_batch(spark, [10], day=2))
+
+    p1 = os.path.join(target, "created_date=2024-05-01")
+    p2 = os.path.join(target, "created_date=2024-05-02")
+    os.rename(p2, p2 + ".old-feedface")          # partition missing → restore
+    os.makedirs(p1 + ".old-feedface")            # partition present → drop
+
+    upsert_parquet(spark, target, _mini_batch(spark, [2], seq=101, day=1))
+    rows = _table_rows(spark, target)
+    assert rows == [(1, 100, "v100"), (2, 101, "v101"), (10, 100, "v100")]
+    assert not any(".old-" in d for d in os.listdir(target))
