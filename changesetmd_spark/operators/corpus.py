@@ -188,7 +188,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "term", "tfidf")
     )
-    return out
+    # materialize the tiny top-k result, then drop the postings cache (ex is
+    # read by both the df and tf branches, but must not outlive the query)
+    result = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return result
 
 
 @register(
@@ -259,6 +263,32 @@ _CC_JACCARD = 0.3
 _CC_DISTANCES = (1, 2)
 
 
+def cc_candidate_edges(docs: DataFrame) -> DataFrame:
+    """Jaccard-filtered candidate edges (a, b) from a (doc_id, sh) frame.
+
+    Candidates come from an EQUI-join: each doc explodes its candidate
+    neighbor ids (doc_id - d for the fixed distance set) into probe rows,
+    which hash-join against the docs on the probe key.  A
+    ``(b - a).isin(...)`` condition expresses the same pairs but is
+    non-equi, which Spark can only plan as a BroadcastNestedLoopJoin — an
+    all-pairs scan at scale (pinned by test_plan_quality)."""
+    a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh1"))
+    probes = docs.select(
+        F.col("doc_id").alias("b"),
+        F.col("sh").alias("sh2"),
+        F.explode(
+            F.array(*[F.col("doc_id") - F.lit(d) for d in _CC_DISTANCES])
+        ).alias("a"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
+    return (
+        a.join(probes, "a")
+        .filter(inter * 1.0 / union >= _CC_JACCARD)
+        .select("a", "b")
+    )
+
+
 def _cc_edges_sql() -> str:
     dist = ", ".join(str(d) for d in _CC_DISTANCES)
     # WITH RECURSIVE up front covers the `walk` CTE appended by the caller
@@ -325,16 +355,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", word_shingles(F.col("text")).alias("sh"))
         .persist()
     )
-    a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh1"))
-    b = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh2"))
-    cond = F.col("b") - F.col("a")
-    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
-    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
-    edges = (
-        a.join(b, cond.isin(list(_CC_DISTANCES)))
-        .filter(inter * 1.0 / union >= _CC_JACCARD)
-        .select("a", "b")
-    )
+    edges = cc_candidate_edges(docs)
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.persist()
 
@@ -376,4 +397,10 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("group_size") > 1)
     )
-    return out
+    # Materialize the (small) group summary with truncated lineage, then
+    # release every intermediate cache — repeated invocations must not
+    # accumulate blocks in executor memory for the rest of the session.
+    result = out.localCheckpoint(eager=True)
+    for cached in (docs, und, labels):
+        cached.unpersist()
+    return result

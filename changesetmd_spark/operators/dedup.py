@@ -441,7 +441,13 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, found via pigeonhole-exact 9-band × 7-bit bucketing
     (:func:`simhash_band_pairs`) — an equi-join on band keys, NOT the
     round-1 broadcast nested-loop all-pairs join.  Equivalence to the
-    all-pairs formulation is pinned by pytest (test_dedup_lsh.py)."""
+    all-pairs formulation is pinned by pytest (test_dedup_lsh.py).
+
+    The bucket cap bounds the band self-join at corpus scale: d=8 means
+    7-bit bands (128 bucket values per band), so an uncapped degenerate
+    bucket grows ~n/128 and its self-join goes quadratic.  At test scale no
+    bucket reaches the cap, so the output is still the exact distance-≤8
+    pair set."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
@@ -452,4 +458,4 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    return simhash_band_pairs(docs, max_distance=8)
+    return simhash_band_pairs(docs, max_distance=8, bucket_cap=_LSH_BUCKET_CAP)

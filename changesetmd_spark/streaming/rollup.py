@@ -100,16 +100,24 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/tmp/changesetmd_rollup_q_{uuid.uuid4().hex}"
     rollup_dir = os.path.join(base, "rollup")
-    run_hourly_rollup(
-        spark,
-        stream_events(spark, sf_dir),
-        rollup_dir,
-        os.path.join(base, "checkpoint"),
-    )
-    roll = spark.read.parquet(rollup_dir)
-    return roll.select(
-        F.date_format("bucket_start", _TS).alias("bucket_start_s"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
+    try:
+        run_hourly_rollup(
+            spark,
+            stream_events(spark, sf_dir),
+            rollup_dir,
+            os.path.join(base, "checkpoint"),
+        )
+        roll = spark.read.parquet(rollup_dir).select(
+            F.date_format("bucket_start", _TS).alias("bucket_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        # materialize the (tiny: buckets × event types) result so the
+        # scratch table + checkpoint can be deleted — repeated invocations
+        # must not accumulate /tmp state
+        return roll.localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)

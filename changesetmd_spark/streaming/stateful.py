@@ -39,7 +39,12 @@ if TYPE_CHECKING:
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # exact integer cents, NOT a double: micro-batch arrival order is
+        # nondeterministic and float addition is order-sensitive, so a
+        # double accumulator drifts from the (decimal-summing) oracle as
+        # batches grow; integer addition is associative, so the final state
+        # is order-exact (converted to a double only at emission)
+        StructField("total_cents", LongType()),
     ]
 )
 
@@ -59,13 +64,13 @@ def _update_user_totals(
 ) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 

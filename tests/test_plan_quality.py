@@ -116,3 +116,35 @@ def test_scan_prunes_unused_columns_everywhere(spark, sf_dir):
     for name in ["q5_revenue_by_nation", "q_orders_per_month", "q_distinct_counts"]:
         for cols in read_schema_columns(QS[name](spark, sf_dir)):
             assert "l_comment" not in cols and "o_comment" not in cols, name
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cc_edges_equi_join_no_nested_loop(spark, sf_dir):
+    """q_dedup_groups candidate edges must hash-join on exploded probe keys;
+    a non-equi (b - a) IN (...) condition would plan as
+    BroadcastNestedLoopJoin — an all-pairs scan at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from changesetmd_spark.operators.corpus import cc_candidate_edges
+    from changesetmd_spark.operators.dedup import word_shingles
+    from changesetmd_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    plan = _physical_plan(cc_candidate_edges(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_registered_query_equi_join_only(spark, sf_dir):
+    """The registered simhash query (bucket-capped banding) must stay an
+    equi-join on band keys — no nested-loop fallback anywhere in the plan."""
+    from changesetmd_spark import registry
+
+    plan = _physical_plan(registry.queries()["q_simhash_near_dup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
