@@ -115,28 +115,37 @@ def main() -> None:
 
     # measure ingest before the query gauntlet fragments the heap — the
     # rate is the headline comparison against the reference's 3.2-4.8k/s
-    ingest = xml_ingest_rate(spark)
+    try:
+        ingest = xml_ingest_rate(spark)
+    except Exception as ex:  # noqa: BLE001 — a broken ingest must not kill the run
+        ingest = {"err": f"{type(ex).__name__}: {ex}"[:300]}
 
+    # One throwing query must cost only its own timing slot, never the whole
+    # bench: record the error string and keep going so every round has a
+    # perf signal for the remaining queries.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        rows = qs[name](spark, SF_DIR).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        try:
+            rows = qs[name](spark, SF_DIR).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+            assert rows is not None
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_from_dir(SF_DIR),
-                "xml_ingest": ingest,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_from_dir(SF_DIR),
+        "xml_ingest": ingest,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -49,8 +49,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     sdf = spark.readStream.schema(schema).parquet(_staged_dir(sf_dir, "events"))
-    if dict(sdf.dtypes)["ts"] == "bigint":
+    ts_type = dict(sdf.dtypes)["ts"]
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # timestamp[us] testdata: withWatermark requires TIMESTAMP (LTZ);
+        # NTZ→LTZ cast is value-identical under the pinned UTC session tz.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 

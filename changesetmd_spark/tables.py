@@ -46,13 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-    # spark.sql.legacy.parquet.nanosAsLong; convert with exact integer
-    # division (a double division would lose precision at 1e18 nanos) —
-    # truncation to micros matches DuckDB's nanos->micros read.
+    # events.ts has shipped in two physical encodings across driver testdata
+    # generations: parquet TIMESTAMP(NANOS) (surfaced as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong — exact integer division, since a
+    # double division would lose precision at 1e18 nanos) and parquet
+    # timestamp[us] with isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ).
+    # Normalize both to TIMESTAMP: under the pinned UTC session timezone the
+    # NTZ→LTZ cast is value-identical, and DuckDB oracles read the same
+    # wall-clock values either way.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
