@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .dedup import word_shingles
+from .dedup import _JACCARD_DF_CAP, hashed_shingle_docs, ngram_jaccard_pairs
 
 # Fixed keyword-query for the BM25 entry (deterministic; the corpus draws
 # from a small synthetic vocabulary, see TESTDATA.md).
@@ -257,41 +257,30 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- connected-component dedup groups --------------------------------------
 
-_CC_JACCARD = 0.3
-# deterministic candidate edges: id-distance 1 and 2 (chains make components
-# non-trivial while keeping the oracle's recursive closure tractable)
-_CC_DISTANCES = (1, 2)
+# the corpus's real near-dup pairs sit at word-3-gram Jaccard ≈ 0.2-0.6
+# (the q_ngram_jaccard_pairs threshold); the previous id-distance-1/2
+# candidate probe at J ≥ 0.3 produced ZERO edges on the driver corpus —
+# a vacuous 0 == 0 hash check that exercised nothing.
+_CC_JACCARD = 0.2
 
 
 def cc_candidate_edges(docs: DataFrame) -> DataFrame:
-    """Jaccard-filtered candidate edges (a, b) from a (doc_id, sh) frame.
+    """Near-dup edges (a, b) from a (doc_id, sh: array<long>) frame.
 
-    Candidates come from an EQUI-join: each doc explodes its candidate
-    neighbor ids (doc_id - d for the fixed distance set) into probe rows,
-    which hash-join against the docs on the probe key.  A
-    ``(b - a).isin(...)`` condition expresses the same pairs but is
-    non-equi, which Spark can only plan as a BroadcastNestedLoopJoin — an
-    all-pairs scan at scale (pinned by test_plan_quality)."""
-    a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh1"))
-    probes = docs.select(
-        F.col("doc_id").alias("b"),
-        F.col("sh").alias("sh2"),
-        F.explode(
-            F.array(*[F.col("doc_id") - F.lit(d) for d in _CC_DISTANCES])
-        ).alias("a"),
-    )
-    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
-    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
-    return (
-        a.join(probes, "a")
-        .filter(inter * 1.0 / union >= _CC_JACCARD)
-        .select("a", "b")
+    Edges are the corpus's actual exact-Jaccard near-dup pairs, generated
+    by the same inverted-index postings EQUI-join as q_ngram_jaccard_pairs
+    (shuffle on shingle, df-capped against boilerplate blowup) — no
+    nested-loop / cartesian stage anywhere (pinned by test_plan_quality).
+    This is the real pipeline shape: the pair stage of a dedup run IS the
+    edge generator for its grouping stage."""
+    return ngram_jaccard_pairs(docs, threshold=_CC_JACCARD).select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
     )
 
 
 def _cc_edges_sql() -> str:
-    dist = ", ".join(str(d) for d in _CC_DISTANCES)
-    # WITH RECURSIVE up front covers the `walk` CTE appended by the caller
+    # WITH RECURSIVE up front covers the `walk` CTE appended by the caller;
+    # the e CTE mirrors the q_ngram_jaccard_pairs oracle (df cap included)
     return f"""
     WITH RECURSIVE d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -301,9 +290,17 @@ def _cc_edges_sql() -> str:
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
                             i -> array_to_string(toks[i:i+2], ' '))) AS sh
       FROM d WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), kept AS (
+      SELECT doc_id, sg
+      FROM (SELECT doc_id, sg, COUNT(*) OVER (PARTITION BY sg) AS df FROM posts)
+      WHERE df <= {_JACCARD_DF_CAP}
+    ), ks AS (
+      SELECT doc_id, list(sg) AS sh FROM kept GROUP BY doc_id
     ), e AS (
       SELECT a.doc_id AS a, b.doc_id AS b
-      FROM s a JOIN s b ON b.doc_id - a.doc_id IN ({dist})
+      FROM ks a JOIN ks b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh)) * 1.0
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
             >= {_CC_JACCARD}
@@ -348,13 +345,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE (full reachability closure, tractable on the deterministic
     candidate edge set).  This is the engine's iterative-algorithm shape:
     a driver loop over DataFrames with a convergence check, not a UDF."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
-        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
-        .persist()
-    )
+    docs = hashed_shingle_docs(spark, sf_dir).persist()
     edges = cc_candidate_edges(docs)
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.persist()

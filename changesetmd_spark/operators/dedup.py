@@ -23,7 +23,7 @@ pinned by pytest against exact Jaccard instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -88,42 +88,20 @@ def q_dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ngram_jaccard_pairs",
-    oracle=r"""
-    WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      FROM d WHERE len(toks) >= 3
-    )
-    SELECT a.doc_id AS doc_id_1,
-           b.doc_id AS doc_id_2,
-           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-             AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
-    """,
-)
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs over the full corpus — the
-    brute-force ground truth the LSH path approximates (word shingles, not
-    char shingles, for the same discriminativeness reason as word_shingles).
+# drop shingles shared by more than this many documents from the Jaccard
+# postings join: one boilerplate shingle with df=k makes k² join rows, so
+# without a cap the inverted-index work Σ_s df(s)² is unbounded on repeated
+# headers/footers.  Mirrors _LSH_BUCKET_CAP; a df>cap shingle carries no
+# near-dup signal (it is corpus-wide boilerplate), and the oracle applies
+# the identical filter so the measure stays hash-checked.
+_JACCARD_DF_CAP = 200
 
-    Exact but sub-quadratic: an *inverted index* on shingles.  Explode
-    (doc, shingle) postings, self-join on the shingle, count co-occurrences
-    per pair → |A∩B|; |A∪B| follows from the per-doc set sizes.  Only pairs
-    sharing at least one shingle are ever materialized (J ≥ 0.2 implies
-    ≥ 1 shared shingle, so nothing is lost) — work is Σ_s df(s)², the
-    postings-list skew, not n².  Shingles fold to xxhash64 longs first
-    (collision P ≈ |union|²/2⁶⁴ per pair; shuffles longs, not strings).
-    Earlier broadcast-nested-loop formulation: 17 s at sf0.1; this: ~3 s."""
-    docs = (
+
+def hashed_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh: array<long>) distinct word-3-gram xxhash64
+    shingles — the shared input frame of the exact-Jaccard family (pairs
+    query + connected-component dedup groups)."""
+    return (
         load_table(spark, sf_dir, "documents")
         # the corpus is one small parquet file → one input partition; fan out
         # BEFORE the expensive shingle projection or it runs single-threaded
@@ -136,16 +114,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_shingles(F.col("text")), lambda s: F.xxhash64(s)
             ).alias("sh"),
         )
-        # materialization barrier: both self-join branches read the computed
-        # shingles instead of re-running the projection per branch (and per
-        # generator re-evaluation) — 15 s → ~5 s at sf0.1
-        .persist()
     )
-    # set sizes ride along in the postings (one int per row) so no extra
-    # join against a corpus-wide doc→size table is needed at the pair stage
-    occ = docs.select(
-        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
-    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    df_cap: int = _JACCARD_DF_CAP,
+) -> DataFrame:
+    """(doc_id, sh) → exact Jaccard pairs (doc_id_1, doc_id_2, jaccard ≥
+    threshold) via an *inverted index* on shingles.
+
+    Explode (doc, shingle) postings, drop boilerplate shingles with
+    document frequency > df_cap (the df window rides the same shuffle-by-
+    shingle the self-join needs), self-join on the shingle, count
+    co-occurrences per pair → |A∩B|; |A∪B| follows from the per-doc
+    *filtered* set sizes.  Only pairs sharing ≥ 1 kept shingle are ever
+    materialized — work is Σ_s min(df(s), cap)², bounded even when the
+    corpus repeats a header across every document.  Earlier broadcast-
+    nested-loop formulation: 17 s at sf0.1; the inverted index: ~3 s."""
+    posts = docs.select("doc_id", F.explode("sh").alias("s"))
+    kept = posts.withColumn(
+        "df", F.count("*").over(Window.partitionBy("s"))
+    ).filter(F.col("df") <= df_cap)
+    # filtered set sizes ride along in the postings (one int per row) so no
+    # extra join against a corpus-wide doc→size table at the pair stage
+    occ = kept.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    ).select("doc_id", "sz", "s")
+    # materialization barrier: both self-join branches read the computed
+    # postings instead of re-running shingling + both windows per branch
+    occ = occ.persist()
     pairs = (
         occ.alias("a")
         .join(occ.alias("b"), "s")
@@ -163,9 +162,49 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("inter"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), kept AS (
+      SELECT doc_id, sg
+      FROM (SELECT doc_id, sg, COUNT(*) OVER (PARTITION BY sg) AS df FROM posts)
+      WHERE df <= {_JACCARD_DF_CAP}
+    ), ks AS (
+      SELECT doc_id, list(sg) AS sh FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_id_1,
+           b.doc_id AS doc_id_2,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             AS jaccard
+    FROM ks a JOIN ks b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over the full corpus — the
+    brute-force ground truth the LSH path approximates (word shingles, not
+    char shingles, for the same discriminativeness reason as word_shingles).
+    Shingles fold to xxhash64 longs (collision P ≈ |union|²/2⁶⁴ per pair;
+    shuffles longs, not strings); see ngram_jaccard_pairs for the
+    inverted-index + df-cap dataflow."""
+    return ngram_jaccard_pairs(hashed_shingle_docs(spark, sf_dir))
 
 
 def minhash_signatures(

@@ -153,12 +153,35 @@ def hyperplane(seed: int, dim: int = _DIM) -> list[float]:
     return vals
 
 
+# near-dup candidate generation: multi-table random-hyperplane LSH.  The
+# driver corpus has NO natural near-dups (max pairwise cosine ≈ 0.51 at
+# sf0.01), so the query plants deterministic perturbed copies — otherwise
+# the hash check is a vacuous 0 == 0.  Planted pairs sit at cosine ≥ 0.999
+# (angle ≤ 1.7°): per-plane collision ≥ 0.990, per-table (12 planes)
+# ≥ 0.89, miss probability across 4 tables ≤ 2e-4 per pair — and every
+# surviving candidate is exact-verified, so precision is always 1.0.
+_ND_TABLES = 4
+_ND_PLANES = 12
+_ND_PLANT_MOD = 20  # vec_id % 20 == 0 gets a perturbed twin
+_ND_PLANT_OFFSET = 10_000_000
+# per-coordinate relative perturbation from pure integer arithmetic —
+# bit-identical in Spark and DuckDB (no libm): eps(i) ∈ [-0.02, 0.02]
+_ND_EPS = "(1.0 + CAST((i * 37) % 11 - 5 AS DOUBLE) / 250.0)"
+
+
 @register(
     "q_embedding_neardup_cosine",
     oracle=f"""
-    WITH v AS (
+    WITH base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings WHERE vec_id % 4 = 0
+    ), planted AS (
+      SELECT vec_id + {_ND_PLANT_OFFSET} AS vec_id,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> e[i] * {_ND_EPS.replace("i *", "(i - 1) *")}) AS e
+      FROM base WHERE vec_id % {_ND_PLANT_MOD} = 0
+    ), v AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
     ), n AS (
       SELECT vec_id, e,
              sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
@@ -177,29 +200,56 @@ def hyperplane(seed: int, dim: int = _DIM) -> list[float]:
 )
 def q_embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E2 embedding-cosine near-dup pairs (dedup by representation):
-    all pairs with cosine ≥ 0.92 on a deterministic subset (vec_id%4 keeps
-    the DuckDB oracle's O(n²) fold tractable; the Spark side would take the
-    LSH bucket route at scale — see q_embedding_ann_lsh)."""
-    emb = (
+    pairs with cosine ≥ 0.92 over the vec_id%4 subset plus deterministic
+    planted twins (the corpus has no natural near-dups — see module note).
+
+    Scale path: candidates come from a multi-table hyperplane-LSH bucket
+    SELF-join (equi-join on (table, bucket), one shuffle), then the exact
+    cosine fold verifies only candidates.  The all-pairs O(n²) fold lives
+    solely in the DuckDB oracle; the Spark plan has no cartesian /
+    broadcast-nested-loop stage (pinned by tests/test_similarity_ann.py).
+    At 100 TB the expected candidate volume is Σ_buckets |bucket|² — with
+    2^12 buckets × 4 tables this is ~n²/1000 for random background and
+    ~n for true near-dup mass, versus n²/2 for the previous BNLJ."""
+    base = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 4 == 0)
         .select("vec_id", to_double_vec(F.col("embedding")).alias("e"))
-        .withColumn("nrm", l2_norm(F.col("e")))
     )
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    a = emb.select(
-        F.col("vec_id").alias("vec_id_1"), F.col("e").alias("e1"), F.col("nrm").alias("n1")
+    planted = base.filter(F.col("vec_id") % _ND_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _ND_PLANT_OFFSET).alias("vec_id"),
+        F.expr(
+            f"transform(e, (x, i) -> x * {_ND_EPS})"
+        ).alias("e"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_id_2"), F.col("e").alias("e2"), F.col("nrm").alias("n2")
+    corpus = base.unionAll(planted).withColumn("nrm", l2_norm(F.col("e")))
+
+    tables = []
+    for t in range(_ND_TABLES):
+        sig = F.lit(0)
+        for p in range(_ND_PLANES):
+            plane = F.array(*[F.lit(v) for v in hyperplane(1000 * (t + 1) + p)])
+            sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    hashed = corpus.select(
+        "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    a = hashed.select(
+        "t", "b", F.col("vec_id").alias("vec_id_1"),
+        F.col("e").alias("e1"), F.col("nrm").alias("n1"),
+    )
+    b = hashed.select(
+        "t", "b", F.col("vec_id").alias("vec_id_2"),
+        F.col("e").alias("e2"), F.col("nrm").alias("n2"),
     )
     sim = cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
     return (
-        a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
+        a.join(b, ["t", "b"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
         .filter(sim >= 0.92)
-        .select(
-            "vec_id_1", "vec_id_2", F.round(sim, 5).alias("cosine_sim")
-        )
+        .select("vec_id_1", "vec_id_2", F.round(sim, 5).alias("cosine_sim"))
     )
 
 
