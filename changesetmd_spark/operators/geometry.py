@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load_table
 
-EARTH_RADIUS_M = 6371000.0
+# EPSG:3410 (EASE-Grid Global) is defined on the International 1924
+# Authalic Sphere — R = 6,371,228 m, not the 6,371,000 m mean radius.  For
+# a cylindrical equal-area projection a lon/lat rectangle maps to an x/y
+# rectangle whose area collapses to R^2*|dLambda|*|sin(phi2)-sin(phi1)|
+# (the cos(lat_ts) factors cancel between x and y), so this constant is the
+# ONLY difference between the engine's bbox area and PostGIS
+# ST_Area(ST_Transform(geom, 3410)) on the reference's query
+# (ref README.md:77) — exact parity, not an approximation.
+EASE_GRID_RADIUS_M = 6371228.0
+EARTH_RADIUS_M = EASE_GRID_RADIUS_M  # back-compat alias
 
 
 def clamp_lat(col: Column) -> Column:
@@ -54,18 +63,19 @@ def bbox_contains(
 def bbox_area_m2(
     min_lon: Column, min_lat: Column, max_lon: Column, max_lat: Column
 ) -> Column:
-    """Equal-area bbox size in m² — spherical analogue of
-    ``ST_Area(ST_Transform(geom, 3410))`` (ref README.md:77).
-
-    Area of a lat/lon rectangle on the sphere:
-    ``R² · |Δλ_rad| · |sin(φ₂) − sin(φ₁)|`` with latitudes clamped first.
+    """Equal-area bbox size in m² — exact match of
+    ``ST_Area(ST_Transform(geom, 3410))`` (ref README.md:77): EPSG:3410 is
+    a cylindrical equal-area projection on the EASE-Grid authalic sphere,
+    under which a lon/lat rectangle's projected area is exactly
+    ``R² · |Δλ_rad| · |sin(φ₂) − sin(φ₁)|`` (lat_ts factors cancel),
+    with latitudes clamped first.
     """
     lat1 = F.radians(clamp_lat(min_lat))
     lat2 = F.radians(clamp_lat(max_lat))
     dlon = F.radians(max_lon - min_lon)
     return (
-        F.lit(EARTH_RADIUS_M)
-        * F.lit(EARTH_RADIUS_M)
+        F.lit(EASE_GRID_RADIUS_M)
+        * F.lit(EASE_GRID_RADIUS_M)
         * F.abs(dlon)
         * F.abs(F.sin(lat2) - F.sin(lat1))
     )
@@ -122,7 +132,7 @@ def q_bbox_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS ({_BBOX_SQL})
     SELECT event_id,
-           ROUND(6371000.0 * 6371000.0
+           ROUND(6371228.0 * 6371228.0
                  * ABS(radians(max_lon - min_lon))
                  * ABS(sin(radians(GREATEST(-90.0, LEAST(90.0, max_lat))))
                        - sin(radians(GREATEST(-90.0, LEAST(90.0, min_lat)))))
@@ -154,7 +164,7 @@ def q_bbox_area_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN max_lat > 90 OR min_lat < -90 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clamped
     FROM b
-    WHERE 6371000.0 * 6371000.0
+    WHERE 6371228.0 * 6371228.0
           * ABS(radians(max_lon - min_lon))
           * ABS(sin(radians(GREATEST(-90.0, LEAST(90.0, max_lat))))
                 - sin(radians(GREATEST(-90.0, LEAST(90.0, min_lat)))))

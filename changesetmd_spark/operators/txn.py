@@ -1,0 +1,97 @@
+"""Driver-checkable surface for the transactional table format
+(sinks/txn_table.py) — MERGE semantics through the full commit-log path.
+
+The reference's replication loop is: open transaction → delete+insert each
+changeset → advance state → commit (ref changesetmd.py:71-76,105-106,
+140-143).  ``q_txn_merge_snapshot`` replays that lifecycle on the events
+table through :class:`~..sinks.txn_table.TxnTable`: an initial load commit,
+then an incremental MERGE batch whose keys override the initial rows
+(delete-then-insert), then a snapshot read of the committed state.  The
+oracle expresses the identical two-batch semantics in SQL, so the driver
+hash-checks that the REAL write path — data files, manifests, atomic
+commit, snapshot resolution — preserves values bit-for-bit, not just that
+the LWW window math is right (q_upsert_last_write_wins already pins that).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sinks.txn_table import TxnTable
+from ..tables import load_table
+
+_TXN_ROOT = "/tmp/changesetmd_spark_txn_demo"
+
+
+@register(
+    "q_txn_merge_snapshot",
+    oracle="""
+    WITH b1 AS (
+      SELECT user_id, event_type, event_id, value
+      FROM events WHERE event_id % 3 <> 0
+    ), b2 AS (
+      SELECT user_id, event_type, event_id, value
+      FROM events WHERE event_id % 3 = 0
+    ), l1 AS (
+      SELECT * FROM b1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    ), l2 AS (
+      SELECT * FROM b2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_type,
+           event_id AS last_event_id, value AS last_value
+    FROM l2
+    UNION ALL
+    SELECT l1.user_id, l1.event_type, l1.event_id, l1.value
+    FROM l1 ANTI JOIN l2 USING (user_id, event_type)
+    """,
+)
+def q_txn_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-load commit + incremental MERGE commit + snapshot read.
+
+    Batch 1 (event_id % 3 ≠ 0) is the bulk load; batch 2 (% 3 = 0) is the
+    incremental diff — its keys REPLACE batch-1 rows unconditionally
+    (delete-then-insert, S6), so a batch-1 row survives only if its key
+    never appears in batch 2.  The table is hive-partitioned on
+    ``date(ts)`` and the MERGE rewrites only partitions holding batch-2
+    keys; the read resolves the committed manifest (snapshot isolation) —
+    at 100 TB this is the same per-day-partition incremental rewrite as
+    sinks.upsert, with commits visible to every writer on the shared
+    filesystem instead of one host."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    # fresh deterministic location per sf_dir; rebuilt every invocation so
+    # the query is a pure function of the input tables
+    path = os.path.join(
+        _TXN_ROOT, hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    table = TxnTable(spark, path, partition_source="ts")
+    # the bulk load is itself a MERGE into the empty table so batch-1 rows
+    # get the same per-key LWW dedup the reference's loader applies
+    table.merge(
+        events.filter(F.col("event_id") % 3 != 0),
+        key=["user_id", "event_type"],
+        order_col="event_id",
+    )
+    table.merge(
+        events.filter(F.col("event_id") % 3 == 0),
+        key=["user_id", "event_type"],
+        order_col="event_id",
+    )
+    return table.read().select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

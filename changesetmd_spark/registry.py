@@ -50,6 +50,7 @@ def _load_all() -> None:
         skew,
         tags_json,
         text,
+        txn,
         windows_batch,
     )
     from .streaming import events_stream, joins, rollup, stateful  # noqa: F401

@@ -1,0 +1,429 @@
+"""Multi-writer transactional parquet tables (SURVEY §2.1 S5-S7, §2.9 T3-T5).
+
+The reference gets cluster-visible transactions for free from Postgres — an
+exclusive ``LOCK TABLE ... NOWAIT`` plus transactional delete+insert
+(ref changesetmd.py:140-143 and :71-76).  ``sinks.upsert`` reproduces the
+semantics on parquet but coordinates through a host-local lock file, which a
+*multi-host* cluster cannot see.  This module closes that gap with the same
+mechanism production lake formats (Delta, Iceberg) use: an ordered commit
+log of immutable snapshot manifests, advanced by atomic put-if-absent
+creation of the next version file — no locks at all, writers race for the
+version slot and the loser rebases.
+
+Layout::
+
+    <table>/_txnlog/00000000000000000001.json   one manifest per version
+    <table>/data/<commit-uuid>/                 immutable data directories
+    <table>/data/<commit-uuid>/created_date=…/  (hive layout when partitioned)
+
+A manifest is the COMPLETE state of one snapshot: which data directories —
+and, for partitioned tables, which partition values inside them — are live.
+Data directories are write-once: no commit ever mutates or deletes a file
+another snapshot references, so
+
+* **readers are snapshot-isolated for free**: ``read()`` pins the manifest
+  it resolved; concurrent commits only add new files and new manifests.
+  Time travel is ``read(version=N)``.
+* **commits are atomic**: the table state changes at exactly the instant the
+  version file appears.  ``os.link(tmp, final)`` is the put-if-absent — the
+  JSON is fully written before the link, so no reader can observe a torn
+  manifest.  On HDFS the equivalent is ``create(path, overwrite=false)``;
+  on S3-era object stores, a conditional PUT (If-None-Match) or a catalog
+  service — same protocol, different primitive.
+* **crashed writers leak nothing into the table**: an uncommitted data
+  directory is invisible (no manifest references it) and is swept by
+  ``vacuum`` once older than the retention window.
+
+Concurrency control is optimistic, like Delta's: a writer records the
+version it read, computes, writes its data directory, then tries to commit
+``read_version + 1``.  Losing the race means re-reading the log and either
+**rebasing** (an ``append`` commutes with everything; a ``merge`` commutes
+with commits that touched disjoint partition sets) or **recomputing** (a
+``merge`` over overlapping partitions re-runs its MERGE against the new
+snapshot — the idempotent LWW computation absorbs the replay, T4).  A
+bounded retry loop raises :class:`TxnConflictError` only under sustained
+contention, mirroring the reference's NOWAIT bail-out.
+
+Scale notes (100 TB): the log holds one small JSON per commit — state
+resolution is O(versions) driver-side metadata, pruned by ``vacuum``
+checkpointing; data directories shard across partitions exactly like the
+plain hive layout, so scans partition-prune identically (``read`` can prune
+whole directories from the manifest before Spark ever lists them); and the
+MERGE itself reuses :func:`..sinks.upsert.latest_per_key` — one window over
+the batch plus a broadcast anti-join, never a shuffle of current data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .upsert import latest_per_key
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+_MAX_COMMIT_RETRIES = 20
+
+
+class TxnConflictError(RuntimeError):
+    """Sustained commit contention on a transactional table (parity with the
+    reference's LOCK ... NOWAIT bail-out, ref changesetmd.py:140-143)."""
+
+
+class TxnTable:
+    """A versioned parquet table with optimistic multi-writer commits.
+
+    ``partition_source`` names a timestamp column; when present in written
+    data, rows are hive-partitioned by ``partition_col = date(source)`` and
+    MERGE commits replace only the affected partitions' files.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_source: str | None = None,
+        partition_col: str = "created_date",
+    ) -> None:
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.partition_source = partition_source
+        self.partition_col = partition_col
+
+    # ---- log plumbing ------------------------------------------------------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR)
+
+    def _data_path(self) -> str:
+        return os.path.join(self.path, _DATA_DIR)
+
+    def _version_file(self, version: int) -> str:
+        return os.path.join(self._log_path(), f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        log = self._log_path()
+        if not os.path.isdir(log):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else -1
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._version_file(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self._manifest(v) for v in self.versions()]
+
+    def _try_commit(self, version: int, manifest: dict) -> bool:
+        """Atomically publish ``manifest`` as ``version``; False if another
+        writer won the slot.  Content is fully durable in a temp file before
+        the single atomic link — readers never see a torn manifest."""
+        os.makedirs(self._log_path(), exist_ok=True)
+        tmp = os.path.join(self._log_path(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._version_file(version))  # put-if-absent
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # ---- writing -----------------------------------------------------------
+
+    def _write_data_dir(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write ``df`` into a fresh immutable commit directory; returns
+        (relative dir, partition dirnames inside it — empty if unpartitioned).
+        """
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        full = os.path.join(self.path, rel)
+        partitioned = (
+            self.partition_source is not None
+            and self.partition_source in df.columns
+        )
+        if partitioned:
+            if self.partition_col not in df.columns:
+                df = df.withColumn(
+                    self.partition_col, F.to_date(self.partition_source)
+                )
+            (
+                df.sortWithinPartitions(self.partition_col)
+                .write.partitionBy(self.partition_col)
+                .parquet(full)
+            )
+            parts = [
+                d
+                for d in os.listdir(full)
+                if d.startswith(f"{self.partition_col}=")
+            ]
+            return rel, parts
+        df.write.parquet(full)
+        return rel, []
+
+    @staticmethod
+    def _live_map(manifest: dict | None) -> dict[str, list[str]]:
+        """partition dirname → list of commit dirs holding live rows for it
+        (unpartitioned tables use the single pseudo-partition key ``""``)."""
+        if manifest is None:
+            return {}
+        return {k: list(v) for k, v in manifest["partitions"].items()}
+
+    def _commit_loop(self, op: str, apply) -> int:
+        """Optimistic-commit driver: resolve state → ``apply(live_map)`` →
+        try the next version slot; on losing the race, re-resolve and let
+        ``apply`` rebase or recompute against the new state."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            read_version = self.current_version()
+            prev = self._manifest(read_version) if read_version >= 0 else None
+            new_live = apply(self._live_map(prev))
+            manifest = {
+                "version": read_version + 1,
+                "op": op,
+                "read_version": read_version,
+                "ts": time.time(),
+                "partitions": new_live,
+            }
+            if self._try_commit(read_version + 1, manifest):
+                return read_version + 1
+        raise TxnConflictError(
+            f"gave up after {_MAX_COMMIT_RETRIES} contended commits on "
+            f"{self.path!r} ({op})"
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append — commutes with every concurrent commit, so a lost
+        race rebases by re-adding the same (already written) directory."""
+        rel, parts = self._write_data_dir(df)
+
+        def apply(live: dict[str, list[str]]) -> dict[str, list[str]]:
+            for p in parts or [""]:
+                live.setdefault(p, []).append(rel)
+            return live
+
+        return self._commit_loop("append", apply)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table state (DDL create/truncate parity, S7)."""
+        rel, parts = self._write_data_dir(df)
+
+        def apply(live: dict[str, list[str]]) -> dict[str, list[str]]:
+            return {p: [rel] for p in parts or [""]}
+
+        return self._commit_loop("overwrite", apply)
+
+    def merge(
+        self,
+        batch: DataFrame,
+        key: str | list[str] = "id",
+        order_col: str = "sequence",
+    ) -> int:
+        """Idempotent LWW MERGE (delete-then-insert parity, S6/T4-T5): batch
+        rows replace current rows with the same key; only partitions holding
+        batch keys are rewritten.  A lost commit race against a commit that
+        touched any affected partition *recomputes* the MERGE against the
+        new snapshot (outer loop); disjoint concurrent commits rebase."""
+        key_cols = [key] if isinstance(key, str) else list(key)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            read_version = self.current_version()
+            prev = self._manifest(read_version) if read_version >= 0 else None
+            live = self._live_map(prev)
+
+            incoming = latest_per_key(batch, key=key_cols, order_col=order_col)
+            if not live:
+                rel, parts = self._write_data_dir(incoming)
+                new_live = {p: [rel] for p in parts or [""]}
+            else:
+                current = self._read_live(live)
+                keys = incoming.select(*key_cols).distinct()
+                partitioned = "" not in live
+                if partitioned:
+                    if self.partition_col not in incoming.columns:
+                        incoming = incoming.withColumn(
+                            self.partition_col,
+                            F.to_date(self.partition_source),
+                        )
+                    # partitions to rewrite: where batch keys live now ∪
+                    # where incoming rows land (column-pruned + broadcast
+                    # semi-join — current data never shuffles)
+                    hit = (
+                        current.select(*key_cols, self.partition_col)
+                        .join(F.broadcast(keys), on=key_cols, how="left_semi")
+                        .select(self.partition_col)
+                    )
+                    affected_vals = [
+                        r[0]
+                        for r in hit.union(
+                            incoming.select(self.partition_col)
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    affected = {
+                        self._partition_dirname(v) for v in affected_vals
+                    }
+                    non_null = [v for v in affected_vals if v is not None]
+                    cond = (
+                        F.col(self.partition_col).isin(non_null)
+                        if non_null
+                        else F.lit(False)
+                    )
+                    if any(v is None for v in affected_vals):
+                        cond = cond | F.col(self.partition_col).isNull()
+                    kept = current.filter(cond).join(
+                        F.broadcast(keys), on=key_cols, how="left_anti"
+                    )
+                else:
+                    affected = {""}
+                    kept = current.join(
+                        F.broadcast(keys), on=key_cols, how="left_anti"
+                    )
+                new_state = kept.unionByName(
+                    incoming.select(*kept.columns), allowMissingColumns=False
+                )
+                rel, parts = self._write_data_dir(new_state)
+                new_live = dict(live)
+                for p in affected:
+                    new_live.pop(p, None)  # partition lost all its rows
+                for p in parts or [""]:
+                    new_live[p] = [rel]
+
+            manifest = {
+                "version": read_version + 1,
+                "op": "merge",
+                "read_version": read_version,
+                "ts": time.time(),
+                "partitions": new_live,
+            }
+            if self._try_commit(read_version + 1, manifest):
+                return read_version + 1
+            # Lost the race.  If the winning commits only touched partitions
+            # disjoint from ours, rebase the manifest and retry the slot;
+            # otherwise loop back and recompute the MERGE on the new state.
+            latest = self._manifest(self.current_version())
+            their_live = self._live_map(latest)
+            changed = {
+                p
+                for p in set(their_live) | set(live)
+                if their_live.get(p) != live.get(p)
+            }
+            if changed & (affected if live else set(new_live)):
+                continue  # overlapping: recompute from the new snapshot
+            rebased = dict(their_live)
+            for p in (affected if live else set()):
+                rebased.pop(p, None)
+            for p in parts or [""]:
+                rebased[p] = [rel]
+            manifest["read_version"] = latest["version"]
+            manifest["version"] = latest["version"] + 1
+            manifest["partitions"] = rebased
+            if self._try_commit(latest["version"] + 1, manifest):
+                return latest["version"] + 1
+        raise TxnConflictError(
+            f"gave up after {_MAX_COMMIT_RETRIES} contended commits on "
+            f"{self.path!r} (merge)"
+        )
+
+    def _partition_dirname(self, value) -> str:
+        return (
+            f"{self.partition_col}="
+            f"{_HIVE_NULL if value is None else value.isoformat()}"
+        )
+
+    # ---- reading -----------------------------------------------------------
+
+    def _read_live(self, live: dict[str, list[str]]) -> DataFrame:
+        if set(live) == {""}:
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in sorted(set(live[""]))]
+            )
+        # partitioned: group live partitions by commit dir so each directory
+        # is read once with basePath (keeps the partition column), then
+        # union — Spark plans one multi-path scan per commit dir.
+        by_dir: dict[str, list[str]] = {}
+        for part, dirs in live.items():
+            for d in dirs:
+                by_dir.setdefault(d, []).append(part)
+        frames = []
+        for d, parts in sorted(by_dir.items()):
+            base = os.path.join(self.path, d)
+            frames.append(
+                self.spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, p) for p in sorted(parts)]
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def read(
+        self, version: int | None = None, partitions: list | None = None
+    ) -> DataFrame:
+        """Snapshot read.  ``version`` time-travels; ``partitions`` (a list
+        of partition values) prunes whole directories out of the scan from
+        the manifest alone — Spark never lists the skipped ones."""
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise ValueError(f"transactional table {self.path!r} is empty")
+        live = self._live_map(self._manifest(v))
+        if partitions is not None and "" not in live:
+            wanted = {self._partition_dirname(p) for p in partitions}
+            live = {p: d for p, d in live.items() if p in wanted}
+            if not live:
+                raise ValueError(
+                    f"no live partitions among {sorted(wanted)} at v{v}"
+                )
+        return self._read_live(live)
+
+    # ---- maintenance -------------------------------------------------------
+
+    def vacuum(
+        self, keep_versions: int = 10, retention_seconds: float = 3600.0
+    ) -> list[str]:
+        """Drop data directories unreferenced by the ``keep_versions`` newest
+        manifests (and the manifests older than those).  The mtime-based
+        ``retention_seconds`` guard keeps a *live writer's* not-yet-committed
+        directory safe — exactly Delta's VACUUM retention contract."""
+        vs = self.versions()
+        if not vs:
+            return []
+        keep = vs[-keep_versions:]
+        referenced: set[str] = set()
+        for v in keep:
+            for dirs in self._manifest(v)["partitions"].values():
+                referenced.update(dirs)
+        removed: list[str] = []
+        data_root = self._data_path()
+        now = time.time()
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                rel = os.path.join(_DATA_DIR, d)
+                full = os.path.join(data_root, d)
+                if rel in referenced:
+                    continue
+                if now - os.path.getmtime(full) < retention_seconds:
+                    continue
+                shutil.rmtree(full)
+                removed.append(rel)
+        for v in vs:
+            if v not in keep:
+                os.unlink(self._version_file(v))
+        return removed

@@ -43,8 +43,9 @@ table and bails if another run is live (ref changesetmd.py:140-143,
 same target raises :class:`ConcurrentUpsertError` immediately.  A lock left
 by a *crashed* process (recorded pid no longer alive) is stolen, matching
 the reference's session-scoped lock that dies with its holder.  Single-host
-semantics by design — a multi-writer cluster deployment would front this
-with a transactional table format (Delta/Iceberg) instead.
+semantics by design — the cluster-visible multi-writer path is
+:mod:`.txn_table` (commit-log table format, Delta-style optimistic
+concurrency), which reuses this module's ``latest_per_key`` MERGE kernel.
 
 Tables without a timestamp to partition on (``partition_source=None``) fall
 back to a whole-table rewrite with an atomic directory swap — correct for

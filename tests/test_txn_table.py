@@ -1,0 +1,206 @@
+"""Transactional table format: atomic commits, snapshot isolation,
+optimistic multi-writer concurrency, MERGE parity, vacuum retention.
+
+Reference parity target: the Postgres transaction + LOCK NOWAIT surface
+(ref changesetmd.py:140-143, 71-76) — reproduced cluster-visibly via a
+commit log instead of a host-local lock file (see sinks/txn_table.py)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from changesetmd_spark.sinks.txn_table import TxnConflictError, TxnTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, rows):
+    """rows: (id, sequence, created_at date string, payload)"""
+    df = spark.createDataFrame(
+        rows, "id long, sequence long, created_at timestamp, payload string"
+    )
+    return df
+
+
+D1 = datetime.datetime(2024, 1, 1, 10, 0)
+D2 = datetime.datetime(2024, 1, 2, 10, 0)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxnTable(
+        spark, str(tmp_path / "t"), partition_source="created_at"
+    )
+
+
+def test_overwrite_read_roundtrip_and_time_travel(spark, table):
+    v0 = table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D2, "b")]))
+    assert v0 == 0
+    first = _rows(table.read().select("id", "payload"))
+    v1 = table.overwrite(_mk(spark, [(3, 1, D1, "c")]))
+    assert v1 == 1
+    assert _rows(table.read().select("id", "payload")) == [(3, "c")]
+    # snapshot isolation: the old version is still fully readable
+    assert _rows(table.read(version=0).select("id", "payload")) == first
+
+
+def test_append_accumulates_across_commits(spark, table):
+    table.append(_mk(spark, [(1, 1, D1, "a")]))
+    table.append(_mk(spark, [(2, 1, D1, "b"), (3, 1, D2, "c")]))
+    assert _rows(table.read().select("id")) == [(1,), (2,), (3,)]
+    # both commits' files are live in the D1 partition
+    live = table._live_map(table._manifest(table.current_version()))
+    assert len(live["created_date=2024-01-01"]) == 2
+
+
+def test_merge_lww_and_partition_scoped_rewrite(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "old1"), (2, 1, D2, "old2")]))
+    live_before = table._live_map(table._manifest(table.current_version()))
+    # batch holds two versions of id=1 → LWW keeps sequence 3; id=2 untouched
+    table.merge(
+        _mk(spark, [(1, 2, D1, "mid"), (1, 3, D1, "new1")]),
+        key="id",
+        order_col="sequence",
+    )
+    assert _rows(table.read().select("id", "payload")) == [
+        (1, "new1"),
+        (2, "old2"),
+    ]
+    live_after = table._live_map(table._manifest(table.current_version()))
+    # only the D1 partition's files changed; D2 still points at the same dir
+    assert (
+        live_after["created_date=2024-01-02"]
+        == live_before["created_date=2024-01-02"]
+    )
+    assert (
+        live_after["created_date=2024-01-01"]
+        != live_before["created_date=2024-01-01"]
+    )
+
+
+def test_merge_replay_is_idempotent(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D2, "b")]))
+    batch = _mk(spark, [(1, 5, D1, "a2")])
+    table.merge(batch, key="id", order_col="sequence")
+    state1 = _rows(table.read())
+    table.merge(batch, key="id", order_col="sequence")  # replayed diff (T4)
+    assert _rows(table.read()) == state1
+
+
+def test_lost_race_disjoint_partitions_rebases(spark, table):
+    """A merge that loses the version slot to a commit touching OTHER
+    partitions must rebase (keep both effects) without recomputing."""
+    table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D2, "b")]))
+    writer2 = TxnTable(spark, table.path, partition_source="created_at")
+
+    real = table._try_commit
+    fired = {"done": False}
+
+    def racing(version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer appends into D2 and steals our slot
+            writer2.append(_mk(spark, [(9, 1, D2, "z")]))
+        return real(version, manifest)
+
+    table._try_commit = racing
+    try:
+        table.merge(_mk(spark, [(1, 7, D1, "a2")]), key="id", order_col="sequence")
+    finally:
+        table._try_commit = real
+    assert _rows(table.read().select("id", "payload")) == [
+        (1, "a2"),
+        (2, "b"),
+        (9, "z"),
+    ]
+
+
+def test_lost_race_overlapping_partition_recomputes(spark, table):
+    """A merge that loses the slot to a commit touching the SAME partition
+    must recompute against the winner's snapshot — both writes survive,
+    ours wins only for our keys."""
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    writer2 = TxnTable(spark, table.path, partition_source="created_at")
+
+    real = table._try_commit
+    fired = {"done": False}
+
+    def racing(version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            writer2.merge(
+                _mk(spark, [(1, 2, D1, "theirs"), (5, 1, D1, "keep")]),
+                key="id",
+                order_col="sequence",
+            )
+        return real(version, manifest)
+
+    table._try_commit = racing
+    try:
+        table.merge(_mk(spark, [(1, 9, D1, "ours")]), key="id", order_col="sequence")
+    finally:
+        table._try_commit = real
+    assert _rows(table.read().select("id", "payload")) == [
+        (1, "ours"),
+        (5, "keep"),
+    ]
+
+
+def test_sustained_contention_raises(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    table._try_commit = lambda version, manifest: False
+    with pytest.raises(TxnConflictError):
+        table.append(_mk(spark, [(2, 1, D1, "b")]))
+
+
+def test_uncommitted_data_invisible_and_vacuumed(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    # a crashed writer: data directory written, commit never happened
+    orphan_rel, _ = table._write_data_dir(_mk(spark, [(99, 1, D1, "ghost")]))
+    assert _rows(table.read().select("id")) == [(1,)]
+    removed = table.vacuum(keep_versions=10, retention_seconds=0.0)
+    assert orphan_rel in removed
+    assert _rows(table.read().select("id")) == [(1,)]
+
+
+def test_vacuum_prunes_old_versions_keeps_current(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    table.overwrite(_mk(spark, [(2, 1, D1, "b")]))
+    table.overwrite(_mk(spark, [(3, 1, D1, "c")]))
+    removed = table.vacuum(keep_versions=1, retention_seconds=0.0)
+    assert len(removed) == 2  # the two superseded commit dirs
+    assert table.versions() == [2]
+    assert _rows(table.read().select("id")) == [(3,)]
+
+
+def test_unpartitioned_merge(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "u"))  # no partition_source
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "id long, sequence long, payload string"
+    )
+    t.overwrite(df)
+    t.merge(
+        spark.createDataFrame([(2, 9, "b2")], "id long, sequence long, payload string"),
+        key="id",
+        order_col="sequence",
+    )
+    assert _rows(t.read().select("id", "payload")) == [(1, "a"), (2, "b2")]
+
+
+def test_manifest_commit_is_atomic_no_partial_state(spark, table):
+    """Every version file on disk must parse as complete JSON (the tmp+link
+    protocol); no .tmp files survive a commit."""
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    table.append(_mk(spark, [(2, 1, D2, "b")]))
+    log = table._log_path()
+    names = os.listdir(log)
+    assert all(not n.startswith(".tmp-") for n in names)
+    for v in table.versions():
+        m = table._manifest(v)
+        assert m["version"] == v and "partitions" in m
