@@ -47,6 +47,10 @@ HEADLINE = [
     "q_stream_stateful_user_totals",
     "q_embedding_ann_ivf",
     "q_salted_join_skewed_types",
+    "q_embedding_neardup_cosine",
+    "q_dedup_groups",
+    "q_txn_merge_snapshot",
+    "q_stream_dedup_first_seen",
 ]
 
 

@@ -327,6 +327,97 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash-checked LSH-banding variant: xxhash64 (the fast path above) has no
+# DuckDB equivalent, so the driver can only rows-check it.  This variant
+# derives 60-bit hashes from md5 prefixes — computable identically in both
+# engines — so the FULL banding pipeline (minhash → bands → bucket join →
+# candidate pairs) is value-hash-checked, not just the verify stage.
+_MH_CHECK_HASHES = 16
+_MH_CHECK_ROWS = 4
+_MH_CHECK_BANDS = _MH_CHECK_HASHES // _MH_CHECK_ROWS
+
+
+def _md5_long(col: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative 60-bit long — the
+    cross-engine hash: DuckDB computes the identical value via
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@register(
+    "q_minhash_lsh_checked",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), idx AS (
+      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
+    ), mh AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg), 1, 15))
+                 ::BIGINT) AS m
+      FROM posts, idx GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id,
+             md5(CAST(i // {_MH_CHECK_ROWS} AS VARCHAR) || ':' ||
+                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {_MH_CHECK_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation with the full pipeline hash-checked:
+    16 md5-derived minhashes → 4 bands of 4 rows → band-bucket equi-join →
+    distinct candidate pairs.  Same dataflow as the xxhash64 fast path
+    (explode → K min-aggregates, one shuffle on doc_id; bucket self-join,
+    one shuffle on bucket) with an engine-portable hash so DuckDB
+    reproduces every intermediate value."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    )
+    posts = docs.select("doc_id", F.explode("sh").alias("sg"))
+    aggs = [
+        F.min(
+            _md5_long(F.concat_ws(":", F.lit(str(i)), F.col("sg")))
+        ).alias(f"_m{i}")
+        for i in range(_MH_CHECK_HASHES)
+    ]
+    sig = posts.groupBy("doc_id").agg(*aggs)
+    buckets = []
+    for b in range(_MH_CHECK_BANDS):
+        band = F.concat_ws(
+            ",",
+            *[
+                F.col(f"_m{b * _MH_CHECK_ROWS + j}").cast("string")
+                for j in range(_MH_CHECK_ROWS)
+            ],
+        )
+        buckets.append(F.md5(F.concat_ws(":", F.lit(str(b)), band)))
+    bk = sig.select("doc_id", F.explode(F.array(*buckets)).alias("bucket"))
+    return (
+        bk.alias("a")
+        .join(bk.alias("b"), "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "q_neardup_verify_jaccard",
     oracle=r"""

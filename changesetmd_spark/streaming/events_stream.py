@@ -208,3 +208,33 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_window.start", _TS).alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "q_stream_dedup_first_seen",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_distinct_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact dedup as a *streaming* operator: ``dropDuplicates`` on the
+    (event_type, user_id) key emits each key's first arrival only; the
+    per-type count of survivors equals batch COUNT(DISTINCT) regardless of
+    which physical row won, so the result is deterministic and
+    hash-checkable.  Unbounded dedup state by design here (the finite
+    availableNow run bounds it); a production deployment over an endless
+    stream uses ``dropDuplicatesWithinWatermark`` to let the watermark
+    expire key state — same plan shape, bounded store."""
+    ev = stream_events(spark, sf_dir)
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_type", "user_id"])
+        .select("event_type", "user_id")
+    )
+    out = run_stream_to_table(dd, output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_distinct_users")
+    )
