@@ -137,6 +137,14 @@ def main() -> None:
             assert rows is not None
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+        # measurement isolation: several queries persist intermediates they
+        # cannot unpersist (the driver collects AFTER the builder returns);
+        # over a 20+-query gauntlet those caches fill storage memory and
+        # evict LIVE caches out from under the iterative queries, which then
+        # recompute whole lineages — observed as 5s → 20-30s run-to-run
+        # swings on the late queries.  Each query is self-contained, so
+        # dropping all cached data between measurements is safe.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     out = {

@@ -264,7 +264,9 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_JACCARD = 0.2
 
 
-def cc_candidate_edges(docs: DataFrame) -> DataFrame:
+def cc_candidate_edges(
+    docs: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """Near-dup edges (a, b) from a (doc_id, sh: array<long>) frame.
 
     Edges are the corpus's actual exact-Jaccard near-dup pairs, generated
@@ -273,9 +275,9 @@ def cc_candidate_edges(docs: DataFrame) -> DataFrame:
     nested-loop / cartesian stage anywhere (pinned by test_plan_quality).
     This is the real pipeline shape: the pair stage of a dedup run IS the
     edge generator for its grouping stage."""
-    return ngram_jaccard_pairs(docs, threshold=_CC_JACCARD).select(
-        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
-    )
+    return ngram_jaccard_pairs(
+        docs, threshold=_CC_JACCARD, caches=caches
+    ).select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
 
 
 def _cc_edges_sql() -> str:
@@ -346,9 +348,16 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate edge set).  This is the engine's iterative-algorithm shape:
     a driver loop over DataFrames with a convergence check, not a UDF."""
     docs = hashed_shingle_docs(spark, sf_dir).persist()
-    edges = cc_candidate_edges(docs)
+    edge_caches: list[DataFrame] = []
+    edges = cc_candidate_edges(docs, caches=edge_caches)
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge set ONCE, then release the postings cache the
+    # edge generator parked — the loop below must not compete with it for
+    # storage memory (eviction mid-loop forces full lineage recomputes)
     und = und.persist()
+    und.count()
+    for c in edge_caches:
+        c.unpersist()
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("comp")).persist()
     for _ in range(50):  # converges in O(log diameter); 50 is a safety bound

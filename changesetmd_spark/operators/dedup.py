@@ -121,6 +121,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.2,
     df_cap: int = _JACCARD_DF_CAP,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(doc_id, sh) → exact Jaccard pairs (doc_id_1, doc_id_2, jaccard ≥
     threshold) via an *inverted index* on shingles.
@@ -143,8 +144,12 @@ def ngram_jaccard_pairs(
         "sz", F.count("*").over(Window.partitionBy("doc_id"))
     ).select("doc_id", "sz", "s")
     # materialization barrier: both self-join branches read the computed
-    # postings instead of re-running shingling + both windows per branch
+    # postings instead of re-running shingling + both windows per branch.
+    # A caller that materializes the result within its own scope can pass
+    # ``caches`` to take ownership of unpersisting this frame.
     occ = occ.persist()
+    if caches is not None:
+        caches.append(occ)
     pairs = (
         occ.alias("a")
         .join(occ.alias("b"), "s")
@@ -563,6 +568,82 @@ def simhash_band_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()  # a pair can agree on several bands
     )
+
+
+def _simhash_checked_oracle() -> str:
+    """DuckDB SQL reproducing the md5-based 60-bit simhash pipeline bit-for-
+    bit: per-token 60-bit hash → per-bit ±1 votes → fingerprint → the same
+    9-band × 7-bit pigeonhole bucketing as simhash_band_pairs → hamming
+    verify.  Generated (60 vote columns) rather than handwritten."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    fp = "\n               + ".join(
+        f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(60)
+    )
+    bands = ", ".join(
+        f"((fp >> {i * 7}) & 127) | {(i + 1) << 7}" for i in range(9)
+    )
+    return rf"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM sampled
+    ), hs AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ), v AS (
+      SELECT doc_id, {votes}
+      FROM hs GROUP BY doc_id
+    ), f AS (
+      SELECT doc_id, {fp} AS fp FROM v
+    ), banded AS (
+      SELECT doc_id, fp, unnest([{bands}]) AS band FROM f
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 8
+    """
+
+
+@register("q_simhash_checked", oracle=_simhash_checked_oracle())
+def q_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the FULL pipeline hash-checked: md5-prefix
+    60-bit token hashes (engine-portable, see _md5_long) → per-bit vote sums
+    as 60 flat codegen aggregates (one shuffle on doc_id — the same
+    explode→agg shape as minhash_signatures, NOT a nested lambda tree) →
+    fingerprint assembly → the identical 9-band pigeonhole bucket equi-join
+    as the xxhash64 fast path.  The fast path (q_simhash_near_dup) stays
+    rows-only + pytest-pinned; this pins the banding/verify math against an
+    independent engine."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+            ).alias("t"),
+        )
+        .withColumn("h", _md5_long(F.col("t")))
+    )
+    bit = lambda i: F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(60)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(60):
+        fp = fp + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("doc_id", fp.alias("sim"))
+    return simhash_band_pairs(sigs, max_distance=8)
 
 
 @register("q_simhash_near_dup")  # no oracle: xxhash64 is Spark-specific

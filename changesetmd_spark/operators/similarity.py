@@ -378,6 +378,114 @@ def q_embedding_ann_lsh(
     )
 
 
+_ANN_CHECK_TABLES = 2
+_ANN_CHECK_PLANES = 4
+
+
+def _ann_checked_oracle() -> str:
+    """DuckDB SQL reproducing the hyperplane-LSH ANN pipeline exactly: the
+    plane constants are embedded as literals (``repr`` round-trips the
+    doubles bit-for-bit), the dot products use the same left-fold order as
+    :func:`dot`, so bucket signatures — and therefore the approximate
+    candidate sets and the re-ranked top-k — are identical by construction.
+    """
+    plane_rows = []
+    for t in range(_ANN_CHECK_TABLES):
+        sig = "0"
+        for p in range(_ANN_CHECK_PLANES):
+            vals = ", ".join(repr(v) for v in hyperplane(7000 * (t + 1) + p))
+            d = (
+                f"list_reduce(list_transform(generate_series(1, {_DIM}),"
+                f" i -> e[i] * ([{vals}])[i]), (a, b) -> a + b)"
+            )
+            sig = f"({sig}) * 2 + (CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)"
+        plane_rows.append(f"SELECT vec_id, e, nrm, {t} AS t, {sig} AS b FROM n")
+    hashed = " UNION ALL ".join(plane_rows)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), hashed AS (
+      {hashed}
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe, nrm AS qn, t, b
+      FROM hashed WHERE vec_id < {_N_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT q.query_id, h.vec_id AS neighbor_id,
+             q.qe, q.qn, h.e, h.nrm
+      FROM hashed h JOIN q ON h.t = q.t AND h.b = q.b
+      WHERE h.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),
+                                              i -> qe[i] * e[i]),
+                               (a, b) -> a + b) / (qn * nrm), 5) AS cosine_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """
+
+
+@register("q_embedding_ann_checked", oracle=_ann_checked_oracle())
+def q_embedding_ann_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with the FULL pipeline hash-checked: 2 tables ×
+    4 sign-bit planes, bucket equi-join candidates, exact cosine re-rank,
+    deterministic top-k.  The oracle embeds the identical plane constants
+    and fold order, so even this *approximate* operator's output is
+    value-checked — the larger fast path (q_embedding_ann_lsh) stays
+    rows-only + recall-pinned by pytest."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    tables = []
+    for t in range(_ANN_CHECK_TABLES):
+        sig = F.lit(0)
+        for p in range(_ANN_CHECK_PLANES):
+            plane = F.array(*[F.lit(v) for v in hyperplane(7000 * (t + 1) + p)])
+            sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    hashed = emb.select(
+        "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    queries = hashed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "t",
+        "b",
+    )
+    sim = cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"))
+    scored = (
+        hashed.join(F.broadcast(queries), ["t", "b"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 5).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
 @register("q_embedding_ann_ivf")  # no oracle: ANN recall pinned by pytest
 def q_embedding_ann_ivf(
     spark: SparkSession, sf_dir: str, n_probe: int = 4
