@@ -360,6 +360,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.unpersist()
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("comp")).persist()
+    # Convergence signal: min-label propagation only ever LOWERS a node's
+    # label, so Σ comp is strictly decreasing until the fixpoint — a plain
+    # aggregate detects convergence without the label-vs-label join an
+    # explicit changed-count would need (one action per round either way,
+    # but the agg rides the same materialization that warms the cache).
+    prev_sum = None
     for _ in range(50):  # converges in O(log diameter); 50 is a safety bound
         nbr = (
             und.join(labels, und.a == labels.doc_id)
@@ -380,15 +386,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.least("comp", "p_comp").alias("comp"))
             .persist()
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        cur_sum = jumped.agg(F.sum("comp")).first()[0]
         labels.unpersist()
         labels = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     out = (
         labels.groupBy(F.col("comp").alias("component"))
         .agg(

@@ -64,3 +64,38 @@ def run_replication_stream(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def run_replication_stream_txn(
+    spark: SparkSession,
+    src_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """The cluster-deployment variant of :func:`run_replication_stream`:
+    each micro-batch MERGEs through :class:`~..sinks.txn_table.TxnTable`
+    instead of the directory-swap sink, so commits are atomic manifests
+    other writers (and concurrent snapshot readers) can see — the full
+    parity stack for the reference's transactional replication
+    (ref changesetmd.py:140-143,71-76): streaming checkpoint = consumed-file
+    watermark, commit log = transaction boundary, LWW MERGE = idempotent
+    delete+insert."""
+    from ..sinks.txn_table import TxnTable
+
+    diffs = stream_changeset_diffs(spark, src_dir)
+    table = TxnTable(spark, table_dir, partition_source="created_at")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        normalized = normalize_changesets(batch_df, extra=("sequence",))
+        table.merge(normalized, key="id", order_col="sequence")
+
+    q = (
+        diffs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
