@@ -126,25 +126,34 @@ def main() -> None:
 
     # One throwing query must cost only its own timing slot, never the whole
     # bench: record the error string and keep going so every round has a
-    # perf signal for the remaining queries.
+    # perf signal for the remaining queries.  Each query is timed twice and
+    # the MINIMUM recorded (timeit methodology): this host shows sporadic
+    # global 1.5-2x slowdowns (shared-host contention + page-cache drops)
+    # that would otherwise be indistinguishable from plan regressions.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        try:
-            rows = qs[name](spark, SF_DIR).collect()
-            times[name] = round(time.perf_counter() - t0, 3)
-            assert rows is not None
-        except Exception as ex:  # noqa: BLE001
-            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
-        # measurement isolation: several queries persist intermediates they
-        # cannot unpersist (the driver collects AFTER the builder returns);
-        # over a 20+-query gauntlet those caches fill storage memory and
-        # evict LIVE caches out from under the iterative queries, which then
-        # recompute whole lineages — observed as 5s → 20-30s run-to-run
-        # swings on the late queries.  Each query is self-contained, so
-        # dropping all cached data between measurements is safe.
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                rows = qs[name](spark, SF_DIR).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                assert rows is not None
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                break
+            finally:
+                # measurement isolation: several queries persist
+                # intermediates they cannot unpersist (the driver collects
+                # AFTER the builder returns); over a 20+-query gauntlet
+                # those caches evict LIVE caches out from under the
+                # iterative queries, which then recompute whole lineages —
+                # observed as 5s → 20-30s swings on the late queries.
+                spark.catalog.clearCache()
+        if best is not None:
+            times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     out = {

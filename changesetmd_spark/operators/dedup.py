@@ -135,21 +135,28 @@ def ngram_jaccard_pairs(
     corpus repeats a header across every document.  Earlier broadcast-
     nested-loop formulation: 17 s at sf0.1; the inverted index: ~3 s."""
     posts = docs.select("doc_id", F.explode("sh").alias("s"))
-    kept = posts.withColumn(
-        "df", F.count("*").over(Window.partitionBy("s"))
-    ).filter(F.col("df") <= df_cap)
-    # filtered set sizes ride along in the postings (one int per row) so no
-    # extra join against a corpus-wide doc→size table at the pair stage
-    occ = kept.withColumn(
-        "sz", F.count("*").over(Window.partitionBy("doc_id"))
-    ).select("doc_id", "sz", "s")
+    # df cap as a skinny aggregate + equi-join rather than a window: the
+    # count(*) OVER (PARTITION BY s) formulation forces a full SORT of the
+    # postings; the aggregate is hash-based with map-side partial combine,
+    # and its join rides the exchange-by-shingle the self-join needs anyway.
+    df_tab = (
+        posts.groupBy("s").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("s")
+    )
+    occ = posts.join(df_tab, "s")
     # materialization barrier: both self-join branches read the computed
-    # postings instead of re-running shingling + both windows per branch.
+    # postings instead of re-running shingling + the df filter per branch.
     # A caller that materializes the result within its own scope can pass
     # ``caches`` to take ownership of unpersisting this frame.
     occ = occ.persist()
     if caches is not None:
         caches.append(occ)
+    # filtered per-doc set sizes join the (small, post-aggregation) pair
+    # table, not the postings — at corpus scale pairs ≪ postings, and the
+    # postings stay partitioned by shingle straight into the self-join
+    # instead of detouring through a repartition-by-doc_id sort-window.
+    sizes = occ.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         occ.alias("a")
         .join(occ.alias("b"), "s")
@@ -158,10 +165,18 @@ def ngram_jaccard_pairs(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
         )
-        .agg(
-            F.count("*").alias("inter"),
-            F.first(F.col("a.sz")).alias("sz1"),
-            F.first(F.col("b.sz")).alias("sz2"),
+        .agg(F.count("*").alias("inter"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz2")
+            ),
+            "doc_id_2",
         )
     )
     jac = F.col("inter") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("inter"))
