@@ -365,33 +365,45 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate detects convergence without the label-vs-label join an
     # explicit changed-count would need (one action per round either way,
     # but the agg rides the same materialization that warms the cache).
+    #
+    # The iteration frames are |nodes| + |edges| rows — tiny relative to the
+    # corpus — so the loop runs at a narrow shuffle width: each round is
+    # 3-4 exchanges, and at the session default (32+) the per-stage task
+    # launch overhead dominates (measured ~7 s of the query at sf0.1; ~3 s
+    # at width 8).  A production run over billions of nodes sizes this to
+    # |labels| / target-partition-rows instead.
     prev_sum = None
-    for _ in range(50):  # converges in O(log diameter); 50 is a safety bound
-        nbr = (
-            und.join(labels, und.a == labels.doc_id)
-            .select(F.col("b").alias("doc_id"), "comp")
-        )
-        relabeled = (
-            labels.select("doc_id", "comp")
-            .union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping: follow comp -> comp's own label (halves chains)
-        ptr = relabeled.select(
-            F.col("doc_id").alias("p_doc"), F.col("comp").alias("p_comp")
-        )
-        jumped = (
-            relabeled.join(ptr, relabeled.comp == ptr.p_doc)
-            .select("doc_id", F.least("comp", "p_comp").alias("comp"))
-            .persist()
-        )
-        cur_sum = jumped.agg(F.sum("comp")).first()[0]
-        labels.unpersist()
-        labels = jumped
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(50):  # converges in O(log diameter); 50 = safety bound
+            nbr = (
+                und.join(labels, und.a == labels.doc_id)
+                .select(F.col("b").alias("doc_id"), "comp")
+            )
+            relabeled = (
+                labels.select("doc_id", "comp")
+                .union(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer jumping: follow comp -> comp's own label (halves chains)
+            ptr = relabeled.select(
+                F.col("doc_id").alias("p_doc"), F.col("comp").alias("p_comp")
+            )
+            jumped = (
+                relabeled.join(ptr, relabeled.comp == ptr.p_doc)
+                .select("doc_id", F.least("comp", "p_comp").alias("comp"))
+                .persist()
+            )
+            cur_sum = jumped.agg(F.sum("comp")).first()[0]
+            labels.unpersist()
+            labels = jumped
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     out = (
         labels.groupBy(F.col("comp").alias("component"))
         .agg(
