@@ -204,3 +204,68 @@ def test_manifest_commit_is_atomic_no_partial_state(spark, table):
     for v in table.versions():
         m = table._manifest(v)
         assert m["version"] == v and "partitions" in m
+
+
+def test_concurrent_merges_from_threads_both_land(spark, table):
+    """Two writers racing real merges from separate threads: optimistic
+    concurrency must land BOTH effects (disjoint keys) without locks, with
+    a linear version history."""
+    import threading
+
+    table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D2, "b")]))
+    v0 = table.current_version()
+    errs = []
+
+    def writer(rows):
+        try:
+            t = TxnTable(spark, table.path, partition_source="created_at")
+            t.merge(_mk(spark, rows), key="id", order_col="sequence")
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    t1 = threading.Thread(target=writer, args=([(1, 5, D1, "a2")],))
+    t2 = threading.Thread(target=writer, args=([(9, 1, D2, "z")],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert table.current_version() == v0 + 2
+    assert _rows(table.read().select("id", "payload")) == [
+        (1, "a2"),
+        (2, "b"),
+        (9, "z"),
+    ]
+
+
+def test_txn_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a random mix of overwrite/append/merge against a
+    plain dict model — the committed snapshot must always equal the model.
+    (Deterministic op list; hypothesis-style state-machine without the
+    per-example Spark session cost.)"""
+    t = TxnTable(spark, str(tmp_path / "m"), partition_source="created_at")
+    model: dict[int, tuple] = {}
+    ops = [
+        ("overwrite", [(1, 1, D1, "a"), (2, 1, D2, "b"), (3, 1, D1, "c")]),
+        ("merge", [(2, 5, D2, "b2"), (4, 1, D1, "d")]),
+        ("append", [(5, 1, D2, "e")]),
+        ("merge", [(5, 9, D2, "e2"), (1, 2, D1, "a2")]),
+        ("overwrite", [(7, 1, D1, "g")]),
+        ("merge", [(7, 3, D1, "g2"), (8, 1, D2, "h")]),
+        ("append", [(9, 1, D1, "i")]),
+        ("merge", [(9, 2, D1, "i2")]),
+    ]
+    for op, rows in ops:
+        if op == "overwrite":
+            t.overwrite(_mk(spark, rows))
+            model = {r[0]: r for r in rows}
+        elif op == "append":
+            t.append(_mk(spark, rows))
+            model.update({r[0]: r for r in rows})
+        else:
+            t.merge(_mk(spark, rows), key="id", order_col="sequence")
+            best: dict[int, tuple] = {}
+            for r in rows:  # LWW within the batch by sequence
+                if r[0] not in best or r[1] > best[r[0]][1]:
+                    best[r[0]] = r
+            model.update(best)
+        got = _rows(t.read().select("id", "sequence", "payload"))
+        want = sorted((k, v[1], v[3]) for k, v in model.items())
+        assert got == want, f"after {op}: {got} != {want}"
