@@ -182,3 +182,71 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("sample_weight"),
         F.floor(weight * F.col("n_tokens")).cast("long").alias("sampled_tokens"),
     )
+
+
+@register(
+    "q_pipeline_curate_end_to_end",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fp,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+      WHERE len(regexp_extract_all(text, '\S+')) >= 5
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT CASE WHEN bucket < 'cc' THEN 'train' ELSE 'test' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline composed as ONE declarative plan —
+    quality gate (min token count) → exact dedup (sha256 fingerprint,
+    keep-lowest-doc_id) → content-free train/test split (md5 bucket of the
+    id) → per-(split, source) volume report.  Catalyst fuses the scan,
+    filter, and fingerprint into a single codegen stage; the only wide
+    exchanges are the dedup window (one shuffle on the 256-bit fingerprint,
+    uniform keys) and the tiny final rollup — exactly two shuffles for the
+    whole pipeline at any corpus scale."""
+    from .text import fingerprint, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.filter(token_count(F.col("text")) >= 5)
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).alias("n_tokens"),
+            fingerprint(F.col("text")).alias("fp"),
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
+            ).alias("bucket"),
+        )
+    )
+    from pyspark.sql import Window
+
+    deduped = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    split = F.when(F.col("bucket") < "cc", "train").otherwise("test")
+    return (
+        deduped.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
