@@ -194,3 +194,52 @@ def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs both Java
+# regex (Spark) and RE2 (DuckDB) support identically: contraction suffixes,
+# optional-space letter runs, digit runs, punctuation runs.  The upstream
+# pattern's trailing-whitespace lookahead is dropped (RE2 has no lookahead);
+# pure-whitespace spans are simply not counted as tokens.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# the contraction apostrophe must be doubled inside a SQL string literal
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count from the BPE pre-tokenizer regex — the
+    budget unit a training pipeline actually meters (whitespace tokens
+    undercount punctuation-heavy and digit-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), 0))
+
+
+@register(
+    "q_text_token_budget_by_source",
+    oracle=rf"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT)
+             AS bpe_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) * 1.0
+                 / SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))), 4)
+             AS bpe_per_ws
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_text_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per source in BOTH units — whitespace tokens
+    and BPE-pre-tokenizer tokens — plus their ratio (the correction factor
+    between "word count" and what a tokenizer will actually bill).  Pure
+    codegen regex counting; one skinny aggregation shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = token_count(F.col("text"))
+    bpe = bpe_token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.round(F.sum(bpe) * 1.0 / F.sum(ws), 4).alias("bpe_per_ws"),
+    )
