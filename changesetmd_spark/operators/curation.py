@@ -250,3 +250,56 @@ def q_pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "q_text_repetition_quality",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM d WHERE len(toks) >= 2
+    ), counted AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM bi)
+      GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           MAX(c) AS top_bigram_count,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+           MAX(c) * 1.0 / SUM(c) > 0.05 AS is_repetitive
+    FROM counted
+    GROUP BY doc_id
+    """,
+)
+def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules shape): fraction of
+    a document's word bigrams occupied by its single most-repeated bigram,
+    flagged at > 5%.  Detects looping/boilerplate text that length and
+    punctuation heuristics miss.  NON-distinct bigrams on purpose (unlike
+    the dedup shingles — repetition is the signal here).  Two shuffles:
+    (doc, gram) count with map-side combine, then the per-doc rollup."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    counted = docs.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    frac = F.max("c") * 1.0 / F.sum("c")
+    return counted.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.round(frac, 6).alias("top_bigram_frac"),
+        (frac > 0.05).alias("is_repetitive"),
+    )
