@@ -143,6 +143,10 @@ def main() -> None:
                 assert rows is not None
             except Exception as ex:  # noqa: BLE001
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                # keep times/errors disjoint: a first-run success followed by
+                # a second-run failure must not double-report the query as
+                # both measured and failed
+                best = None
                 break
             finally:
                 # measurement isolation: several queries persist

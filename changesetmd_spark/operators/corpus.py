@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .util import fan_out
 from .dedup import _JACCARD_DF_CAP, hashed_shingle_docs, ngram_jaccard_pairs
 
 # Fixed keyword-query for the BM25 entry (deterministic; the corpus draws
@@ -161,9 +162,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the df table joins term-to-term (no broadcast needed, it is
     the same shuffle key).  tf is an exact integer and idf a single ln, so
     the score is deterministic (no float-sum ordering)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     ex = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     ).persist()
@@ -340,82 +339,108 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure step every large-scale dedup pipeline ends with
     (pairwise ≥ threshold is not transitive, so groups need components).
 
-    Spark side: iterative min-label propagation with pointer jumping —
-    labels converge in O(log diameter) rounds; each round is one join +
-    min-aggregate on (node, label) pairs, persisted so branches don't
-    recompute.  The oracle computes the same components with a recursive
-    CTE (full reachability closure, tractable on the deterministic
-    candidate edge set).  This is the engine's iterative-algorithm shape:
-    a driver loop over DataFrames with a convergence check, not a UDF."""
+    Spark side: large-star/small-star alternation (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — each round is two
+    groupBy+join passes over the *shrinking* edge set, converging in
+    O(log² n) rounds worst-case and 2-4 alternations in practice on dedup
+    graphs (vs O(diameter) hops for plain label propagation, which also
+    re-carries the full edge list every round).  The oracle computes the
+    same components with a recursive CTE (full reachability closure,
+    tractable on the deterministic candidate edge set).  This is the
+    engine's iterative-algorithm shape: a driver loop over DataFrames with
+    a convergence check, not a UDF."""
     docs = hashed_shingle_docs(spark, sf_dir).persist()
     edge_caches: list[DataFrame] = []
     edges = cc_candidate_edges(docs, caches=edge_caches)
-    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # materialize the edge set ONCE, then release the postings cache the
-    # edge generator parked — the loop below must not compete with it for
-    # storage memory (eviction mid-loop forces full lineage recomputes)
-    und = und.persist()
-    und.count()
+    # canonical undirected representation: a = max endpoint, b = min.
+    # localCheckpoint (not persist): each star round references the previous
+    # edge set ~8 times, so a cached-but-lineage-carrying frame makes the
+    # LOGICAL plan grow 8x per round — Catalyst analysis time explodes
+    # exponentially even though the data stays tiny.  Checkpointing
+    # truncates the plan to a constant-size LogicalRDD each round.
+    cur = (
+        edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # edge set is materialized; release the postings cache the edge
+    # generator parked and the docs frame — the loop needs neither
     for c in edge_caches:
         c.unpersist()
+    docs.unpersist()
 
-    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("comp")).persist()
-    # Convergence signal: min-label propagation only ever LOWERS a node's
-    # label, so Σ comp is strictly decreasing until the fixpoint — a plain
-    # aggregate detects convergence without the label-vs-label join an
-    # explicit changed-count would need (one action per round either way,
-    # but the agg rides the same materialization that warms the cache).
-    #
-    # The iteration frames are |nodes| + |edges| rows — tiny relative to the
-    # corpus — so the loop runs at a narrow shuffle width: each round is
-    # 3-4 exchanges, and at the session default (32+) the per-stage task
-    # launch overhead dominates (measured ~7 s of the query at sf0.1; ~3 s
-    # at width 8).  A production run over billions of nodes sizes this to
-    # |labels| / target-partition-rows instead.
-    prev_sum = None
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(50):  # converges in O(log diameter); 50 = safety bound
-            nbr = (
-                und.join(labels, und.a == labels.doc_id)
-                .select(F.col("b").alias("doc_id"), "comp")
-            )
-            relabeled = (
-                labels.select("doc_id", "comp")
-                .union(nbr)
-                .groupBy("doc_id")
-                .agg(F.min("comp").alias("comp"))
-            )
-            # pointer jumping: follow comp -> comp's own label (halves chains)
-            ptr = relabeled.select(
-                F.col("doc_id").alias("p_doc"), F.col("comp").alias("p_comp")
-            )
-            jumped = (
-                relabeled.join(ptr, relabeled.comp == ptr.p_doc)
-                .select("doc_id", F.least("comp", "p_comp").alias("comp"))
-                .persist()
-            )
-            cur_sum = jumped.agg(F.sum("comp")).first()[0]
-            labels.unpersist()
-            labels = jumped
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
-    out = (
-        labels.groupBy(F.col("comp").alias("component"))
-        .agg(
-            F.count("*").alias("group_size"),
-            F.min("doc_id").alias("keep_doc_id"),
+    # Loop frames are |edges| rows — tiny relative to the corpus — so every
+    # per-round shuffle is pinned to a narrow width with *per-operation*
+    # repartition on the grouping key (repartition(W, k) then groupBy(k)
+    # plans a single exchange).  NOT a session-global shuffle.partitions
+    # flip: queries planned concurrently on the same SparkSession must keep
+    # their own width.  A production run over billions of edges sizes W to
+    # |edges| / target-partition-rows instead.
+    W = 8
+
+    def _min_nbr(e: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u})
+        return (
+            e.repartition(W, "a")
+            .groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select(F.col("a").alias("u"), F.least("a", "mn").alias("m"))
         )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("a") != F.col("b"))
+            .repartition(W, "a", "b")
+            .distinct()
+        )
+
+    # Convergence: the small-star output is compared to the previous round's
+    # edge set by (count, XOR of xxhash64(a,b)) — one tiny action per round
+    # (bit_xor, not sum: ANSI mode makes Σ of full-range hashes overflow);
+    # the set is stable exactly at the star-graph fixpoint.
+    prev_stats = None
+    for _ in range(50):  # converges in a handful of alternations; 50 = bound
+        # large-star: every neighbour v > u links to m(u); Γ is over the
+        # undirected graph, so feed both directions of each edge
+        both = cur.union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        ml = _min_nbr(both)
+        large = _canon(
+            both.join(ml, both.a == ml.u)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: key each edge by its LARGER endpoint (canonical form
+        # already is), then every smaller neighbour — and u itself — links
+        # to m(u)
+        ms = _min_nbr(large)
+        small = _canon(
+            large.join(ms, large.a == ms.u)
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(ms.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        ).localCheckpoint(eager=True)  # truncate lineage (see cur above)
+        stats = small.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
+        ).first()
+        cur = small
+        if prev_stats == (stats["n"], stats["h"]):
+            break
+        prev_stats = (stats["n"], stats["h"])
+
+    # At the fixpoint the edge set IS the component assignment: one
+    # (member, root) edge per non-root member, root = component min doc_id.
+    out = (
+        cur.groupBy(F.col("b").alias("component"))
+        .agg((F.count("*") + F.lit(1)).cast("long").alias("group_size"))
+        .withColumn("keep_doc_id", F.col("component"))
         .filter(F.col("group_size") > 1)
     )
-    # Materialize the (small) group summary with truncated lineage, then
-    # release every intermediate cache — repeated invocations must not
-    # accumulate blocks in executor memory for the rest of the session.
-    result = out.localCheckpoint(eager=True)
-    for cached in (docs, und, labels):
-        cached.unpersist()
-    return result
+    # Materialize the (small) group summary with truncated lineage —
+    # intermediate checkpoint blocks are reclaimed by the ContextCleaner
+    # once their frames go out of scope, so repeated invocations don't
+    # accumulate executor storage.
+    return out.localCheckpoint(eager=True)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .util import fan_out
 
 # dictionary scrubbing: terms chosen to EXIST in the driver vocabulary so
 # the hash check exercises real replacements
@@ -106,8 +107,7 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     from .dedup import word_shingles
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(
             F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= _CONTAM_N
         )
@@ -290,8 +290,7 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
     )

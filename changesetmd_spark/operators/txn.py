@@ -18,6 +18,8 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,12 +72,25 @@ def q_txn_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "value", "ts"
     )
-    # fresh deterministic location per sf_dir; rebuilt every invocation so
-    # the query is a pure function of the input tables
-    path = os.path.join(
+    # Unique per-invocation location: the returned DataFrame reads its
+    # parquet lazily, so deleting a shared fixed path here would yank files
+    # out from under a previous invocation's still-pending snapshot (or a
+    # concurrent bench on the same sf_dir).  Determinism comes from the
+    # data, not the path.  Stale siblings (>1 h old) are swept
+    # opportunistically so repeated benches don't accumulate in /tmp.
+    group = os.path.join(
         _TXN_ROOT, hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     )
-    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isdir(group):
+        cutoff = time.time() - 3600.0
+        for d in os.listdir(group):
+            full = os.path.join(group, d)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    path = os.path.join(group, uuid.uuid4().hex)
     table = TxnTable(spark, path, partition_source="ts")
     # the bulk load is itself a MERGE into the empty table so batch-1 rows
     # get the same per-key LWW dedup the reference's loader applies

@@ -149,9 +149,12 @@ class TxnTable:
 
     # ---- writing -----------------------------------------------------------
 
-    def _write_data_dir(self, df: DataFrame) -> tuple[str, list[str]]:
+    def _write_data_dir(self, df: DataFrame) -> tuple[str, list[str], bool]:
         """Write ``df`` into a fresh immutable commit directory; returns
-        (relative dir, partition dirnames inside it — empty if unpartitioned).
+        (relative dir, partition dirnames inside it, partitioned?).  A
+        partitioned write of an empty frame yields ``parts == []`` — callers
+        must NOT fall back to the ``""`` pseudo-partition in that case (it
+        would make a partitioned table look unpartitioned to later merges).
         """
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         full = os.path.join(self.path, rel)
@@ -174,9 +177,9 @@ class TxnTable:
                 for d in os.listdir(full)
                 if d.startswith(f"{self.partition_col}=")
             ]
-            return rel, parts
+            return rel, parts, True
         df.write.parquet(full)
-        return rel, []
+        return rel, [], False
 
     @staticmethod
     def _live_map(manifest: dict | None) -> dict[str, list[str]]:
@@ -210,22 +213,32 @@ class TxnTable:
 
     def append(self, df: DataFrame) -> int:
         """Blind append — commutes with every concurrent commit, so a lost
-        race rebases by re-adding the same (already written) directory."""
-        rel, parts = self._write_data_dir(df)
+        race rebases by re-adding the same (already written) directory.
+        An empty batch (e.g. an empty replication micro-batch) is a no-op:
+        committing it on a partitioned table would register the ``""``
+        pseudo-partition and corrupt partition resolution for later merges.
+        """
+        if df.isEmpty():
+            return self.current_version()
+        rel, parts, partitioned = self._write_data_dir(df)
 
         def apply(live: dict[str, list[str]]) -> dict[str, list[str]]:
-            for p in parts or [""]:
+            for p in parts if partitioned else [""]:
                 live.setdefault(p, []).append(rel)
             return live
 
         return self._commit_loop("append", apply)
 
     def overwrite(self, df: DataFrame) -> int:
-        """Replace the whole table state (DDL create/truncate parity, S7)."""
-        rel, parts = self._write_data_dir(df)
+        """Replace the whole table state (DDL create/truncate parity, S7).
+        Overwriting with an empty frame is a truncate: the new manifest has
+        no live partitions (never the ``""`` pseudo-partition)."""
+        rel, parts, partitioned = self._write_data_dir(df)
 
         def apply(live: dict[str, list[str]]) -> dict[str, list[str]]:
-            return {p: [rel] for p in parts or [""]}
+            if partitioned:
+                return {p: [rel] for p in parts}
+            return {"": [rel]}
 
         return self._commit_loop("overwrite", apply)
 
@@ -237,10 +250,21 @@ class TxnTable:
     ) -> int:
         """Idempotent LWW MERGE (delete-then-insert parity, S6/T4-T5): batch
         rows replace current rows with the same key; only partitions holding
-        batch keys are rewritten.  A lost commit race against a commit that
-        touched any affected partition *recomputes* the MERGE against the
-        new snapshot (outer loop); disjoint concurrent commits rebase."""
+        batch keys are rewritten.  A lost commit race always *recomputes* the
+        MERGE against the new snapshot: partition-level disjointness is not
+        sufficient for a key-level invariant — a concurrent commit may have
+        inserted a batch key into a partition outside this merge's affected
+        set, and rebasing over it would publish duplicate keys (violating the
+        single-row-per-key guarantee the reference's delete+insert provides).
+        Recompute-on-conflict is what Delta does for MERGE without predicate
+        disjointness proofs; the idempotent LWW computation absorbs replays
+        (T4), so retrying is safe."""
         key_cols = [key] if isinstance(key, str) else list(key)
+        if batch.isEmpty():
+            # empty diff (e.g. an empty replication micro-batch): nothing to
+            # merge, and committing would register the "" pseudo-partition on
+            # partitioned tables
+            return self.current_version()
         for _ in range(_MAX_COMMIT_RETRIES):
             read_version = self.current_version()
             prev = self._manifest(read_version) if read_version >= 0 else None
@@ -248,8 +272,8 @@ class TxnTable:
 
             incoming = latest_per_key(batch, key=key_cols, order_col=order_col)
             if not live:
-                rel, parts = self._write_data_dir(incoming)
-                new_live = {p: [rel] for p in parts or [""]}
+                rel, parts, partitioned = self._write_data_dir(incoming)
+                new_live = {p: [rel] for p in (parts if partitioned else [""])}
             else:
                 current = self._read_live(live)
                 keys = incoming.select(*key_cols).distinct()
@@ -298,11 +322,11 @@ class TxnTable:
                 new_state = kept.unionByName(
                     incoming.select(*kept.columns), allowMissingColumns=False
                 )
-                rel, parts = self._write_data_dir(new_state)
+                rel, parts, partitioned = self._write_data_dir(new_state)
                 new_live = dict(live)
                 for p in affected:
                     new_live.pop(p, None)  # partition lost all its rows
-                for p in parts or [""]:
+                for p in parts if partitioned else [""]:
                     new_live[p] = [rel]
 
             manifest = {
@@ -314,28 +338,10 @@ class TxnTable:
             }
             if self._try_commit(read_version + 1, manifest):
                 return read_version + 1
-            # Lost the race.  If the winning commits only touched partitions
-            # disjoint from ours, rebase the manifest and retry the slot;
-            # otherwise loop back and recompute the MERGE on the new state.
-            latest = self._manifest(self.current_version())
-            their_live = self._live_map(latest)
-            changed = {
-                p
-                for p in set(their_live) | set(live)
-                if their_live.get(p) != live.get(p)
-            }
-            if changed & (affected if live else set(new_live)):
-                continue  # overlapping: recompute from the new snapshot
-            rebased = dict(their_live)
-            for p in (affected if live else set()):
-                rebased.pop(p, None)
-            for p in parts or [""]:
-                rebased[p] = [rel]
-            manifest["read_version"] = latest["version"]
-            manifest["version"] = latest["version"] + 1
-            manifest["partitions"] = rebased
-            if self._try_commit(latest["version"] + 1, manifest):
-                return latest["version"] + 1
+            # Lost the race: loop back and recompute the MERGE against the
+            # new snapshot (see docstring — rebasing a merge is unsound at
+            # key level).  The already-written data dir is orphaned and will
+            # be swept by vacuum().
         raise TxnConflictError(
             f"gave up after {_MAX_COMMIT_RETRIES} contended commits on "
             f"{self.path!r} (merge)"
@@ -384,6 +390,11 @@ class TxnTable:
         if v < 0:
             raise ValueError(f"transactional table {self.path!r} is empty")
         live = self._live_map(self._manifest(v))
+        if not live:
+            raise ValueError(
+                f"transactional table {self.path!r} has no live data at "
+                f"v{v} (truncated)"
+            )
         if partitions is not None and "" not in live:
             wanted = {self._partition_dirname(p) for p in partitions}
             live = {p: d for p, d in live.items() if p in wanted}

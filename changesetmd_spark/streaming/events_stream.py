@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,33 @@ from ..registry import register
 from ..tables import table_path
 
 _STAGE_ROOT = "/tmp/changesetmd_spark_stream_stage"
+
+# Confs the staged events source needs at plan/run time (identical to the
+# session factory defaults, session.py).  Always applied SCOPED — a builder
+# must not leak conf mutations into the caller's session (a concurrently
+# planned query would silently inherit them).
+_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, settings: dict[str, str]):
+    """Set session confs for the duration of the block, then restore the
+    caller's values (unset keys are re-unset)."""
+    saved: dict[str, str | None] = {}
+    for k, v in settings.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def _staged_dir(sf_dir: str, name: str) -> str:
@@ -44,11 +72,16 @@ def _staged_dir(sf_dir: str, name: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as an unbounded source: explicit schema (streaming sources
-    cannot infer), nanos→micros ts conversion as in tables.load_table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    sdf = spark.readStream.schema(schema).parquet(_staged_dir(sf_dir, "events"))
+    cannot infer), nanos→micros ts conversion as in tables.load_table.
+
+    The nanosAsLong/timezone confs are applied scoped to the eager schema
+    read only (and re-applied scoped around execution by
+    run_stream_to_table) — never left set on the caller's session."""
+    with _scoped_conf(spark, _RUNTIME_CONF):
+        schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+        sdf = spark.readStream.schema(schema).parquet(
+            _staged_dir(sf_dir, "events")
+        )
     ts_type = dict(sdf.dtypes)["ts"]
     if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -80,11 +113,10 @@ def run_stream_to_table(
     ``writeStream.format("parquet")``."""
     spark = stream_df.sparkSession
     name = f"stream_{uuid.uuid4().hex}"
-    prev = None
+    conf = dict(_RUNTIME_CONF)
     if shuffle_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    with _scoped_conf(spark, conf):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -93,9 +125,6 @@ def run_stream_to_table(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -164,3 +164,30 @@ def test_embedding_neardup_equi_join_only(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.cosine_sim >= 0.92 for r in rows)
     assert all(r.vec_id_2 - 10_000_000 == r.vec_id_1 for r in rows)
+
+
+def test_fan_out_is_conditional(spark, sf_dir):
+    """fan_out must widen a narrow (single-file) scan but be a NO-OP on an
+    input already at session parallelism — an extra Exchange of raw 100 TB
+    input would be pure shuffle waste (VERDICT r5 #3)."""
+    from changesetmd_spark.operators.util import fan_out
+    from changesetmd_spark.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < par
+    widened = fan_out(narrow, "doc_id")
+    assert widened.rdd.getNumPartitions() == par
+    # already-wide input: fan_out returns the SAME frame, no repartition node
+    wide = narrow.repartition(par, "doc_id")
+    assert fan_out(wide, "doc_id") is wide
+
+
+def test_lsh_bucket_caps_have_no_sort_window(spark, sf_dir):
+    """The MinHash-LSH and SimHash bucket caps must be aggregate+anti-join
+    shaped, never a count(*) OVER (PARTITION BY bucket) window — the window
+    forces a full sort of the postings (VERDICT r5 #4)."""
+    for name in ("q_minhash_lsh_candidates", "q_simhash_near_dup"):
+        df = QS[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name} plan contains a sort window"

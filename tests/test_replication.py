@@ -341,3 +341,71 @@ def test_recovery_sweeps_legacy_backup_inside_target(spark, tmp_path):
     rows = _table_rows(spark, target)
     assert rows == [(1, 100, "v100"), (2, 101, "v101"), (10, 100, "v100")]
     assert not any(".old-" in d for d in os.listdir(target))
+
+
+def test_replication_over_http_fixture_server(spark, tmp_path):
+    """S3/S4 end-to-end through a REAL HTTP hop: a stdlib http.server serves
+    state.yaml plus three .osm.gz diffs in the production NNN/NNN/NNN layout;
+    the production urllib_fetcher downloads them and ChangesetStore.replicate
+    applies the catch-up — watermark advance + idempotent re-run included.
+    (The live planet.openstreetmap.org endpoint is unreachable from the
+    sandbox; this proves the same code path against a local origin.)"""
+    import functools
+    import gzip as _gzip
+    import http.server
+    import threading
+    import urllib.request
+
+    from changesetmd_spark.sources.replication import (
+        parse_state_yaml as _parse,
+        sequence_path as _seq_path,
+        urllib_fetcher,
+    )
+
+    diffs = {
+        101: _diff_xml([_cs(7, True, 1), _cs(8, False, 2)]),
+        102: _diff_xml([_cs(7, False, 5)]),
+        103: _diff_xml([_cs(9, False, 3, user="v")]),
+    }
+    docroot = tmp_path / "www"
+    for seq, payload in diffs.items():
+        p = docroot / _seq_path(seq)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(_gzip.compress(payload))
+    (docroot / "state.yaml").write_text(
+        "---\nlast_run: 2024-05-01 04:00:00.000000 +00:00\nsequence: 103\n"
+    )
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(docroot)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/"
+        # S4: remote state discovery over HTTP
+        with urllib.request.urlopen(base + "state.yaml") as resp:
+            state = _parse(resp.read().decode())
+        assert state.sequence == 103
+
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        fetch = urllib_fetcher(str(staging), base_url=base)
+        store = ChangesetStore(spark, str(tmp_path / "store"))
+        store.create()
+        store._write_state(100, None)
+        applied = store.replicate(
+            state.sequence, fetch, server_timestamp=state.last_run
+        )
+        assert applied == 3
+        assert store.state()["last_sequence"] == 103
+        rows = _state_rows(store)
+        assert rows == [(7, False, 5, 102), (8, False, 2, 101), (9, False, 3, 103)]
+
+        # T4 idempotence over the same HTTP origin (staged files reused,
+        # but the fetcher path is exercised for presence-checking again)
+        store._write_state(100, None)
+        assert store.replicate(103, fetch) == 3
+        assert _state_rows(store) == rows
+    finally:
+        srv.shutdown()

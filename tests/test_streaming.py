@@ -114,3 +114,20 @@ def test_streaming_replication_txn_sink(spark, tmp_path):
     # commit log); history shows the replay commits without corrupting state
     run_replication_stream_txn(spark, src, table_dir, str(tmp_path / "ckpt2"))
     assert rows() == [(7, False, 5, 102), (8, False, 2, 101), (9, False, 3, 103)]
+
+
+def test_stream_builders_leave_session_conf_untouched(spark, sf_dir):
+    """Building AND running a streaming query must not leak conf mutations
+    (nanosAsLong / session timezone / shuffle width) into the caller's
+    session (VERDICT r5 #5)."""
+    from changesetmd_spark.registry import queries
+
+    keys = (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    queries()["q_stream_tumbling_hourly"](spark, sf_dir).collect()
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before

@@ -95,7 +95,9 @@ def test_merge_replay_is_idempotent(spark, table):
 
 def test_lost_race_disjoint_partitions_rebases(spark, table):
     """A merge that loses the version slot to a commit touching OTHER
-    partitions must rebase (keep both effects) without recomputing."""
+    partitions must converge with BOTH effects kept (the merge recomputes
+    against the winner's snapshot — partition-level disjointness is not
+    sufficient to prove key-level disjointness, see TxnTable.merge)."""
     table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D2, "b")]))
     writer2 = TxnTable(spark, table.path, partition_source="created_at")
 
@@ -162,7 +164,7 @@ def test_sustained_contention_raises(spark, table):
 def test_uncommitted_data_invisible_and_vacuumed(spark, table):
     table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
     # a crashed writer: data directory written, commit never happened
-    orphan_rel, _ = table._write_data_dir(_mk(spark, [(99, 1, D1, "ghost")]))
+    orphan_rel, _, _ = table._write_data_dir(_mk(spark, [(99, 1, D1, "ghost")]))
     assert _rows(table.read().select("id")) == [(1,)]
     removed = table.vacuum(keep_versions=10, retention_seconds=0.0)
     assert orphan_rel in removed
@@ -269,3 +271,62 @@ def test_txn_model_based_random_ops(spark, tmp_path):
         got = _rows(t.read().select("id", "sequence", "payload"))
         want = sorted((k, v[1], v[3]) for k, v in model.items())
         assert got == want, f"after {op}: {got} != {want}"
+
+
+def test_lost_race_same_key_other_partition_no_duplicate(spark, table):
+    """The key-level conflict the partition-level rebase used to miss: while
+    our merge (affected = D1) is in flight, a concurrent commit lands the
+    SAME key in D2.  The merge must recompute against the winner's snapshot
+    and publish exactly one row for the key — never both."""
+    table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D2, "b")]))
+    writer2 = TxnTable(spark, table.path, partition_source="created_at")
+
+    real = table._try_commit
+    fired = {"done": False}
+
+    def racing(version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer lands key 1 in the D2 partition — outside
+            # the D1 'affected' set our in-flight merge computed
+            writer2.append(_mk(spark, [(1, 2, D2, "theirs")]))
+        return real(version, manifest)
+
+    table._try_commit = racing
+    try:
+        table.merge(_mk(spark, [(1, 9, D1, "ours")]), key="id", order_col="sequence")
+    finally:
+        table._try_commit = real
+    rows = _rows(table.read().select("id", "payload"))
+    assert rows == [(1, "ours"), (2, "b")]  # exactly ONE row for key 1
+
+
+def test_empty_batch_append_and_merge_are_noops(spark, table):
+    """An empty micro-batch (e.g. an empty replication diff) must not
+    commit: on a partitioned table it would otherwise register the ""
+    pseudo-partition and corrupt partition resolution for later merges."""
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    v = table.current_version()
+    empty = _mk(spark, []).limit(0)
+    assert table.append(empty) == v
+    assert table.merge(empty, key="id", order_col="sequence") == v
+    assert table.current_version() == v
+    live = table._live_map(table._manifest(v))
+    assert "" not in live
+    # and the table still merges correctly afterwards (partitioned branch)
+    table.merge(_mk(spark, [(1, 5, D1, "a2")]), key="id", order_col="sequence")
+    assert _rows(table.read().select("id", "payload")) == [(1, "a2")]
+
+
+def test_overwrite_empty_truncates_partitioned_table(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    table.overwrite(_mk(spark, []).limit(0))
+    live = table._live_map(table._manifest(table.current_version()))
+    assert live == {}  # truly empty — no "" pseudo-partition
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no live data"):
+        table.read()
+    # and the table recovers on the next write
+    table.merge(_mk(spark, [(2, 1, D2, "b")]), key="id", order_col="sequence")
+    assert _rows(table.read().select("id", "payload")) == [(2, "b")]

@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""sf ≥ 1 scale smoke (VERDICT r4/r5 carried item): up-sample the sf0.1
+corpus by ``SPARK_GRAFT_SCALE_REPLICAS``× (default 10× ⇒ sf1-equivalent),
+run the scale-critical queries at both sizes in one session, and write
+``BENCH_scale.json`` with per-query wall times and scale ratios.
+
+Pass criterion (VERDICT r5 #2): no query superlinear vs sf0.1 by more than
+the data ratio — i.e. ``ratio[q] <= replicas`` (modulo fixed overheads that
+FAVOR the larger run, so this is conservative).
+
+Up-sampling preserves workload *density* rather than inflating it:
+
+* documents: replica k shifts doc_id by k·10⁷ and suffixes every token with
+  ``_k`` — a bijective token rename, so each replica keeps the ORIGINAL
+  corpus's internal near-dup structure exactly while cross-replica shingle
+  sets are disjoint.  Duplicate density (the thing that drives LSH/pair
+  workload) therefore stays constant as the corpus grows, which is how real
+  corpora scale; naive replication would instead plant R-cliques of
+  near-identical docs and measure a quadratic pair blowup, not the engine.
+* embeddings: replica k shifts vec_id and cyclically rotates the vector by
+  k dims — norm- and distribution-preserving, decorrelated across replicas.
+
+Run:  PYTHONPATH=. python tools/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from changesetmd_spark import get_spark, registry  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/changesetmd_scale_x{REPLICAS}"
+)
+OUT_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_scale.json",
+)
+
+QUERIES = [
+    "q_minhash_lsh_candidates",
+    "q_ngram_jaccard_pairs",
+    "q_dedup_groups",
+    "q_embedding_ann_lsh",
+    "q_dedup_exact",
+]
+
+
+def build_scale_data(spark) -> None:
+    marker = os.path.join(SCALE_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(SCALE_DIR, ignore_errors=True)
+    os.makedirs(SCALE_DIR, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    parts = []
+    for k in range(REPLICAS):
+        salted = (
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit(f"_{k}")),
+                ),
+            )
+            if k > 0
+            else F.col("text")
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                salted.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(os.path.join(SCALE_DIR, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for k in range(REPLICAS):
+        rot = (
+            F.concat(
+                F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+            )
+            if k > 0
+            else F.col("embedding")
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(os.path.join(SCALE_DIR, "embeddings.parquet"))
+
+    # remaining tables: symlink the base versions (queries above only touch
+    # documents/embeddings, but registry builders may load others)
+    for f in os.listdir(BASE):
+        dst = os.path.join(SCALE_DIR, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f), dst)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def timed(qs, name: str, sf_dir: str, spark) -> tuple[float, int]:
+    best, rows = None, -1
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = qs[name](spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        rows = len(out)
+        spark.catalog.clearCache()
+    return round(best, 3), rows
+
+
+def main() -> None:
+    spark = get_spark(app_name="changesetmd-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    t0 = time.perf_counter()
+    build_scale_data(spark)
+    build_s = round(time.perf_counter() - t0, 1)
+    print(f"scale data x{REPLICAS} at {SCALE_DIR} ({build_s}s)", file=sys.stderr)
+
+    base_t, scale_t, rows = {}, {}, {}
+    for name in QUERIES:
+        base_t[name], _ = timed(qs, name, BASE, spark)
+        scale_t[name], rows[name] = timed(qs, name, SCALE_DIR, spark)
+        print(
+            f"{name}: base {base_t[name]}s -> x{REPLICAS} {scale_t[name]}s "
+            f"(ratio {round(scale_t[name] / base_t[name], 2)}, "
+            f"{rows[name]} rows)",
+            file=sys.stderr,
+        )
+
+    ratios = {n: round(scale_t[n] / base_t[n], 2) for n in QUERIES}
+    result = {
+        "metric": "scale_smoke",
+        "base_sf_dir": BASE,
+        "replicas": REPLICAS,
+        "sf_equivalent": 0.1 * REPLICAS,
+        "base_sec": base_t,
+        "scale_sec": scale_t,
+        "time_ratio": ratios,
+        "data_ratio": REPLICAS,
+        "pass": all(r <= REPLICAS for r in ratios.values()),
+    }
+    with open(OUT_JSON, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
