@@ -95,11 +95,12 @@ def build_scale_data(spark) -> None:
     dim = len(emb.select("embedding").first()[0])
     parts = []
     for k in range(REPLICAS):
+        r = k % dim  # rotation wraps past the vector length
         rot = (
             F.concat(
-                F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+                F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
             )
-            if k > 0
+            if r > 0
             else F.col("embedding")
         )
         parts.append(
@@ -159,7 +160,6 @@ def main() -> None:
 
     ratios = {n: round(scale_t[n] / base_t[n], 2) for n in QUERIES}
     result = {
-        "metric": "scale_smoke",
         "base_sf_dir": BASE,
         "replicas": REPLICAS,
         "sf_equivalent": 0.1 * REPLICAS,
@@ -169,9 +169,22 @@ def main() -> None:
         "data_ratio": REPLICAS,
         "pass": all(r <= REPLICAS for r in ratios.values()),
     }
+    doc = {"metric": "scale_smoke", "runs": []}
+    if os.path.exists(OUT_JSON):
+        try:
+            with open(OUT_JSON) as fh:
+                prev = json.load(fh)
+            doc["runs"] = [
+                r for r in prev.get("runs", []) if r["replicas"] != REPLICAS
+            ]
+        except (json.JSONDecodeError, KeyError):
+            pass
+    doc["runs"].append(result)
+    doc["runs"].sort(key=lambda r: r["replicas"])
+    doc["pass"] = all(r["pass"] for r in doc["runs"])
     with open(OUT_JSON, "w") as fh:
-        json.dump(result, fh, indent=1)
-    print(json.dumps(result))
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
