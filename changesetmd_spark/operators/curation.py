@@ -302,3 +302,144 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("top_bigram_frac"),
         (frac > 0.05).alias("is_repetitive"),
     )
+
+
+@register(
+    "q_line_dedup_c4",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+      FROM d
+    ), posts AS (
+      SELECT doc_id, i AS pos, chunks[i + 1] AS chunk
+      FROM c, UNNEST(generate_series(0, len(chunks) - 1)) AS t(i)
+    ), keeper AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM posts
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS kept_ratio
+    FROM keeper
+    GROUP BY doc_id
+    """,
+)
+def q_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: the corpus is cut into fixed 10-token
+    "lines" (the synthetic corpus has no newlines; C4 uses real lines —
+    same dataflow), every line occurring more than once across the corpus
+    keeps only its FIRST occurrence (lowest doc_id, then position), and
+    each document reports how much of it survived.  This is the C4
+    pipeline's exact dedup step one level below document granularity —
+    boilerplate shared across near-dup documents is removed even when the
+    documents as wholes are distinct.
+
+    Scale shape: first-occurrence-per-line is a hash aggregate of
+    ``min(struct(doc_id, pos))`` — NOT a row_number window (no global sort
+    of the postings; the aggregate partial-combines map-side).  The postings
+    then rejoin the (tiny, one-row-per-distinct-line) keeper table on the
+    exchange the aggregate already produced, and the per-doc rollup is a
+    second skinny aggregate.  Shuffle carries (line-hash, doc_id, pos)
+    triples; at 100 TB the line-hash key is uniform (no skew) and the
+    keeper side is |distinct lines| ≪ |postings|."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    )
+    keeper = posts.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = posts.join(keeper, "chunk").select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        ).cast("int").alias("is_kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("is_kept").alias("n_kept"),
+        F.round(F.sum("is_kept") * 1.0 / F.count("*"), 4).alias("kept_ratio"),
+    )
+
+
+@register(
+    "q_unigram_prob_mass",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), posts AS (
+      SELECT doc_id, unnest(toks) AS term FROM d
+    ), freq AS (
+      SELECT term, COUNT(*) AS c FROM posts GROUP BY term
+    ), total AS (
+      SELECT COUNT(*) AS n FROM posts
+    ), scored AS (
+      SELECT p.doc_id, SUM(f.c) AS mass_num, COUNT(*) AS n_tokens
+      FROM posts p JOIN freq f USING (term)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(mass_num * 1.0 / (n_tokens * n), 8) AS prob_mass
+    FROM scored CROSS JOIN total
+    """,
+)
+def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (the CCNet/Gopher "does this look like
+    language" family): each document scores the MEAN corpus-unigram
+    probability of its tokens — boilerplate of common tokens scores high,
+    token-soup of rare symbols scores low; filtering thresholds this.
+
+    Deliberately the probability-MASS form, not avg-log-prob: the score is
+    Σ tf·c / (n_d·N) — exact integer arithmetic until one final division —
+    so it is bit-reproducible across engines.  A Σ-of-ln formulation is
+    order-sensitive in its float fold and an engine-differential check
+    would flap (same reason q_bm25's oracle writes its per-term sum in
+    fixed textual order).
+
+    Scale shape: one shuffle on term for the frequency table, one shuffle
+    on doc_id for the per-doc rollup, the grand total rides as a broadcast
+    1-row frame — same inverted-index plan family as TF-IDF."""
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .persist()
+    )
+    freq = posts.groupBy("term").agg(F.count("*").alias("c"))
+    total = posts.agg(F.count("*").alias("n"))
+    scored = (
+        posts.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("mass_num"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("mass_num") * 1.0 / (F.col("n_tokens") * F.col("n")), 8
+        ).alias("prob_mass"),
+    )
