@@ -309,55 +309,33 @@ def _cc_edges_sql() -> str:
     """
 
 
-@register(
-    "q_dedup_groups",
-    oracle=_cc_edges_sql()
-    + """
-    , und AS (
-      SELECT a, b FROM e UNION SELECT b, a FROM e
-    ), nodes AS (
-      SELECT doc_id FROM s
-    ), walk AS (
-      SELECT doc_id, doc_id AS reach FROM nodes
-      UNION
-      SELECT w.doc_id, u.b AS reach
-      FROM walk w JOIN und u ON u.a = w.reach
-    ), comp AS (
-      SELECT doc_id, MIN(reach) AS component FROM walk GROUP BY doc_id
-    )
-    SELECT component,
-           COUNT(*) AS group_size,
-           MIN(doc_id) AS keep_doc_id
-    FROM comp
-    GROUP BY component
-    HAVING COUNT(*) > 1
-    """,
-)
-def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component dedup groups: near-dup pairs form edges; each
-    component keeps one canonical document (its minimum doc_id) — the
-    transitive-closure step every large-scale dedup pipeline ends with
-    (pairwise ≥ threshold is not transitive, so groups need components).
+def connected_components(edges: DataFrame, width: int = 8) -> DataFrame:
+    """(a, b) undirected edge frame → (node, component) labels for every
+    node with at least one edge; component = the minimum node id of its
+    component.
 
-    Spark side: large-star/small-star alternation (Kiveris et al. 2014,
-    "Connected Components in MapReduce and Beyond") — each round is two
-    groupBy+join passes over the *shrinking* edge set, converging in
-    O(log² n) rounds worst-case and 2-4 alternations in practice on dedup
-    graphs (vs O(diameter) hops for plain label propagation, which also
-    re-carries the full edge list every round).  The oracle computes the
-    same components with a recursive CTE (full reachability closure,
-    tractable on the deterministic candidate edge set).  This is the
-    engine's iterative-algorithm shape: a driver loop over DataFrames with
-    a convergence check, not a UDF."""
-    docs = hashed_shingle_docs(spark, sf_dir).persist()
-    edge_caches: list[DataFrame] = []
-    edges = cc_candidate_edges(docs, caches=edge_caches)
-    # canonical undirected representation: a = max endpoint, b = min.
-    # localCheckpoint (not persist): each star round references the previous
-    # edge set ~8 times, so a cached-but-lineage-carrying frame makes the
-    # LOGICAL plan grow 8x per round — Catalyst analysis time explodes
-    # exponentially even though the data stays tiny.  Checkpointing
-    # truncates the plan to a constant-size LogicalRDD each round.
+    Large-star/small-star alternation (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): each round is two groupBy-min +
+    join passes over the *shrinking* edge set, converging in O(log² n)
+    rounds worst-case and 2-4 alternations in practice on dedup graphs (vs
+    O(diameter) hops for plain label propagation, which also re-carries the
+    full edge list every round).  Property-tested against a union-find
+    model on random graphs (test_connected_components.py).
+
+    localCheckpoint (not persist) each round: the star construction
+    references the previous edge set ~8 times, so a cached-but-lineage-
+    carrying frame makes the LOGICAL plan grow 8x per round — Catalyst
+    analysis time explodes exponentially even though the data stays tiny.
+    Checkpointing truncates the plan to a constant-size LogicalRDD.
+
+    ``width`` pins every per-round shuffle narrow with *per-operation*
+    repartition on the grouping key (repartition(W, k) then groupBy(k)
+    plans a single exchange) — NOT a session-global shuffle.partitions
+    flip: queries planned concurrently on the same SparkSession must keep
+    their own width.  A production run over billions of edges sizes it to
+    |edges| / target-partition-rows instead."""
+    W = width
+    # canonical undirected representation: a = max endpoint, b = min
     cur = (
         edges.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
@@ -366,20 +344,6 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # edge set is materialized; release the postings cache the edge
-    # generator parked and the docs frame — the loop needs neither
-    for c in edge_caches:
-        c.unpersist()
-    docs.unpersist()
-
-    # Loop frames are |edges| rows — tiny relative to the corpus — so every
-    # per-round shuffle is pinned to a narrow width with *per-operation*
-    # repartition on the grouping key (repartition(W, k) then groupBy(k)
-    # plans a single exchange).  NOT a session-global shuffle.partitions
-    # flip: queries planned concurrently on the same SparkSession must keep
-    # their own width.  A production run over billions of edges sizes W to
-    # |edges| / target-partition-rows instead.
-    W = 8
 
     def _min_nbr(e: DataFrame) -> DataFrame:
         # m(u) = min(Γ(u) ∪ {u})
@@ -422,7 +386,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             large.join(ms, large.a == ms.u)
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(ms.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        ).localCheckpoint(eager=True)  # truncate lineage (see cur above)
+        ).localCheckpoint(eager=True)  # truncate lineage (see above)
         stats = small.agg(
             F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
         ).first()
@@ -432,10 +396,67 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_stats = (stats["n"], stats["h"])
 
     # At the fixpoint the edge set IS the component assignment: one
-    # (member, root) edge per non-root member, root = component min doc_id.
+    # (member, root) edge per non-root member, root = component min.
+    children = cur.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    )
+    roots = (
+        cur.select(F.col("b").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return children.union(roots)
+
+
+@register(
+    "q_dedup_groups",
+    oracle=_cc_edges_sql()
+    + """
+    , und AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), nodes AS (
+      SELECT doc_id FROM s
+    ), walk AS (
+      SELECT doc_id, doc_id AS reach FROM nodes
+      UNION
+      SELECT w.doc_id, u.b AS reach
+      FROM walk w JOIN und u ON u.a = w.reach
+    ), comp AS (
+      SELECT doc_id, MIN(reach) AS component FROM walk GROUP BY doc_id
+    )
+    SELECT component,
+           COUNT(*) AS group_size,
+           MIN(doc_id) AS keep_doc_id
+    FROM comp
+    GROUP BY component
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup groups: near-dup pairs form edges; each
+    component keeps one canonical document (its minimum doc_id) — the
+    transitive-closure step every large-scale dedup pipeline ends with
+    (pairwise ≥ threshold is not transitive, so groups need components).
+
+    Spark side: :func:`connected_components` (large-star/small-star
+    alternation — see its docstring for round structure, convergence
+    detection, and lineage-truncation rationale).  The oracle computes the
+    same components with a recursive CTE (full reachability closure,
+    tractable on the deterministic candidate edge set).  This is the
+    engine's iterative-algorithm shape: a driver loop over DataFrames with
+    a convergence check, not a UDF."""
+    docs = hashed_shingle_docs(spark, sf_dir).persist()
+    edge_caches: list[DataFrame] = []
+    edges = cc_candidate_edges(docs, caches=edge_caches)
+    labels = connected_components(edges).localCheckpoint(eager=True)
+    # labels are materialized; release the postings cache the edge
+    # generator parked and the docs frame
+    for c in edge_caches:
+        c.unpersist()
+    docs.unpersist()
     out = (
-        cur.groupBy(F.col("b").alias("component"))
-        .agg((F.count("*") + F.lit(1)).cast("long").alias("group_size"))
+        labels.groupBy("component")
+        .agg(F.count("*").cast("long").alias("group_size"))
         .withColumn("keep_doc_id", F.col("component"))
         .filter(F.col("group_size") > 1)
     )
