@@ -709,3 +709,115 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return simhash_band_pairs(docs, max_distance=8, bucket_cap=_LSH_BUCKET_CAP)
+
+
+_SPAN_W = 15  # sliding-window length (tokens) for substring dedup
+
+
+@register(
+    "q_duplicate_substring_spans",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), posts AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(
+                toks[i : i + {_SPAN_W} - 1], ' ')), 1, 15))::BIGINT AS h
+      FROM d, UNNEST(generate_series(1, len(toks) - {_SPAN_W} + 1)) AS t(i)
+    ), dup AS (
+      SELECT h FROM posts GROUP BY h HAVING COUNT(*) > 1
+    ), hits AS (
+      SELECT doc_id, pos FROM posts JOIN dup USING (h)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {_SPAN_W} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), spans AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    ), merged AS (
+      SELECT doc_id, span_id,
+             MIN(pos) AS s, MAX(pos) + {_SPAN_W} - 1 AS e
+      FROM spans GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM merged GROUP BY doc_id
+    """,
+)
+def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup detection (the Lee et al. 2021 "Deduplicating
+    Training Data" family, bounded to fixed {W}-token windows instead of a
+    suffix array): every {W}-token sliding window occurring at more than one
+    (doc, position) is a duplicated substring; overlapping duplicate windows
+    within a document merge into maximal spans, and each document reports
+    how many spans and how many tokens they cover — the removal targets of
+    a substring-level dedup pass.
+
+    Scale shape: windows fold to engine-portable 60-bit md5 longs before
+    any shuffle (the join key is a long, never the window text); the
+    duplicate-window set comes from a hash aggregate on the window hash
+    (map-side combine, uniform key — no skew) and rejoins the postings on
+    the same exchange; span merging is a per-document prefix-max window —
+    partitioned by doc_id, so the sort is per-document, never global.
+    Window count is ~|tokens|, the same order as the shingle postings the
+    Jaccard/MinHash family already shuffles."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.size(toks) >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (_SPAN_W - 1)),
+                    lambda i: _md5_long(
+                        F.concat_ws(" ", F.slice(toks, i, _SPAN_W))
+                    ),
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .persist()
+    )
+    dup = (
+        posts.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("h")
+    )
+    hits = posts.join(dup, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    prev_end = F.max(F.col("pos") + (_SPAN_W - 1)).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (_SPAN_W - 1)).alias("e"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
