@@ -443,3 +443,160 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mass_num") * 1.0 / (F.col("n_tokens") * F.col("n")), 8
         ).alias("prob_mass"),
     )
+
+
+_PACK_CTX = 512  # context length (tokens) for concat-and-chunk packing
+
+
+@register(
+    "q_sequence_packing",
+    oracle=rf"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ), placed AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d
+    )
+    SELECT source,
+           CAST(cum_before // {_PACK_CTX} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc
+    FROM placed
+    GROUP BY source, cum_before // {_PACK_CTX}
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: the step that turns a curated
+    corpus into fixed-length training examples.  Per source, documents are
+    concatenated in doc_id order and split into {CTX}-token packs; each
+    document is assigned to the pack where its FIRST token lands
+    (pack_id = floor(tokens_before / CTX)).  Output is the pack manifest —
+    per (source, pack) the document count, token count, and first doc —
+    which a writer job would use to materialize training shards.
+
+    Scale shape: one sort-window per source partition (the running token
+    sum), then a hash aggregate on (source, pack_id) that reuses the same
+    partitioning — a single wide exchange on `source`.  At 100 TB the
+    per-source sort is the unavoidable cost of deterministic packing order;
+    sources shard the sort, and skewed sources can be salted by epoch
+    (pack order within a source must stay sequential regardless).
+    Integer-only arithmetic -> engine-exact."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", n_tok.alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        placed.withColumn(
+            "pack_id", F.floor(F.col("cum_before") / _PACK_CTX)
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "q_dsir_importance_weights",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), posts AS (
+      SELECT doc_id, lang, unnest(toks) AS term FROM d
+    ), raw_counts AS (
+      SELECT term, COUNT(*) AS cr FROM posts GROUP BY term
+    ), tgt_counts AS (
+      SELECT term, COUNT(*) AS ct FROM posts WHERE lang = 'en' GROUP BY term
+    ), totals AS (
+      SELECT (SELECT COUNT(*) FROM posts)                     AS t_raw,
+             (SELECT COUNT(*) FROM posts WHERE lang = 'en')   AS t_tgt,
+             (SELECT COUNT(*) FROM raw_counts)                AS v
+    ), scored AS (
+      SELECT p.doc_id,
+             COUNT(*)                          AS n_toks,
+             SUM(COALESCE(t.ct, 0) + 1)        AS s_tgt,
+             SUM(r.cr + 1)                     AS s_raw
+      FROM posts p
+      JOIN raw_counts r USING (term)
+      LEFT JOIN tgt_counts t USING (term)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           ROUND((CAST(t_raw + v AS DOUBLE) * s_tgt)
+                 / (CAST(t_tgt + v AS DOUBLE) * s_raw), 6) AS importance
+    FROM scored CROSS JOIN totals
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its tokens are under a TARGET distribution (here
+    the lang='en' slice) than under the raw-corpus distribution; importance
+    resampling then keeps documents proportional to this weight.  This is
+    the aggregated-ratio form — per doc the add-1-smoothed target token
+    mass over the smoothed raw token mass, normalized by the two corpus
+    totals — which stays in exact integer arithmetic (bigint sums of
+    smoothed counts) until one final IEEE-exact double ratio, so Spark and
+    the oracle agree bit-for-bit (the per-token log-ratio form would sum
+    doubles in shuffle order).
+
+    Scale shape: two hash aggregates on `term` (map-side combined, so the
+    Zipf head collapses before the exchange) and one postings⋈counts join
+    on `term`; the counts side is one row per vocab term, so AQE's skew
+    split handles the hot-token join at 100 TB.  Totals are a 1-row
+    broadcast."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", "lang", F.explode(toks).alias("term"))
+        .persist()
+    )
+    raw_counts = posts.groupBy("term").agg(F.count("*").alias("cr"))
+    tgt_counts = (
+        posts.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = posts.agg(
+        F.count("*").alias("t_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tgt"),
+        F.count_distinct("term").alias("v"),
+    )
+    scored = (
+        posts.join(raw_counts, "term")
+        .join(tgt_counts, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.coalesce(F.col("ct"), F.lit(0)) + 1).alias("s_tgt"),
+            F.sum(F.col("cr") + 1).alias("s_raw"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.round(
+            ((F.col("t_raw") + F.col("v")).cast("double") * F.col("s_tgt"))
+            / ((F.col("t_tgt") + F.col("v")).cast("double") * F.col("s_raw")),
+            6,
+        ).alias("importance"),
+    )

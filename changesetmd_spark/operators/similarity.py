@@ -561,3 +561,89 @@ def q_embedding_ann_ivf(
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+_KMEANS_K = 8  # deterministic seeds: the K smallest vec_ids
+
+
+@register(
+    "q_kmeans_assign_update",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cluster_id, e AS c FROM v WHERE vec_id < {_KMEANS_K}
+    ), assigned AS (
+      SELECT vec_id, cluster_id, d, d0 FROM (
+        SELECT v.vec_id, s.cluster_id,
+               list_reduce(list_transform(generate_series(1, {_DIM}),
+                           i -> (v.e[i] - s.c[i]) * (v.e[i] - s.c[i])),
+                           (a, b) -> a + b) AS d,
+               v.e[1] AS d0,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_reduce(
+                                    list_transform(generate_series(1, {_DIM}),
+                                      i -> (v.e[i] - s.c[i]) * (v.e[i] - s.c[i])),
+                                    (a, b) -> a + b), s.cluster_id) AS rn
+        FROM v CROSS JOIN seeds s)
+      WHERE rn = 1
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_sq_dist,
+           ROUND(CAST(SUM(CAST(d0 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+             AS centroid_d0
+    FROM assigned
+    GROUP BY cluster_id
+    """,
+)
+def q_kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration of k-means over the embedding
+    corpus (the clustering primitive behind IVF index training, SemDeDup
+    semantic dedup, and topic-balanced mixture sampling): assign every
+    vector to its nearest of K={K} seed centroids (the K smallest vec_ids,
+    squared-L2, ties to the lower cluster id), then emit the per-cluster
+    update — member count, mean within-cluster squared distance (the
+    inertia the next iteration would reduce) and the first component of
+    the recomputed centroid.
+
+    Scale shape: the K seeds are a broadcast (tiny) side, so assignment is
+    an embarrassingly-parallel map — the K-way candidate expansion
+    collapses back to one row per vector via a min-struct partial
+    aggregate BEFORE the exchange (map-side combine on vec_id), and the
+    cluster update is a second K-row-wide hash aggregate.  A full Lloyd
+    loop is this plan iterated with the K-row update broadcast back — per
+    round exactly one wide exchange over the corpus.  Distances are the
+    same sequential left-fold in both engines; cluster sums are DECIMAL so
+    shuffle order can't perturb them."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    seeds = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        F.struct(
+            sq_dist.alias("d"),
+            F.col("cluster_id"),
+            F.element_at(F.col("e"), 1).alias("d0"),
+        ).alias("s"),
+    )
+    assigned = cand.groupBy("vec_id").agg(F.min("s").alias("s")).select(
+        F.col("s.cluster_id").alias("cluster_id"),
+        F.col("s.d").cast("decimal(28,12)").alias("d"),
+        F.col("s.d0").cast("decimal(28,12)").alias("d0"),
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.sum("d").cast("double") / F.count("*"), 6).alias("avg_sq_dist"),
+        F.round(F.sum("d0").cast("double") / F.count("*"), 6).alias("centroid_d0"),
+    )
