@@ -51,6 +51,10 @@ HEADLINE = [
     "q_dedup_groups",
     "q_txn_merge_snapshot",
     "q_stream_dedup_first_seen",
+    "q_duplicate_substring_spans",
+    "q_sequence_packing",
+    "q_dsir_importance_weights",
+    "q_kmeans_assign_update",
 ]
 
 

@@ -191,3 +191,30 @@ def test_lsh_bucket_caps_have_no_sort_window(spark, sf_dir):
         df = QS[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, f"{name} plan contains a sort window"
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """q_sequence_packing's running-sum window and the (source, pack_id)
+    aggregate must share ONE hash exchange on `source` — a second shuffle
+    would resort the whole corpus at 100 TB for no semantic reason."""
+    df = QS["q_sequence_packing"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_kmeans_seeds_are_broadcast(spark, sf_dir):
+    """q_kmeans_assign_update must broadcast the K seed centroids (tiny
+    side) so assignment stays an embarrassingly-parallel map; a shuffled
+    cross join of the corpus against the seeds would be a scale-killer."""
+    plan = _physical_plan(QS["q_kmeans_assign_update"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # exactly two wide exchanges: the vec_id argmin and the K-row update
+    df = QS["q_kmeans_assign_update"](spark, sf_dir)
+    assert shuffle_count(df) == 2
+
+
+def test_dsir_no_cartesian_on_corpus(spark, sf_dir):
+    """q_dsir_importance_weights joins postings to per-term counts — the
+    only nested-loop join allowed is the 1-row totals broadcast."""
+    plan = _physical_plan(QS["q_dsir_importance_weights"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals
