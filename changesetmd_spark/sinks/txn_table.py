@@ -406,6 +406,68 @@ class TxnTable:
 
     # ---- maintenance -------------------------------------------------------
 
+    def compact(
+        self, partitions: list | None = None, min_dirs: int = 2
+    ) -> int:
+        """Bin-pack fragmented partitions: every partition referenced by
+        ``min_dirs``-or-more commit directories is rewritten into ONE fresh
+        directory, transactionally.  This is the OPTIMIZE/compaction half of
+        lakehouse maintenance (vacuum is the other): a replication stream
+        appending minutely micro-batches (T1/T2) leaves each date partition
+        scattered across hundreds of small files, and at 100 TB the scan's
+        file-listing + per-file open cost dominates — compaction restores
+        target-size files without blocking readers (snapshot isolation) or
+        writers (optimistic commit).
+
+        Concurrency: compaction only REPLACES directory references for rows
+        it re-wrote byte-identically, so winning the ``read_version + 1``
+        slot proves no interleaved commit — on a lost race it re-snapshots
+        and recomputes (an appended dir or a merge rewrite must not be
+        dropped).  ``partitions`` limits the pass (maintenance windows);
+        the orphaned pre-compaction dirs stay referenced by OLDER manifests
+        for time travel and are reclaimed by ``vacuum()``."""
+        wanted = (
+            None
+            if partitions is None
+            else {self._partition_dirname(p) for p in partitions}
+        )
+        for _ in range(_MAX_COMMIT_RETRIES):
+            read_version = self.current_version()
+            if read_version < 0:
+                return read_version  # empty table: nothing to compact
+            live = self._live_map(self._manifest(read_version))
+            targets = {
+                p: dirs
+                for p, dirs in live.items()
+                if len(dirs) >= min_dirs and (wanted is None or p in wanted)
+            }
+            if not targets:
+                return read_version  # already compact — no empty commit
+            rel, parts, partitioned = self._write_data_dir(
+                self._read_live(targets)
+            )
+            new_live = dict(live)
+            for p in targets:
+                new_live.pop(p, None)
+            for p in parts if partitioned else [""]:
+                new_live[p] = [rel]
+            manifest = {
+                "version": read_version + 1,
+                "op": "compact",
+                "read_version": read_version,
+                "ts": time.time(),
+                "partitions": new_live,
+            }
+            if self._try_commit(read_version + 1, manifest):
+                return read_version + 1
+            # lost the race: the rewritten rows may be stale (a concurrent
+            # merge/append touched the table) — recompute from the new
+            # snapshot; the orphaned dir is swept by vacuum()
+        raise TxnConflictError(
+            f"gave up after {_MAX_COMMIT_RETRIES} contended commits on "
+            f"{self.path!r} (compact)"
+        )
+
     def vacuum(
         self, keep_versions: int = 10, retention_seconds: float = 3600.0
     ) -> list[str]:

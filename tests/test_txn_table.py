@@ -330,3 +330,92 @@ def test_overwrite_empty_truncates_partitioned_table(spark, table):
     # and the table recovers on the next write
     table.merge(_mk(spark, [(2, 1, D2, "b")]), key="id", order_col="sequence")
     assert _rows(table.read().select("id", "payload")) == [(2, "b")]
+
+
+def test_compact_consolidates_fragmented_partitions(spark, table):
+    """OPTIMIZE parity: N appends fragment a partition into N dirs; compact
+    rewrites them into one, preserves rows exactly, keeps time travel."""
+    for i in range(4):
+        table.append(_mk(spark, [(i, 1, D1, f"p{i}")]))
+    table.append(_mk(spark, [(99, 1, D2, "z")]))
+    before = _rows(table.read().select("id", "payload"))
+    v_before = table.current_version()
+    live = table._live_map(table._manifest(v_before))
+    assert len(live["created_date=2024-01-01"]) == 4
+
+    v = table.compact()
+    assert v == v_before + 1
+    live = table._live_map(table._manifest(v))
+    assert len(live["created_date=2024-01-01"]) == 1
+    # D2 had a single dir: untouched by the default min_dirs=2
+    assert len(live["created_date=2024-01-02"]) == 1
+    assert _rows(table.read().select("id", "payload")) == before
+    # time travel still sees the pre-compaction state
+    assert _rows(table.read(version=v_before).select("id", "payload")) == before
+    assert table._manifest(v)["op"] == "compact"
+
+
+def test_compact_noop_when_already_compact(spark, table):
+    table.append(_mk(spark, [(1, 1, D1, "a")]))
+    v = table.current_version()
+    assert table.compact() == v  # no empty commit
+    assert table.compact(partitions=[datetime.date(2024, 1, 1)]) == v
+
+
+def test_compact_scoped_to_partition_list(spark, table):
+    for i in range(3):
+        table.append(_mk(spark, [(i, 1, D1, "a"), (100 + i, 1, D2, "b")]))
+    v = table.compact(partitions=[datetime.date(2024, 1, 2)])
+    live = table._live_map(table._manifest(v))
+    assert len(live["created_date=2024-01-02"]) == 1
+    assert len(live["created_date=2024-01-01"]) == 3  # out of scope
+    assert _rows(table.read().select("id")) == sorted(
+        [(i,) for i in range(3)] + [(100 + i,) for i in range(3)]
+    )
+
+
+def test_compact_then_vacuum_reclaims_fragments(spark, table):
+    for i in range(3):
+        table.append(_mk(spark, [(i, 1, D1, f"p{i}")]))
+    v = table.compact()
+    removed = table.vacuum(keep_versions=1, retention_seconds=0.0)
+    # the 3 fragment dirs are unreferenced by the surviving manifest
+    assert len(removed) == 3
+    assert _rows(table.read().select("id")) == [(0,), (1,), (2,)]
+    assert table.versions() == [v]
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "u"))
+    for i in range(3):
+        t.append(_mk(spark, [(i, 1, D1, "x")]))
+    v = t.compact()
+    live = t._live_map(t._manifest(v))
+    assert set(live) == {""} and len(live[""]) == 1
+    assert _rows(t.read().select("id")) == [(0,), (1,), (2,)]
+
+
+def test_compact_lost_race_recomputes_with_concurrent_append(spark, table):
+    """A commit that lands between compact's snapshot and its publish must
+    not be dropped: simulate by injecting an append at first publish."""
+    for i in range(3):
+        table.append(_mk(spark, [(i, 1, D1, f"p{i}")]))
+    real_try = table._try_commit
+    state = {"raced": False}
+
+    def racing_try(version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            table.append(_mk(spark, [(7, 1, D1, "late")]))
+            # version slot now taken -> compact must lose and recompute
+        return real_try(version, manifest)
+
+    table._try_commit = racing_try
+    try:
+        v = table.compact()
+    finally:
+        table._try_commit = real_try
+    assert state["raced"]
+    live = table._live_map(table._manifest(v))
+    assert len(live["created_date=2024-01-01"]) == 1
+    assert _rows(table.read().select("id")) == [(0,), (1,), (2,), (7,)]
