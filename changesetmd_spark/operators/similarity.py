@@ -647,3 +647,132 @@ def q_kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d").cast("double") / F.count("*"), 6).alias("avg_sq_dist"),
         F.round(F.sum("d0").cast("double") / F.count("*"), 6).alias("centroid_d0"),
     )
+
+
+_SD_SEED_MAX = 32  # cluster seeds: base vec_ids 0,4,...,28 (8 clusters)
+
+
+@register(
+    "q_semdedup_clustered",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 4 = 0
+    ), planted AS (
+      SELECT vec_id + {_ND_PLANT_OFFSET} AS vec_id,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> e[i] * {_ND_EPS.replace("i *", "(i - 1) *")}) AS e
+      FROM base WHERE vec_id % {_ND_PLANT_MOD} = 0
+    ), v AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), seeds AS (
+      SELECT vec_id AS cluster_id, e AS c FROM base
+      WHERE vec_id < {_SD_SEED_MAX}
+    ), assigned AS (
+      SELECT vec_id, e, nrm, cluster_id FROM (
+        SELECT n.vec_id, n.e, n.nrm, s.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_reduce(
+                   list_transform(generate_series(1, {_DIM}),
+                     i -> (n.e[i] - s.c[i]) * (n.e[i] - s.c[i])),
+                   (a, b) -> a + b), s.cluster_id) AS rn
+        FROM n CROSS JOIN seeds s)
+      WHERE rn = 1
+    )
+    SELECT a.cluster_id, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),
+                                            i -> a.e[i] * b.e[i]),
+                             (x, y) -> x + y) / (a.nrm * b.nrm), 5) AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(generate_series(1, {_DIM}),
+                                     i -> a.e[i] * b.e[i]),
+                      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.92
+    """,
+)
+def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then search for near-duplicate pairs ONLY within each cluster —
+    the cluster is the blocking key, so the quadratic pair term is bounded
+    by Σ|cluster|² instead of n².  Same planted-twin corpus as
+    q_embedding_neardup_cosine; the blocking here is k-means cells (seeds =
+    the 8 smallest base vec_ids, squared-L2 argmin) instead of hyperplane
+    LSH buckets — the two queries are the two published blocking strategies
+    over the identical exact-verification kernel, and their planted twins
+    must both be found (a twin's 2% perturbation cannot flip its nearest
+    seed).
+
+    Scale shape: seeds broadcast; assignment collapses the K-way expansion
+    map-side (partial min-struct per vec_id) before one exchange; the
+    within-cluster self-join is an equi-join on cluster_id.  At 100 TB, K
+    grows with n (SemDeDup uses ~100k clusters for web corpora) so
+    |cluster| stays bounded; deliberately missing cross-cluster pairs is
+    the algorithm's documented approximation."""
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", to_double_vec(F.col("embedding")).alias("e"))
+    )
+    planted = base.filter(F.col("vec_id") % _ND_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _ND_PLANT_OFFSET).alias("vec_id"),
+        F.expr(f"transform(e, (x, i) -> x * {_ND_EPS})").alias("e"),
+    )
+    corpus = base.unionAll(planted).withColumn("nrm", l2_norm(F.col("e")))
+    seeds = base.filter(F.col("vec_id") < _SD_SEED_MAX).select(
+        F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            F.struct(
+                sq_dist.alias("d"),
+                F.col("cluster_id"),
+                F.col("e"),
+                F.col("nrm"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.cluster_id").alias("cluster_id"),
+            F.col("s.e").alias("e"),
+            F.col("s.nrm").alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    sim = cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(sim >= 0.92)
+        .select(
+            "cluster_id",
+            "vec_id_1",
+            "vec_id_2",
+            F.round(sim, 5).alias("cosine_sim"),
+        )
+    )

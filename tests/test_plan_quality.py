@@ -218,3 +218,21 @@ def test_dsir_no_cartesian_on_corpus(spark, sf_dir):
     plan = _physical_plan(QS["q_dsir_importance_weights"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals
+
+
+def test_semdedup_blocks_on_cluster_equi_join(spark, sf_dir):
+    """q_semdedup_clustered's pair generation must be an equi-join on
+    cluster_id; the only nested-loop stages allowed are the broadcast
+    K-row seed expansions (tiny build side by construction)."""
+    df = QS["q_semdedup_clustered"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin [cluster_id" in plan
+        or "ShuffledHashJoin [cluster_id" in plan
+        or "BroadcastHashJoin [cluster_id" in plan
+    )
+    # non-vacuous: every planted twin must be recovered by cluster blocking
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.cosine_sim >= 0.92 for r in rows)
