@@ -247,6 +247,7 @@ class TxnTable:
         batch: DataFrame,
         key: str | list[str] = "id",
         order_col: str = "sequence",
+        merge_schema: bool = False,
     ) -> int:
         """Idempotent LWW MERGE (delete-then-insert parity, S6/T4-T5): batch
         rows replace current rows with the same key; only partitions holding
@@ -319,9 +320,19 @@ class TxnTable:
                     kept = current.join(
                         F.broadcast(keys), on=key_cols, how="left_anti"
                     )
-                new_state = kept.unionByName(
-                    incoming.select(*kept.columns), allowMissingColumns=False
-                )
+                if merge_schema:
+                    # additive schema evolution (Delta's mergeSchema): new
+                    # batch columns join the table schema; current rows read
+                    # NULL for them.  Strict mode stays the default so a
+                    # typo'd column name fails loudly instead of forking the
+                    # schema.
+                    new_state = kept.unionByName(
+                        incoming, allowMissingColumns=True
+                    )
+                else:
+                    new_state = kept.unionByName(
+                        incoming.select(*kept.columns), allowMissingColumns=False
+                    )
                 rel, parts, partitioned = self._write_data_dir(new_state)
                 new_live = dict(live)
                 for p in affected:
@@ -356,8 +367,13 @@ class TxnTable:
     # ---- reading -----------------------------------------------------------
 
     def _read_live(self, live: dict[str, list[str]]) -> DataFrame:
+        # mergeSchema + allowMissingColumns: commit dirs written before a
+        # schema evolution (see ``merge(merge_schema=True)`` / ``append``)
+        # lack the newer columns — readers see them as NULL, exactly
+        # Delta/Iceberg's add-column semantics.  Columns are only ever
+        # ADDED (no type overwrite), so the merge is conflict-free.
         if set(live) == {""}:
-            return self.spark.read.parquet(
+            return self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, d) for d in sorted(set(live[""]))]
             )
         # partitioned: group live partitions by commit dir so each directory
@@ -371,13 +387,13 @@ class TxnTable:
         for d, parts in sorted(by_dir.items()):
             base = os.path.join(self.path, d)
             frames.append(
-                self.spark.read.option("basePath", base).parquet(
-                    *[os.path.join(base, p) for p in sorted(parts)]
-                )
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(base, p) for p in sorted(parts)])
             )
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def read(

@@ -419,3 +419,31 @@ def test_compact_lost_race_recomputes_with_concurrent_append(spark, table):
     live = table._live_map(table._manifest(v))
     assert len(live["created_date=2024-01-01"]) == 1
     assert _rows(table.read().select("id")) == [(0,), (1,), (2,), (7,)]
+
+
+def test_append_schema_evolution_reads_null_for_old_rows(spark, table):
+    """Additive column evolution: a later append carries a new column; the
+    snapshot read merges schemas and old rows surface NULL (Delta/Iceberg
+    add-column semantics)."""
+    table.append(_mk(spark, [(1, 1, D1, "a")]))
+    wide = _mk(spark, [(2, 1, D2, "b")]).withColumn("score", F.lit(7))
+    table.append(wide)
+    got = {r.id: r.asDict().get("score") for r in table.read().collect()}
+    assert got == {1: None, 2: 7}
+
+
+def test_merge_schema_evolution_opt_in(spark, table):
+    table.overwrite(_mk(spark, [(1, 1, D1, "a"), (2, 1, D1, "b")]))
+    batch = _mk(spark, [(2, 5, D1, "b2")]).withColumn("score", F.lit(9))
+    table.merge(batch, key="id", order_col="sequence", merge_schema=True)
+    rows = {r.id: (r.payload, r.asDict().get("score")) for r in table.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 9)}
+
+
+def test_merge_strict_mode_rejects_missing_columns(spark, table):
+    """Without merge_schema, a batch missing a table column must fail
+    loudly, not silently fork the schema."""
+    table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    bad = _mk(spark, [(2, 2, D1, "x")]).drop("payload")
+    with pytest.raises(Exception):
+        table.merge(bad, key="id", order_col="sequence")
