@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .util import fan_out
 
 # whole-match token pattern; idx=0 selects group 0 (Spark defaults to 1)
 _TOKEN_RE = r"\S+"
@@ -242,4 +243,114 @@ def q_text_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(ws).alias("ws_tokens"),
         F.sum(bpe).alias("bpe_tokens"),
         F.round(F.sum(bpe) * 1.0 / F.sum(ws), 4).alias("bpe_per_ws"),
+    )
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken 2003 "Winnowing: Local Algorithms
+# for Document Fingerprinting" — the MOSS selector): of every window of
+# _WIN_W consecutive k-gram hashes, keep the minimum (rightmost on ties).
+# Guarantees: any shared substring of length >= _WIN_K + _WIN_W - 1 tokens
+# produces at least one shared selected fingerprint; expected density 2/(w+1).
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 4  # hashes per winnowing window
+# tie-break packing: 40-bit hash above, (2^21-1 - pos) below — min picks the
+# smallest hash and, among equals, the RIGHTMOST position, in one integer
+# compare both engines evaluate identically (no struct-in-window needed)
+_WIN_POS_BITS = 21
+
+
+@register(
+    "q_winnowed_fingerprints",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), posts AS (
+      SELECT doc_id, len(toks) - {_WIN_K} + 1 AS n_grams, i AS pos,
+             (('0x' || substr(md5(array_to_string(
+                 toks[i : i + {_WIN_K} - 1], ' ')), 1, 10))::BIGINT
+              * {1 << _WIN_POS_BITS})
+             + ({(1 << _WIN_POS_BITS) - 1} - i) AS key
+      FROM d, UNNEST(generate_series(1, len(toks) - {_WIN_K} + 1)) AS t(i)
+      WHERE len(toks) >= {_WIN_K + _WIN_W - 1}
+    ), win AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS sel
+      FROM posts
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_fingerprints,
+           ROUND(COUNT(DISTINCT sel) * 1.0 / COUNT(*), 6) AS density
+    FROM win
+    WHERE pos <= n_grams - {_WIN_W} + 1
+    GROUP BY doc_id
+    """,
+)
+def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection per document: k-gram hashes, then
+    the min-of-each-window selector (rightmost on ties) that guarantees any
+    shared run of >= k+w-1 tokens leaves a shared fingerprint while keeping
+    expected density 2/(w+1) — the sampling layer a plagiarism/overlap
+    detector joins on instead of every shingle.
+
+    Scale shape: selection is a per-document ROWS window (partitioned by
+    doc_id — the sort never crosses documents), and the hash+position pack
+    into one 61-bit integer so the window min is a single primitive-typed
+    running comparison inside codegen; the per-doc aggregate rides the same
+    exchange.  Fingerprint volume is ~2/(w+1) of the shingle volume the
+    Jaccard family already shuffles."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hash40 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _WIN_K))
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.size(toks) >= _WIN_K + _WIN_W - 1)
+        .select(
+            "doc_id",
+            (F.size(toks) - (_WIN_K - 1)).alias("n_grams"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks) - (_WIN_K - 1))
+            ).alias("pos"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            (
+                hash40 * (1 << _WIN_POS_BITS)
+                + ((1 << _WIN_POS_BITS) - 1 - F.col("pos"))
+            ).alias("key"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    win = posts.withColumn("sel", F.min("key").over(frame))
+    return (
+        win.filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.count_distinct("sel").cast("long").alias("n_fingerprints"),
+            F.round(
+                F.count_distinct("sel") * 1.0 / F.count("*"), 6
+            ).alias("density"),
+        )
     )
