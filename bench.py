@@ -55,6 +55,8 @@ HEADLINE = [
     "q_sequence_packing",
     "q_dsir_importance_weights",
     "q_kmeans_assign_update",
+    "q_semdedup_clustered",
+    "q_winnowed_fingerprints",
 ]
 
 
