@@ -59,6 +59,7 @@ QUERIES = [
     "q_sequence_packing",
     "q_kmeans_assign_update",
     "q_semdedup_clustered",
+    "q_winnowed_fingerprints",
 ]
 
 # Queries whose REGISTERED parameters only make sense up to a bounded
