@@ -396,7 +396,7 @@ def q_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.doc_id
     )
     SELECT doc_id, n_tokens,
-           ROUND(mass_num * 1.0 / (n_tokens * n), 8) AS prob_mass
+           ROUND(mass_num / (CAST(n_tokens AS DOUBLE) * n), 8) AS prob_mass
     FROM scored CROSS JOIN total
     """,
 )
@@ -439,8 +439,13 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
+        # denominator in double: n_tokens * n as long*long overflows past
+        # 2^63 at corpus scale (code-review r6 #4) — and DuckDB would raise
+        # while ANSI-off Spark wraps, so the engines would also diverge
         F.round(
-            F.col("mass_num") * 1.0 / (F.col("n_tokens") * F.col("n")), 8
+            F.col("mass_num")
+            / (F.col("n_tokens").cast("double") * F.col("n")),
+            8,
         ).alias("prob_mass"),
     )
 

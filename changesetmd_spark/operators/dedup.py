@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load_table
 from .text import fingerprint
-from .util import fan_out
+from .util import drop_oversized_groups, fan_out
 
 _N_MINHASH = 64
 _LONG_MAX = (1 << 63) - 1  # empty-set minhash sentinel
@@ -140,16 +140,9 @@ def ngram_jaccard_pairs(
     corpus repeats a header across every document.  Earlier broadcast-
     nested-loop formulation: 17 s at sf0.1; the inverted index: ~3 s."""
     posts = docs.select("doc_id", F.explode("sh").alias("s"))
-    # df cap as a skinny aggregate + equi-join rather than a window: the
-    # count(*) OVER (PARTITION BY s) formulation forces a full SORT of the
-    # postings; the aggregate is hash-based with map-side partial combine,
-    # and its join rides the exchange-by-shingle the self-join needs anyway.
-    df_tab = (
-        posts.groupBy("s").agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= df_cap)
-        .select("s")
-    )
-    occ = posts.join(df_tab, "s")
+    # boilerplate-shingle guard (df cap) — see util.drop_oversized_groups
+    # for why this is an aggregate + anti-join and never a count window
+    occ = drop_oversized_groups(posts, "s", df_cap, count_col="_df")
     # materialization barrier: both self-join branches read the computed
     # postings instead of re-running shingling + the df filter per branch.
     # A caller that materializes the result within its own scope can pass
@@ -195,9 +188,13 @@ def ngram_jaccard_pairs(
 @register(
     "q_ngram_jaccard_pairs",
     oracle=rf"""
-    WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    WITH st AS (
+      SELECT (COUNT(*) + 10000 - 1)
+             // 10000 AS stride
       FROM documents
+    ), d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents, st WHERE doc_id % st.stride = 0
     ), s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -233,14 +230,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF-aware bound: this query exists to CHECK the LSH path, and its one
     unbounded term is pair cardinality at the low 0.2 threshold.  At the
     oracle-checked test SFs (≤ _JACCARD_EXACT_MAX_DOCS documents) it stays
-    exact over the full corpus; beyond that it ground-truths a deterministic
-    doc_id-stride sample instead, so the scale run's cost tracks the data
-    ratio rather than the pair blowup."""
-    n = load_table(spark, sf_dir, "documents").count()
-    docs = hashed_shingle_docs(spark, sf_dir)
-    if n > _JACCARD_EXACT_MAX_DOCS:
-        stride = -(-n // _JACCARD_EXACT_MAX_DOCS)  # ceil div
-        docs = docs.filter(F.col("doc_id") % stride == 0)
+    exact over the full corpus (stride 1); beyond that it ground-truths a
+    deterministic doc_id-stride sample, so the scale run's cost tracks the
+    data ratio rather than the pair blowup.  The stride is computed inside
+    BOTH the Spark plan and the oracle SQL from the same corpus count, so
+    the two engines agree at every SF."""
+    # the stride is part of the query DEFINITION, mirrored verbatim in the
+    # oracle SQL (code-review r6 #1: a Spark-only sample silently diverges
+    # from the registered oracle beyond the exact-max corpus size) — and
+    # computed declaratively (1-row broadcast), not via an eager count()
+    stride = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.floor(
+                (F.count("*") + (_JACCARD_EXACT_MAX_DOCS - 1))
+                / _JACCARD_EXACT_MAX_DOCS
+            )
+            .cast("long")
+            .alias("_stride")
+        )
+    )
+    docs = (
+        hashed_shingle_docs(spark, sf_dir)
+        .crossJoin(F.broadcast(stride))
+        .filter(F.col("doc_id") % F.col("_stride") == 0)
+        .drop("_stride")
+    )
     return ngram_jaccard_pairs(docs)
 
 
@@ -336,18 +351,9 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     ).persist()  # feeds the cap filter and both sides of the bucket self-join
-    # cap as a skinny aggregate + anti-join, not count(*) OVER (PARTITION BY
-    # bucket): the window forces a full SORT of the postings, the aggregate
-    # is hash-based with map-side combine and the (tiny) oversized-bucket
-    # list anti-joins on the exchange the self-join needs anyway — same
-    # shape as the Jaccard df-cap above.
-    oversized = (
-        buckets.groupBy("bucket")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > _LSH_BUCKET_CAP)
-        .select("bucket")
-    )
-    small = buckets.join(oversized, "bucket", "left_anti")
+    # degenerate-bucket guard: aggregate + anti-join, never a count window
+    # (see util.drop_oversized_groups for the sort-avoidance rationale)
+    small = drop_oversized_groups(buckets, "bucket", _LSH_BUCKET_CAP)
     cands = (
         small.alias("a")
         .join(small.alias("b"), "bucket")
@@ -390,9 +396,13 @@ def _md5_long(col: Column) -> Column:
 @register(
     "q_minhash_lsh_checked",
     oracle=rf"""
-    WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    WITH st AS (
+      SELECT (COUNT(*) + 10000 - 1)
+             // 10000 AS stride
       FROM documents
+    ), d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents, st WHERE doc_id % st.stride = 0
     ), s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -463,9 +473,13 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_neardup_verify_jaccard",
     oracle=r"""
-    WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    WITH st AS (
+      SELECT (COUNT(*) + 10000 - 1)
+             // 10000 AS stride
       FROM documents
+    ), d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents, st WHERE doc_id % st.stride = 0
     ), s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -582,15 +596,7 @@ def simhash_band_pairs(
         F.col(id_col), sim.alias("_sim"), F.explode(keys).alias("_band")
     )
     if bucket_cap is not None:
-        # aggregate + anti-join, not a count window: no postings sort (see
-        # q_minhash_lsh_candidates' cap for the rationale)
-        oversized = (
-            bucketed.groupBy("_band")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > bucket_cap)
-            .select("_band")
-        )
-        bucketed = bucketed.join(oversized, "_band", "left_anti")
+        bucketed = drop_oversized_groups(bucketed, "_band", bucket_cap)
     hamming = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
     return (
         bucketed.alias("a")

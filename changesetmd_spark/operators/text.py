@@ -253,10 +253,13 @@ def q_text_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 # produces at least one shared selected fingerprint; expected density 2/(w+1).
 _WIN_K = 4  # tokens per k-gram
 _WIN_W = 4  # hashes per winnowing window
-# tie-break packing: 40-bit hash above, (2^21-1 - pos) below — min picks the
+# tie-break packing: 32-bit hash above, (2^30-1 - pos) below — min picks the
 # smallest hash and, among equals, the RIGHTMOST position, in one integer
-# compare both engines evaluate identically (no struct-in-window needed)
-_WIN_POS_BITS = 21
+# compare both engines evaluate identically (no struct-in-window needed).
+# 32+30 = 62 bits stays inside int64; the position field bounds documents at
+# 2^30-1 (~1e9) k-grams — beyond any single document this engine will see
+# (code-review r6 #3: the earlier 21-bit field broke at ~2M tokens/doc)
+_WIN_POS_BITS = 30
 
 
 @register(
@@ -268,7 +271,7 @@ _WIN_POS_BITS = 21
     ), posts AS (
       SELECT doc_id, len(toks) - {_WIN_K} + 1 AS n_grams, i AS pos,
              (('0x' || substr(md5(array_to_string(
-                 toks[i : i + {_WIN_K} - 1], ' ')), 1, 10))::BIGINT
+                 toks[i : i + {_WIN_K} - 1], ' ')), 1, 8))::BIGINT
               * {1 << _WIN_POS_BITS})
              + ({(1 << _WIN_POS_BITS) - 1} - i) AS key
       FROM d, UNNEST(generate_series(1, len(toks) - {_WIN_K} + 1)) AS t(i)
@@ -305,13 +308,13 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    hash40 = F.conv(
+    hash32 = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _WIN_K))
             ),
             1,
-            10,
+            8,
         ),
         16,
         10,
@@ -332,7 +335,7 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "pos",
             (
-                hash40 * (1 << _WIN_POS_BITS)
+                hash32 * (1 << _WIN_POS_BITS)
                 + ((1 << _WIN_POS_BITS) - 1 - F.col("pos"))
             ).alias("key"),
         )

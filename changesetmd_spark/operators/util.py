@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as _F
 
 
 def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
@@ -21,3 +22,24 @@ def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism, *keys)
+
+
+def drop_oversized_groups(
+    df: DataFrame, key: str, cap: int, count_col: str = "_n"
+) -> DataFrame:
+    """Remove every row whose ``key`` group exceeds ``cap`` rows — the
+    degenerate-key guard every bucketed self-join needs (boilerplate
+    shingles, hot LSH buckets, dirty SimHash bands).
+
+    Shaped as a skinny aggregate + anti-join on purpose: the equivalent
+    ``count(*) OVER (PARTITION BY key)`` window forces a full SORT of the
+    postings, while the aggregate is hash-based with map-side combine and
+    its (tiny) oversized-key list anti-joins on the very exchange the
+    downstream self-join needs anyway."""
+    oversized = (
+        df.groupBy(key)
+        .agg(_F.count("*").alias(count_col))
+        .filter(_F.col(count_col) > cap)
+        .select(key)
+    )
+    return df.join(oversized, key, "left_anti")

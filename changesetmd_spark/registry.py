@@ -45,6 +45,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # per family so every SURVEY.md §2 component keeps a driver-checked row.
 # Queries not listed keep registration order after the prioritized block —
 # they remain fully hash-checked locally by tests/test_oracle_queries.py.
+#
+# ROTATION PLAN (the 50-slot window is zero-sum; code-review r6 #5): once
+# CORRECTNESS_r06 witnesses the round-6 priorities above, the next round
+# should rotate the now-witnessed entries toward the back and promote the
+# round-6 additions that have never had a driver row —
+# q_duplicate_substring_spans, q_sequence_packing, q_dsir_importance_weights,
+# q_kmeans_assign_update, q_semdedup_clustered, q_winnowed_fingerprints,
+# q_line_dedup_c4, q_unigram_prob_mass — so every registered query is
+# driver-witnessed within two rounds of landing.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked in r1-r5 — hstore / map ops (reference core)
     "q_map_key_existence",

@@ -17,8 +17,11 @@ Up-sampling preserves workload *density* rather than inflating it:
   workload) therefore stays constant as the corpus grows, which is how real
   corpora scale; naive replication would instead plant R-cliques of
   near-identical docs and measure a quadratic pair blowup, not the engine.
-* embeddings: replica k shifts vec_id and cyclically rotates the vector by
-  k dims — norm- and distribution-preserving, decorrelated across replicas.
+* embeddings: replica k shifts vec_id, cyclically rotates the vector by
+  k mod dim dims AND applies a replica-keyed deterministic sign-flip
+  pattern — norm- and distribution-preserving, decorrelated across ALL
+  replicas (rotation alone repeats every `dim` replicas, which at 100×
+  planted exact cross-replica duplicates — code-review r6 #2).
 
 Run:  PYTHONPATH=. python tools/scale_smoke.py
 """
@@ -125,6 +128,21 @@ def build_scale_data(spark) -> None:
             if r > 0
             else F.col("embedding")
         )
+        if k > 0:
+            # replica-keyed sign flips: rotation repeats every `dim`
+            # replicas, so replicas k and k+dim would otherwise be
+            # bit-identical (exact planted duplicates at 100×); a
+            # deterministic per-replica ±1 mask keeps norms and the value
+            # distribution while decorrelating every replica pair
+            mask = (2654435761 * (k + 1)) % (1 << 61)
+            signs = [
+                1.0 if (mask >> (j % 61)) & 1 else -1.0 for j in range(dim)
+            ]
+            rot = F.zip_with(
+                rot,
+                F.array(*[F.lit(v) for v in signs]),
+                lambda x, sgn: (x * sgn).cast("float"),
+            )
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
