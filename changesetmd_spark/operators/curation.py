@@ -605,3 +605,59 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("importance"),
     )
+
+
+@register(
+    "q_temperature_mixture",
+    oracle=r"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CAST(sqrt(n_tokens) AS DECIMAL(28,12))) AS DOUBLE)
+               AS sum_sqrt
+      FROM per_lang
+    )
+    SELECT lang, n_tokens,
+           ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS p_raw,
+           ROUND(sqrt(n_tokens) / sum_sqrt, 6) AS p_temp,
+           ROUND((sqrt(n_tokens) / sum_sqrt)
+                 / (n_tokens / CAST(total_tokens AS DOUBLE)), 4) AS boost
+    FROM per_lang, tot
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling distribution over languages (the
+    multilingual-LM data-balancing rule, q_i ∝ p_i^α: mBERT/XLM-R style
+    exponentiated smoothing that up-samples low-resource slices without
+    flattening the mixture).  α is pinned at 1/2 so the power is ``sqrt`` —
+    IEEE-correctly-rounded and therefore bit-identical across engines,
+    unlike a general libm ``pow`` — and the normalizer Σ√n folds through
+    DECIMAL so the 5-row sum is shuffle-order-proof.
+
+    Scale shape: one hash-aggregate shuffle on ``lang`` (map-side combined
+    token counts), then a 1-row broadcast of the two normalizers; the
+    output is |langs| rows regardless of corpus size."""
+    per_lang = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        ).cast("long").alias("n_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.sqrt("n_tokens").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sum_sqrt"),
+    )
+    p_raw = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    p_temp = F.sqrt("n_tokens") / F.col("sum_sqrt")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 4).alias("boost"),
+    )
