@@ -827,3 +827,136 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
     )
+
+
+_CDC_K = 4   # tokens hashed to decide a boundary
+_CDC_MOD = 16  # expected chunk length in tokens (boundary P = 1/16)
+
+
+@register(
+    "q_cdc_chunk_dedup",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, toks, i AS pos,
+             CASE WHEN i = 1 OR ('0x' || substr(md5(array_to_string(
+                    toks[i : i + {_CDC_K} - 1], ' ')), 1, 15))::BIGINT
+                    % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM d, UNNEST(generate_series(1, len(toks) - {_CDC_K} + 1)) AS t(i)
+      WHERE len(toks) >= {_CDC_K}
+    ), marked AS (
+      SELECT doc_id, toks, pos,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM grams
+    ), bounds AS (
+      SELECT doc_id, chunk_id, ANY_VALUE(toks) AS toks,
+             MIN(pos) AS s, MAX(pos) AS e
+      FROM marked GROUP BY doc_id, chunk_id
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(array_to_string(toks[s : e + {_CDC_K} - 1], ' ')) AS h
+      FROM bounds
+    ), freq AS (
+      SELECT h, COUNT(*) AS cnt FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           ROUND(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS shared_ratio
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/FastCDC family storage
+    systems and crawl pipelines use): chunk boundaries are declared
+    wherever the rolling content hash of a {K}-token window is ≡ 0 mod
+    {MOD} — so an insertion early in a document only re-chunks its own
+    neighborhood instead of shifting every downstream chunk the way
+    fixed-size blocks would — then chunks are fingerprinted and each
+    document reports how much of it duplicates chunks seen anywhere else
+    in the corpus.  Complements the fixed-window substring-span detector:
+    spans locate duplicated REGIONS pairwise, CDC measures corpus-level
+    redundancy against a dedupable chunk store.
+
+    Scale shape: boundary detection is a pure map (the gram hash), chunk
+    assignment one per-document prefix-sum window, chunk fingerprints one
+    hash aggregate, and the share check an equi-join of the (doc, chunk)
+    table against the (small) per-hash frequency aggregate — every
+    exchange keyed by doc_id or by the uniform 60-bit chunk hash."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.size(toks) >= _CDC_K)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks) - (_CDC_K - 1))
+            ).alias("pos"),
+        )
+        .withColumn(
+            "bnd",
+            F.when(
+                (F.col("pos") == 1)
+                | (
+                    _md5_long(
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), F.col("pos"), _CDC_K)
+                        )
+                    )
+                    % _CDC_MOD
+                    == 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    from pyspark.sql import Window
+
+    marked = grams.withColumn(
+        "chunk_id",
+        F.sum("bnd").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    bounds = marked.groupBy("doc_id", "chunk_id").agg(
+        F.any_value(F.col("toks")).alias("toks"),
+        F.min("pos").alias("s"),
+        F.max("pos").alias("e"),
+    )
+    chunks = bounds.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.col("s"),
+                    F.col("e") - F.col("s") + _CDC_K,
+                ),
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
+    shared = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared_chunks"),
+            F.round(F.sum(shared) * 1.0 / F.count("*"), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )
