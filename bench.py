@@ -57,6 +57,8 @@ HEADLINE = [
     "q_kmeans_assign_update",
     "q_semdedup_clustered",
     "q_winnowed_fingerprints",
+    "q_cdc_chunk_dedup",
+    "q_temperature_mixture",
 ]
 
 

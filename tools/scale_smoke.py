@@ -63,6 +63,7 @@ QUERIES = [
     "q_kmeans_assign_update",
     "q_semdedup_clustered",
     "q_winnowed_fingerprints",
+    "q_cdc_chunk_dedup",
 ]
 
 # Queries whose REGISTERED parameters only make sense up to a bounded
