@@ -103,15 +103,20 @@ _JACCARD_DF_CAP = 200
 _JACCARD_EXACT_MAX_DOCS = 10_000
 
 
-def hashed_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hashed_shingle_docs(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """documents → (doc_id, sh: array<long>) distinct word-3-gram xxhash64
     shingles — the shared input frame of the exact-Jaccard family (pairs
-    query + connected-component dedup groups)."""
+    query + connected-component dedup groups).  ``source`` lets a caller
+    pre-filter the documents frame (e.g. the SF-aware stride) BEFORE the
+    expensive shingle projection instead of shingling rows it will drop."""
+    docs = load_table(spark, sf_dir, "documents") if source is None else source
     return (
         # the local corpus is one small parquet file → one input partition;
         # fan out BEFORE the expensive shingle projection or it runs
         # single-threaded (conditional — see fan_out)
-        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        fan_out(docs, "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
         .select(
             "doc_id",
@@ -142,7 +147,7 @@ def ngram_jaccard_pairs(
     posts = docs.select("doc_id", F.explode("sh").alias("s"))
     # boilerplate-shingle guard (df cap) — see util.drop_oversized_groups
     # for why this is an aggregate + anti-join and never a count window
-    occ = drop_oversized_groups(posts, "s", df_cap, count_col="_df")
+    occ = drop_oversized_groups(posts, "s", df_cap)
     # materialization barrier: both self-join branches read the computed
     # postings instead of re-running shingling + the df filter per branch.
     # A caller that materializes the result within its own scope can pass
@@ -189,8 +194,8 @@ def ngram_jaccard_pairs(
     "q_ngram_jaccard_pairs",
     oracle=rf"""
     WITH st AS (
-      SELECT (COUNT(*) + 10000 - 1)
-             // 10000 AS stride
+      SELECT (COUNT(*) + {_JACCARD_EXACT_MAX_DOCS} - 1)
+             // {_JACCARD_EXACT_MAX_DOCS} AS stride
       FROM documents
     ), d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -250,13 +255,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_stride")
         )
     )
-    docs = (
-        hashed_shingle_docs(spark, sf_dir)
+    # filter BEFORE shingling: the stride drops (stride-1)/stride of the
+    # corpus, so the xxhash64 shingle projection must only run on survivors
+    sampled = (
+        load_table(spark, sf_dir, "documents")
         .crossJoin(F.broadcast(stride))
         .filter(F.col("doc_id") % F.col("_stride") == 0)
         .drop("_stride")
     )
-    return ngram_jaccard_pairs(docs)
+    return ngram_jaccard_pairs(hashed_shingle_docs(spark, sf_dir, sampled))
 
 
 def minhash_signatures(
@@ -396,13 +403,9 @@ def _md5_long(col: Column) -> Column:
 @register(
     "q_minhash_lsh_checked",
     oracle=rf"""
-    WITH st AS (
-      SELECT (COUNT(*) + 10000 - 1)
-             // 10000 AS stride
-      FROM documents
-    ), d AS (
+    WITH d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents, st WHERE doc_id % st.stride = 0
+      FROM documents
     ), s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -473,13 +476,9 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_neardup_verify_jaccard",
     oracle=r"""
-    WITH st AS (
-      SELECT (COUNT(*) + 10000 - 1)
-             // 10000 AS stride
-      FROM documents
-    ), d AS (
+    WITH d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents, st WHERE doc_id % st.stride = 0
+      FROM documents
     ), s AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -837,29 +836,33 @@ _CDC_MOD = 16  # expected chunk length in tokens (boundary P = 1/16)
     "q_cdc_chunk_dedup",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+             len(string_split_regex(lower(trim(text)), '\s+'))
+               - {_CDC_K} + 1 AS n_grams
       FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= {_CDC_K}
     ), grams AS (
-      SELECT doc_id, toks, i AS pos,
+      SELECT doc_id, i AS pos,
              CASE WHEN i = 1 OR ('0x' || substr(md5(array_to_string(
                     toks[i : i + {_CDC_K} - 1], ' ')), 1, 15))::BIGINT
                     % {_CDC_MOD} = 0
                   THEN 1 ELSE 0 END AS bnd
-      FROM d, UNNEST(generate_series(1, len(toks) - {_CDC_K} + 1)) AS t(i)
-      WHERE len(toks) >= {_CDC_K}
+      FROM d, UNNEST(generate_series(1, n_grams)) AS t(i)
     ), marked AS (
-      SELECT doc_id, toks, pos,
+      SELECT doc_id, pos,
              SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS UNBOUNDED PRECEDING) AS chunk_id
       FROM grams
     ), bounds AS (
-      SELECT doc_id, chunk_id, ANY_VALUE(toks) AS toks,
-             MIN(pos) AS s, MAX(pos) AS e
+      SELECT doc_id, chunk_id, MIN(pos) AS s, MAX(pos) AS e
       FROM marked GROUP BY doc_id, chunk_id
     ), chunks AS (
-      SELECT doc_id, chunk_id,
-             md5(array_to_string(toks[s : e + {_CDC_K} - 1], ' ')) AS h
-      FROM bounds
+      SELECT b.doc_id, b.chunk_id,
+             md5(array_to_string(
+               d.toks[b.s : b.e + CASE WHEN b.e = d.n_grams
+                                       THEN {_CDC_K} - 1 ELSE 0 END],
+               ' ')) AS h
+      FROM bounds b JOIN d USING (doc_id)
     ), freq AS (
       SELECT h, COUNT(*) AS cnt FROM chunks GROUP BY h
     )
@@ -876,47 +879,56 @@ _CDC_MOD = 16  # expected chunk length in tokens (boundary P = 1/16)
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (the Rabin/FastCDC family storage
     systems and crawl pipelines use): chunk boundaries are declared
-    wherever the rolling content hash of a {K}-token window is ≡ 0 mod
-    {MOD} — so an insertion early in a document only re-chunks its own
-    neighborhood instead of shifting every downstream chunk the way
-    fixed-size blocks would — then chunks are fingerprinted and each
-    document reports how much of it duplicates chunks seen anywhere else
-    in the corpus.  Complements the fixed-window substring-span detector:
-    spans locate duplicated REGIONS pairwise, CDC measures corpus-level
-    redundancy against a dedupable chunk store.
+    wherever the content hash of a {K}-token window is ≡ 0 mod {MOD} — so
+    an insertion early in a document only re-chunks its own neighborhood
+    instead of shifting every downstream chunk the way fixed-size blocks
+    would — then chunks are fingerprinted and each document reports how
+    much of it duplicates chunks seen anywhere else in the corpus.  Chunks
+    PARTITION the document: chunk i covers tokens [s_i, s_{{i+1}}), with
+    the final chunk extended to the document end.  Complements the
+    fixed-window substring-span detector: spans locate duplicated REGIONS
+    pairwise, CDC measures corpus-level redundancy against a dedupable
+    chunk store.
 
-    Scale shape: boundary detection is a pure map (the gram hash), chunk
-    assignment one per-document prefix-sum window, chunk fingerprints one
-    hash aggregate, and the share check an equi-join of the (doc, chunk)
-    table against the (small) per-hash frequency aggregate — every
-    exchange keyed by doc_id or by the uniform 60-bit chunk hash."""
+    Scale shape: the gram stage emits only (doc_id, pos, bnd) — the
+    boundary decision hashes its window inline, so the per-doc token array
+    is NEVER replicated across exploded rows (code-review r6 #3: carrying
+    it made shuffle volume quadratic per document); chunk assignment is
+    one per-document prefix-sum window over 3 skinny columns, and chunk
+    text is recovered by joining the tiny bounds frame back to the
+    one-row-per-doc token arrays.  Every exchange is keyed by doc_id or
+    the uniform chunk hash."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = (
+    docs = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(toks) >= _CDC_K)
         .select(
             "doc_id",
             toks.alias("toks"),
-            F.explode(
-                F.sequence(F.lit(1), F.size(toks) - (_CDC_K - 1))
-            ).alias("pos"),
+            (F.size(toks) - (_CDC_K - 1)).alias("n_grams"),
         )
-        .withColumn(
-            "bnd",
-            F.when(
-                (F.col("pos") == 1)
-                | (
-                    _md5_long(
-                        F.concat_ws(
-                            " ", F.slice(F.col("toks"), F.col("pos"), _CDC_K)
-                        )
+        .persist()
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            (F.col("pos") == 1)
+            | (
+                _md5_long(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), F.col("pos"), _CDC_K)
                     )
-                    % _CDC_MOD
-                    == 0
-                ),
-                1,
-            ).otherwise(0),
-        )
+                )
+                % _CDC_MOD
+                == 0
+            ),
+            1,
+        ).otherwise(0).alias("bnd"),
     )
     from pyspark.sql import Window
 
@@ -929,22 +941,19 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bounds = marked.groupBy("doc_id", "chunk_id").agg(
-        F.any_value(F.col("toks")).alias("toks"),
-        F.min("pos").alias("s"),
-        F.max("pos").alias("e"),
+        F.min("pos").alias("s"), F.max("pos").alias("e")
     )
-    chunks = bounds.select(
+    chunk_len = (
+        F.col("e")
+        - F.col("s")
+        + 1
+        + F.when(F.col("e") == F.col("n_grams"), _CDC_K - 1).otherwise(0)
+    )
+    chunks = bounds.join(docs, "doc_id").select(
         "doc_id",
         "chunk_id",
         F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("toks"),
-                    F.col("s"),
-                    F.col("e") - F.col("s") + _CDC_K,
-                ),
-            )
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), chunk_len))
         ).alias("h"),
     )
     freq = chunks.groupBy("h").agg(F.count("*").alias("cnt"))

@@ -24,9 +24,7 @@ def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
     return df.repartition(parallelism, *keys)
 
 
-def drop_oversized_groups(
-    df: DataFrame, key: str, cap: int, count_col: str = "_n"
-) -> DataFrame:
+def drop_oversized_groups(df: DataFrame, key: str, cap: int) -> DataFrame:
     """Remove every row whose ``key`` group exceeds ``cap`` rows — the
     degenerate-key guard every bucketed self-join needs (boilerplate
     shingles, hot LSH buckets, dirty SimHash bands).
@@ -38,8 +36,8 @@ def drop_oversized_groups(
     downstream self-join needs anyway."""
     oversized = (
         df.groupBy(key)
-        .agg(_F.count("*").alias(count_col))
-        .filter(_F.col(count_col) > cap)
+        .agg(_F.count("*").alias("_n"))
+        .filter(_F.col("_n") > cap)
         .select(key)
     )
     return df.join(oversized, key, "left_anti")
