@@ -1,0 +1,107 @@
+"""Independent pure-Python referees for the chunking/fingerprinting
+operators: a THIRD implementation (besides the Spark plan and the DuckDB
+oracle) computed with plain loops over the raw parquet text.  The Spark and
+DuckDB versions share structural assumptions (same window/aggregate
+decomposition); the referee shares none, so an error in the shared
+decomposition itself — which engine-vs-engine hash parity can never catch —
+fails here."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+
+from changesetmd_spark import registry
+
+
+def _docs(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    return {
+        doc_id: re.split(r"\s+", text.strip().lower()) for doc_id, text in rows
+    }
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cdc_chunk_dedup_matches_python_referee(spark, sf_dir):
+    K, MOD = 4, 16
+    docs = _docs(sf_dir)
+    chunks = []  # (doc_id, chunk_hash)
+    for doc_id, toks in docs.items():
+        if len(toks) < K:
+            continue
+        n_grams = len(toks) - K + 1
+        # boundary positions (1-based gram starts)
+        starts = [
+            i
+            for i in range(1, n_grams + 1)
+            if i == 1
+            or _md5_long(" ".join(toks[i - 1 : i - 1 + K])) % MOD == 0
+        ]
+        for j, s in enumerate(starts):
+            e = (starts[j + 1] - 1) if j + 1 < len(starts) else n_grams
+            end_tok = e + (K - 1 if e == n_grams else 0)  # 1-based inclusive
+            chunk_text = " ".join(toks[s - 1 : end_tok])
+            chunks.append((doc_id, hashlib.md5(chunk_text.encode()).hexdigest()))
+    from collections import Counter
+
+    freq = Counter(h for _, h in chunks)
+    expected = {}
+    for doc_id in {d for d, _ in chunks}:
+        mine = [h for d, h in chunks if d == doc_id]
+        shared = sum(1 for h in mine if freq[h] > 1)
+        expected[doc_id] = (
+            len(mine),
+            shared,
+            round(shared / len(mine), 6),
+        )
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_shared_chunks, float(r.shared_ratio))
+        for r in registry.queries()["q_cdc_chunk_dedup"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_winnowing_matches_python_referee(spark, sf_dir):
+    K, W, POS_BITS = 4, 4, 30
+    docs = _docs(sf_dir)
+    expected = {}
+    for doc_id, toks in docs.items():
+        if len(toks) < K + W - 1:
+            continue
+        n_grams = len(toks) - K + 1
+        keys = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i - 1 : i - 1 + K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            * (1 << POS_BITS)
+            + ((1 << POS_BITS) - 1 - i)
+            for i in range(1, n_grams + 1)
+        ]
+        n_windows = n_grams - W + 1
+        sels = {min(keys[i : i + W]) for i in range(n_windows)}
+        expected[doc_id] = (
+            n_windows,
+            len(sels),
+            round(len(sels) / n_windows, 6),
+        )
+
+    got = {
+        r.doc_id: (r.n_windows, r.n_fingerprints, float(r.density))
+        for r in registry.queries()["q_winnowed_fingerprints"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    # the winnowing guarantee surfaces as density strictly inside (0, 1]
+    assert all(0 < d <= 1 for _, _, d in got.values())
