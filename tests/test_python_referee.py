@@ -105,3 +105,49 @@ def test_winnowing_matches_python_referee(spark, sf_dir):
     assert got == expected
     # the winnowing guarantee surfaces as density strictly inside (0, 1]
     assert all(0 < d <= 1 for _, _, d in got.values())
+
+
+def test_duplicate_substring_spans_matches_python_referee(spark, sf_dir):
+    W = 15
+    docs = _docs(sf_dir)
+    hits = {}  # doc_id -> sorted duplicate-window positions (1-based)
+    from collections import Counter
+
+    window_count = Counter()
+    windows = {}  # (doc_id, pos) -> h
+    for doc_id, toks in docs.items():
+        for i in range(1, len(toks) - W + 2):
+            h = _md5_long(" ".join(toks[i - 1 : i - 1 + W]))
+            windows[(doc_id, i)] = h
+            window_count[h] += 1
+    for (doc_id, pos), h in windows.items():
+        if window_count[h] > 1:
+            hits.setdefault(doc_id, []).append(pos)
+
+    expected = {}
+    for doc_id, poss in hits.items():
+        poss.sort()
+        spans = []
+        s = e = None
+        for p in poss:
+            if s is None:
+                s, e = p, p + W - 1
+            elif p <= e:  # overlaps the open span -> extend
+                e = p + W - 1
+            else:
+                spans.append((s, e))
+                s, e = p, p + W - 1
+        spans.append((s, e))
+        expected[doc_id] = (
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+        )
+
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens)
+        for r in registry.queries()["q_duplicate_substring_spans"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous: the corpus contains duplicated windows
