@@ -151,3 +151,72 @@ def test_duplicate_substring_spans_matches_python_referee(spark, sf_dir):
     }
     assert got == expected
     assert got  # non-vacuous: the corpus contains duplicated windows
+
+
+def test_sequence_packing_matches_python_referee(spark, sf_dir):
+    CTX = 512
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, source "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    by_source = {}
+    for doc_id, text, source in rows:
+        n_tok = len(re.split(r"\s+", text.strip().lower()))
+        by_source.setdefault(source, []).append((doc_id, n_tok))
+    expected = {}
+    for source, docs in by_source.items():
+        cum = 0
+        for doc_id, n_tok in sorted(docs):
+            pack = cum // CTX
+            n_docs, n_tokens, first = expected.get(
+                (source, pack), (0, 0, doc_id)
+            )
+            expected[(source, pack)] = (
+                n_docs + 1,
+                n_tokens + n_tok,
+                min(first, doc_id),
+            )
+            cum += n_tok
+
+    got = {
+        (r.source, r.pack_id): (r.n_docs, r.n_tokens, r.first_doc)
+        for r in registry.queries()["q_sequence_packing"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_dsir_importance_matches_python_referee(spark, sf_dir):
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    toks = {
+        doc_id: re.split(r"\s+", text.strip().lower())
+        for doc_id, text, _ in rows
+    }
+    raw = Counter(t for ts in toks.values() for t in ts)
+    tgt = Counter(
+        t for doc_id, text, lang in rows if lang == "en"
+        for t in toks[doc_id]
+    )
+    t_raw, t_tgt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    expected = {}
+    for doc_id, ts in toks.items():
+        s_tgt = sum(tgt.get(t, 0) + 1 for t in ts)
+        s_raw = sum(raw[t] + 1 for t in ts)
+        expected[doc_id] = (
+            len(ts),
+            round((float(t_raw + v) * s_tgt) / (float(t_tgt + v) * s_raw), 6),
+        )
+
+    got = {
+        r.doc_id: (r.n_toks, float(r.importance))
+        for r in registry.queries()["q_dsir_importance_weights"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
