@@ -220,3 +220,55 @@ def test_dsir_importance_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_line_dedup_c4_matches_python_referee(spark, sf_dir):
+    docs = _docs(sf_dir)
+    posts = []  # (chunk_text, doc_id, pos)
+    for doc_id, toks in docs.items():
+        n_chunks = -(-len(toks) // 10)
+        for i in range(n_chunks):
+            posts.append((" ".join(toks[i * 10 : i * 10 + 10]), doc_id, i))
+    first = {}
+    for chunk, doc_id, pos in posts:
+        cur = first.get(chunk)
+        if cur is None or (doc_id, pos) < cur:
+            first[chunk] = (doc_id, pos)
+    expected = {}
+    for chunk, doc_id, pos in posts:
+        n, kept = expected.get(doc_id, (0, 0))
+        expected[doc_id] = (
+            n + 1,
+            kept + (1 if first[chunk] == (doc_id, pos) else 0),
+        )
+    expected = {
+        d: (n, k, round(k / n, 4)) for d, (n, k) in expected.items()
+    }
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, float(r.kept_ratio))
+        for r in registry.queries()["q_line_dedup_c4"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_unigram_prob_mass_matches_python_referee(spark, sf_dir):
+    from collections import Counter
+
+    docs = _docs(sf_dir)
+    freq = Counter(t for ts in docs.values() for t in ts)
+    n = sum(freq.values())
+    expected = {
+        doc_id: (
+            len(ts),
+            round(sum(freq[t] for t in ts) / (float(len(ts)) * n), 8),
+        )
+        for doc_id, ts in docs.items()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, float(r.prob_mass))
+        for r in registry.queries()["q_unigram_prob_mass"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
