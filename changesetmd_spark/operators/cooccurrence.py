@@ -1,0 +1,118 @@
+"""Item co-occurrence analytics over the event stream (SURVEY §2.11
+extension — the market-basket / item-item collaborative-filtering primitive
+a behavioral-data pipeline runs at 100 TB of clickstream).
+
+The bipartite user→item graph comes from ``events`` (``props.k`` is the
+item key, matching q_json_typed_extract's schema-on-read path).  Pair
+generation is the classic user-keyed self-join, which is exactly where
+clickstream skew kills naive plans: a power user with 10k distinct items
+contributes C(10k, 2) ≈ 5·10⁷ pairs on their own.  The user-degree cap —
+shared with the LSH bucket caps via util.drop_oversized_groups — bounds the
+per-key quadratic term, the textbook mitigation (drop or sample hyperactive
+keys; their pairs are dominated by bot/crawler noise in practice)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .util import drop_oversized_groups
+
+_COOC_USER_CAP = 500  # max distinct items per user entering pair generation
+_COOC_MIN_BOTH = 5    # emit pairs co-engaged by at least this many users
+
+
+@register(
+    "q_item_cooccurrence",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg USING (user_id)
+    ), sizes AS (
+      SELECT item_id, COUNT(*) AS n_users FROM kept GROUP BY item_id
+    ), pairs AS (
+      SELECT a.item_id AS item_1, b.item_id AS item_2,
+             COUNT(*) AS n_both
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+      HAVING COUNT(*) >= {_COOC_MIN_BOTH}
+    )
+    SELECT p.item_1, p.item_2, p.n_both,
+           ROUND(p.n_both * 1.0 / (s1.n_users + s2.n_users - p.n_both), 4)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON s1.item_id = p.item_1
+    JOIN sizes s2 ON s2.item_id = p.item_2
+    """,
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence with user-set Jaccard: for every item pair
+    co-engaged by ≥ {MIN_BOTH} (capped-degree) users, the co-engagement
+    count and the Jaccard similarity of their user sets — the exact
+    item-CF neighborhood a recommender materializes.
+
+    Scale shape: one distinct over (user, item); the degree cap is the
+    shared aggregate+anti-join helper (never a sort window); the self-join
+    shuffles on user_id once and the pair aggregate partial-combines
+    map-side, so shuffle volume is Σ_u min(deg(u), cap)² — bounded per
+    user.  Item sizes re-join the (post-aggregation, tiny) pair table, not
+    the postings.  Integer counts → one rational division — engine-exact."""
+    ui = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+                "item_id"
+            ),
+        )
+        .distinct()
+    )
+    kept = drop_oversized_groups(ui, "user_id", _COOC_USER_CAP)
+    sizes = kept.groupBy("item_id").agg(F.count("*").alias("n_users"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "user_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_1"),
+            F.col("b.item_id").alias("item_2"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= _COOC_MIN_BOTH)
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("item_id").alias("item_1"),
+                F.col("n_users").alias("n1"),
+            ),
+            "item_1",
+        )
+        .join(
+            sizes.select(
+                F.col("item_id").alias("item_2"),
+                F.col("n_users").alias("n2"),
+            ),
+            "item_2",
+        )
+        .select(
+            "item_1",
+            "item_2",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * 1.0
+                / (F.col("n1") + F.col("n2") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

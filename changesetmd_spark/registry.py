@@ -126,6 +126,7 @@ def _load_all() -> None:
     # import for registration side effects; keep cheap (no Spark work at import)
     from .operators import (  # noqa: F401
         changesets,
+        cooccurrence,
         corpus,
         curation,
         dedup,
