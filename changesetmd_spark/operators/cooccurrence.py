@@ -116,3 +116,146 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_PR_ITERS = 3
+_PR_DAMP = "0.85"  # kept as a literal so both engines parse the same double
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted edges (both directions) of the item co-occurrence
+    graph — weight = number of co-engaging users."""
+    ui = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+                "item_id"
+            ),
+        )
+        .distinct()
+    )
+    kept = drop_oversized_groups(ui, "user_id", _COOC_USER_CAP)
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "user_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_1"),
+            F.col("b.item_id").alias("item_2"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return pairs.select(
+        F.col("item_1").alias("src"), F.col("item_2").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("item_2").alias("src"), F.col("item_1").alias("dst"), "w"
+        )
+    )
+
+
+@register(
+    "q_pagerank_items",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg USING (user_id)
+    ), pairs AS (
+      SELECT a.item_id AS item_1, b.item_id AS item_2, COUNT(*) AS w
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+    ), edges AS (
+      SELECT item_1 AS src, item_2 AS dst, w FROM pairs
+      UNION ALL
+      SELECT item_2 AS src, item_1 AS dst, w FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS item_id FROM edges
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), outw AS (
+      SELECT src, CAST(SUM(w) AS DOUBLE) AS wout FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT item_id, 1.0 / n AS r FROM nodes, nn
+    ), r1 AS (
+      SELECT e.dst AS item_id,
+             (1.0 - {_PR_DAMP}) / ANY_VALUE(nn.n) + {_PR_DAMP} * CAST(SUM(
+               CAST(r0.r * e.w / o.wout AS DECIMAL(38,18))) AS DOUBLE) AS r
+      FROM edges e
+      JOIN r0 ON r0.item_id = e.src
+      JOIN outw o ON o.src = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS item_id,
+             (1.0 - {_PR_DAMP}) / ANY_VALUE(nn.n) + {_PR_DAMP} * CAST(SUM(
+               CAST(r1.r * e.w / o.wout AS DECIMAL(38,18))) AS DOUBLE) AS r
+      FROM edges e
+      JOIN r1 ON r1.item_id = e.src
+      JOIN outw o ON o.src = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS item_id,
+             (1.0 - {_PR_DAMP}) / ANY_VALUE(nn.n) + {_PR_DAMP} * CAST(SUM(
+               CAST(r2.r * e.w / o.wout AS DECIMAL(38,18))) AS DOUBLE) AS r
+      FROM edges e
+      JOIN r2 ON r2.item_id = e.src
+      JOIN outw o ON o.src = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst
+    )
+    SELECT item_id, ROUND(r, 8) AS rank
+    FROM r3
+    """,
+)
+def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the item co-occurrence graph, {ITERS} fixed
+    power iterations at damping 0.85 — the canonical iterative graph
+    algorithm (importance/authority scoring for recommendation seeds,
+    crawl prioritization, spam-node discounting) expressed as a
+    driver-composed loop of joins and aggregates.
+
+    Determinism across engines: every per-edge contribution
+    r_src·w/w_out is computed in double (IEEE-exact given identical
+    inputs), then CAST TO DECIMAL(38,18) before the per-node SUM so
+    shuffle order cannot perturb the total; the damped update returns to
+    double once per iteration.  Scale shape: each iteration is ONE
+    exchange (join ranks to edges on src — ranks are one row per node,
+    broadcastable; aggregate on dst partial-combines map-side).  Fixed
+    iteration count keeps the lineage shallow; a production loop would
+    localCheckpoint per round exactly like connected_components."""
+    edges = _cooc_edges(spark, sf_dir).persist()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
+    nodes = edges.select(F.col("src").alias("item_id")).distinct()
+    n_nodes = nodes.count()  # one scalar; bounds the rank vector, not data
+    ranks = nodes.select(
+        "item_id", (F.lit(1.0) / n_nodes).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("item_id", "src")), "src"
+            )
+            .join(F.broadcast(outw), "src")
+            .select(
+                F.col("dst").alias("item_id"),
+                (F.col("r") * F.col("w") / F.col("wout"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("item_id").agg(
+            (
+                F.lit((1.0 - float(_PR_DAMP)) / n_nodes)
+                + float(_PR_DAMP) * F.sum("c").cast("double")
+            ).alias("r")
+        )
+    return ranks.select("item_id", F.round("r", 8).alias("rank"))
