@@ -59,6 +59,8 @@ HEADLINE = [
     "q_winnowed_fingerprints",
     "q_cdc_chunk_dedup",
     "q_temperature_mixture",
+    "q_item_cooccurrence",
+    "q_pagerank_items",
 ]
 
 
