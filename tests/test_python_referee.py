@@ -272,3 +272,83 @@ def test_unigram_prob_mass_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def _user_items(sf_dir, cap=500):
+    import json as _json
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT user_id, "
+        f"CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user = {}
+    for u, it in rows:
+        by_user.setdefault(u, set()).add(it)
+    return {u: its for u, its in by_user.items() if len(its) <= cap}
+
+
+def test_item_cooccurrence_matches_python_referee(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    by_user = _user_items(sf_dir)
+    both = Counter()
+    sizes = Counter()
+    for its in by_user.values():
+        for it in its:
+            sizes[it] += 1
+        for a, b in combinations(sorted(its), 2):
+            both[(a, b)] += 1
+    expected = {
+        (a, b): (n, round(n / (sizes[a] + sizes[b] - n), 4))
+        for (a, b), n in both.items()
+        if n >= 5
+    }
+    got = {
+        (r.item_1, r.item_2): (r.n_both, float(r.jaccard))
+        for r in registry.queries()["q_item_cooccurrence"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_pagerank_matches_python_referee(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    by_user = _user_items(sf_dir)
+    w = Counter()
+    for its in by_user.values():
+        for a, b in combinations(sorted(its), 2):
+            w[(a, b)] += 1
+    edges = []  # directed both ways
+    for (a, b), n in w.items():
+        edges.append((a, b, n))
+        edges.append((b, a, n))
+    nodes = sorted({s for s, _, _ in edges})
+    wout = Counter()
+    for s, _, n in edges:
+        wout[s] += n
+    n_nodes = len(nodes)
+    r = {v: 1.0 / n_nodes for v in nodes}
+    from decimal import Decimal
+
+    for _ in range(3):
+        acc = {v: Decimal(0) for v in nodes}
+        for s, d, n in edges:
+            contrib = r[s] * n / wout[s]
+            # mirror the engines' DECIMAL(38,18) fold of each contribution
+            acc[d] += Decimal(contrib).quantize(Decimal(1).scaleb(-18))
+        r = {
+            v: (1.0 - 0.85) / n_nodes + 0.85 * float(acc[v]) for v in nodes
+        }
+    expected = {v: round(val, 8) for v, val in r.items()}
+    got = {
+        row.item_id: float(row.rank)
+        for row in registry.queries()["q_pagerank_items"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
