@@ -159,3 +159,82 @@ def q_window_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_1h_sum"),
     )
+
+
+@register(
+    "q_time_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT hours.h, types.event_type FROM hours CROSS JOIN types
+    )
+    SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           g.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           a.tv AS total_value,
+           LAST_VALUE(a.tv IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM grid g
+    LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+    """,
+)
+def q_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling with last-observation-carried-forward
+    (TimescaleDB's ``time_bucket_gapfill`` + ``locf``): materialize EVERY
+    hour of the observed range for every event type — including hours with
+    no events, which a plain GROUP BY silently drops — and interpolate the
+    missing hourly totals by carrying the last non-null value forward
+    (leading gaps stay NULL).  Dashboards and downstream joins on the time
+    axis need the dense grid, not the sparse aggregate.
+
+    Scale shape: the hourly aggregate is the same map-side-combined
+    shuffle as q_window_tumbling_hourly; the dense grid is a generated
+    sequence (|hours| rows) cross-joined with the tiny type dimension —
+    data-free, no scan — and the LOCF pass is one per-type ROWS window
+    over |hours| rows per type, never over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        as_double(F.sum(F.col("value").cast(_VAL))).alias("tv"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    filled = grid.join(agg, ["h", "event_type"], "left")
+    locf = F.last("tv", ignorenulls=True).over(
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("tv").alias("total_value"),
+        locf.alias("locf_value"),
+    )
