@@ -61,6 +61,7 @@ HEADLINE = [
     "q_temperature_mixture",
     "q_item_cooccurrence",
     "q_pagerank_items",
+    "q_time_gapfill_locf",
 ]
 
 
