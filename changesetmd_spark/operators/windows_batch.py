@@ -238,3 +238,110 @@ def q_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv").alias("total_value"),
         locf.alias("locf_value"),
     )
+
+
+@register(
+    "q_time_gapfill_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT hours.h, types.event_type FROM hours CROSS JOIN types
+    ), indexed AS (
+      SELECT g.h, g.event_type, a.tv,
+             ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.h) AS i
+      FROM grid g
+      LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+    ), filled AS (
+      SELECT h, event_type, tv, i,
+             LAST_VALUE(tv IGNORE NULLS) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN tv IS NOT NULL THEN i END IGNORE NULLS)
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+             FIRST_VALUE(tv IGNORE NULLS) OVER
+               (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN tv IS NOT NULL THEN i END IGNORE NULLS)
+               OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM indexed
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           ROUND(CASE
+             WHEN tv IS NOT NULL THEN tv
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (i - pi) / (ni - pi)
+             ELSE COALESCE(pv, nv)
+           END, 6) AS value_interp,
+           CAST(tv IS NULL AS INT) AS is_gap
+    FROM filled
+    """,
+)
+def q_time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps (TimescaleDB's
+    ``interpolate()``, the companion of q_time_gapfill_locf's LOCF): a
+    missing hourly total becomes the linear blend of the surrounding
+    non-null observations, weighted by distance in hours; leading/trailing
+    gaps fall back to the nearest observation.
+
+    Determinism: the blend pv + (nv-pv)·(i-pi)/(ni-pi) uses row indices
+    (exact integers) and two doubles both engines computed identically
+    from the DECIMAL hourly sums — one IEEE expression, rounded once.
+    Scale shape: same dense generated grid as LOCF plus one forward and
+    one backward per-type window — both over |hours| rows per type, never
+    raw events."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(as_double(F.sum(F.col("value").cast(_VAL))).alias("tv"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    grid = hours.crossJoin(F.broadcast(events.select("event_type").distinct()))
+    filled = grid.join(agg, ["h", "event_type"], "left")
+    w = Window.partitionBy("event_type").orderBy("h")
+    fwd = w.rowsBetween(Window.unboundedPreceding, 0)
+    bwd = w.rowsBetween(0, Window.unboundedFollowing)
+    i = F.row_number().over(w)
+    filled = filled.withColumn("i", i)
+    idx_if_obs = F.when(F.col("tv").isNotNull(), F.col("i"))
+    filled = (
+        filled.withColumn("pv", F.last("tv", ignorenulls=True).over(fwd))
+        .withColumn("pi", F.last(idx_if_obs, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.first("tv", ignorenulls=True).over(bwd))
+        .withColumn("ni", F.first(idx_if_obs, ignorenulls=True).over(bwd))
+    )
+    interp = (
+        F.when(F.col("tv").isNotNull(), F.col("tv"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("i") - F.col("pi"))
+            / (F.col("ni") - F.col("pi")),
+        )
+        .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
+    )
+    return filled.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("tv").isNull().cast("int").alias("is_gap"),
+    )
