@@ -345,3 +345,72 @@ def q_time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("value_interp"),
         F.col("tv").isNull().cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "q_series_linear_trend",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS x
+      FROM agg
+    ), sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def q_series_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend over the hourly totals (the
+    metric-drift detector a monitoring pipeline runs per series): closed
+    form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with the hour index as x.
+
+    Determinism: x and the integer moments (Σx, Σx²) are exact bigints;
+    the double-valued Σy and Σxy fold each term through DECIMAL(28,12) so
+    shuffle order cannot perturb them; the closed form is then one IEEE
+    expression per series.  Scale shape: one hourly aggregate (map-side
+    combined), one per-series ROWS window to index hours, one skinny
+    per-series aggregate — no data-sized shuffle beyond the first."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(as_double(F.sum(F.col("value").cast(_VAL))).alias("y"))
+    x = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("h")
+    )
+    idx = agg.select("event_type", "y", x.alias("x"))
+    sums = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(slope, 8).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

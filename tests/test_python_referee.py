@@ -352,3 +352,113 @@ def test_pagerank_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_temperature_mixture_matches_python_referee(spark, sf_dir):
+    import math
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    n_tok = {}
+    for lang, text in rows:
+        n_tok[lang] = n_tok.get(lang, 0) + len(re.findall(r"\S+", text))
+    total = sum(n_tok.values())
+    sum_sqrt = float(
+        sum(
+            Decimal(math.sqrt(n)).quantize(Decimal(1).scaleb(-12))
+            for n in n_tok.values()
+        )
+    )
+    expected = {}
+    for lang, n in n_tok.items():
+        p_raw = n / float(total)
+        p_temp = math.sqrt(n) / sum_sqrt
+        expected[lang] = (n, round(p_raw, 6), round(p_temp, 6),
+                          round(p_temp / p_raw, 4))
+    got = {
+        r.lang: (r.n_tokens, float(r.p_raw), float(r.p_temp), float(r.boost))
+        for r in registry.queries()["q_temperature_mixture"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_assign_update_matches_python_referee(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in e] for vid, e in rows}
+    seeds = {vid: vecs[vid] for vid in vecs if vid < 8}
+    assign = {}
+    for vid, e in vecs.items():
+        best = None
+        for cid in sorted(seeds):
+            d = 0.0
+            for a, b in zip(e, seeds[cid]):  # sequential fold, same order
+                d += (a - b) * (a - b)
+            if best is None or d < best[0]:
+                best = (d, cid)
+        assign[vid] = best
+    expected = {}
+    q12 = Decimal(1).scaleb(-12)
+    for cid in sorted(seeds):
+        members = [(vid, d) for vid, (d, c) in assign.items() if c == cid]
+        if not members:
+            continue
+        n = len(members)
+        sd = sum(Decimal(d).quantize(q12) for _, d in members)
+        s0 = sum(Decimal(vecs[vid][0]).quantize(q12) for vid, _ in members)
+        expected[cid] = (
+            n,
+            round(float(sd) / n, 6),
+            round(float(s0) / n, 6),
+        )
+    got = {
+        r.cluster_id: (r.n_vecs, float(r.avg_sq_dist), float(r.centroid_d0))
+        for r in registry.queries()["q_kmeans_assign_update"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_series_linear_trend_matches_python_referee(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, "
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, h, y in rows:
+        series.setdefault(et, []).append((h, y))
+    q12 = Decimal(1).scaleb(-12)
+    expected = {}
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        sx = sum(range(1, n + 1))
+        sxx = sum(i * i for i in range(1, n + 1))
+        sy = float(sum(Decimal(y).quantize(q12) for _, y in pts))
+        sxy = float(
+            sum(
+                Decimal((i + 1) * y).quantize(q12)
+                for i, (_, y) in enumerate(pts)
+            )
+        )
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        expected[et] = (n, round(slope, 8), round((sy - slope * sx) / n, 6))
+    got = {
+        r.event_type: (r.n_hours, float(r.slope), float(r.intercept))
+        for r in registry.queries()["q_series_linear_trend"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
