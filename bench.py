@@ -62,6 +62,8 @@ HEADLINE = [
     "q_item_cooccurrence",
     "q_pagerank_items",
     "q_time_gapfill_locf",
+    "q_time_gapfill_interpolate",
+    "q_series_linear_trend",
 ]
 
 
