@@ -24,6 +24,37 @@ _COOC_USER_CAP = 500  # max distinct items per user entering pair generation
 _COOC_MIN_BOTH = 5    # emit pairs co-engaged by at least this many users
 
 
+def _capped_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, item_id) distinct pairs with the hyperactive-user cap —
+    the shared base of the co-occurrence query and the PageRank graph."""
+    ui = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+                "item_id"
+            ),
+        )
+        .distinct()
+    )
+    return drop_oversized_groups(ui, "user_id", _COOC_USER_CAP)
+
+
+def _pair_counts(kept: DataFrame) -> DataFrame:
+    """(item_1 < item_2, w) co-engagement counts from the capped base."""
+    return (
+        kept.alias("a")
+        .join(kept.alias("b"), "user_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_1"),
+            F.col("b.item_id").alias("item_2"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+
 @register(
     "q_item_cooccurrence",
     oracle=f"""
@@ -56,7 +87,7 @@ _COOC_MIN_BOTH = 5    # emit pairs co-engaged by at least this many users
 )
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-occurrence with user-set Jaccard: for every item pair
-    co-engaged by ≥ {MIN_BOTH} (capped-degree) users, the co-engagement
+    co-engaged by ≥ 5 (capped-degree) users, the co-engagement
     count and the Jaccard similarity of their user sets — the exact
     item-CF neighborhood a recommender materializes.
 
@@ -66,27 +97,11 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, so shuffle volume is Σ_u min(deg(u), cap)² — bounded per
     user.  Item sizes re-join the (post-aggregation, tiny) pair table, not
     the postings.  Integer counts → one rational division — engine-exact."""
-    ui = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
-                "item_id"
-            ),
-        )
-        .distinct()
-    )
-    kept = drop_oversized_groups(ui, "user_id", _COOC_USER_CAP)
+    kept = _capped_user_items(spark, sf_dir)
     sizes = kept.groupBy("item_id").agg(F.count("*").alias("n_users"))
     pairs = (
-        kept.alias("a")
-        .join(kept.alias("b"), "user_id")
-        .filter(F.col("a.item_id") < F.col("b.item_id"))
-        .groupBy(
-            F.col("a.item_id").alias("item_1"),
-            F.col("b.item_id").alias("item_2"),
-        )
-        .agg(F.count("*").alias("n_both"))
+        _pair_counts(kept)
+        .withColumnRenamed("w", "n_both")
         .filter(F.col("n_both") >= _COOC_MIN_BOTH)
     )
     return (
@@ -125,27 +140,7 @@ _PR_DAMP = "0.85"  # kept as a literal so both engines parse the same double
 def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed weighted edges (both directions) of the item co-occurrence
     graph — weight = number of co-engaging users."""
-    ui = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
-                "item_id"
-            ),
-        )
-        .distinct()
-    )
-    kept = drop_oversized_groups(ui, "user_id", _COOC_USER_CAP)
-    pairs = (
-        kept.alias("a")
-        .join(kept.alias("b"), "user_id")
-        .filter(F.col("a.item_id") < F.col("b.item_id"))
-        .groupBy(
-            F.col("a.item_id").alias("item_1"),
-            F.col("b.item_id").alias("item_2"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    pairs = _pair_counts(_capped_user_items(spark, sf_dir))
     return pairs.select(
         F.col("item_1").alias("src"), F.col("item_2").alias("dst"), "w"
     ).unionAll(
@@ -217,7 +212,7 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank over the item co-occurrence graph, {ITERS} fixed
+    """Weighted PageRank over the item co-occurrence graph, 3 fixed
     power iterations at damping 0.85 — the canonical iterative graph
     algorithm (importance/authority scoring for recommendation seeds,
     crawl prioritization, spam-node discounting) expressed as a
@@ -236,6 +231,10 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
     nodes = edges.select(F.col("src").alias("item_id")).distinct()
     n_nodes = nodes.count()  # one scalar; bounds the rank vector, not data
+    if n_nodes == 0:
+        # empty graph (no user co-engages two items): the oracle returns
+        # zero rows; mirror it instead of dividing by zero below
+        return spark.createDataFrame([], "item_id long, rank double")
     ranks = nodes.select(
         "item_id", (F.lit(1.0) / n_nodes).alias("r")
     )

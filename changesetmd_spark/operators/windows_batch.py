@@ -161,6 +161,28 @@ def q_window_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _hourly_dense_grid(agg: DataFrame) -> DataFrame:
+    """(h, event_type) dense grid spanning the observed hourly range for
+    every type, LEFT-joined with the aggregate — shared by both gap-fill
+    queries.  Bounds and the type dimension derive from the (tiny)
+    post-aggregate frame, NOT the raw events: date_trunc is monotone, so
+    min/max of the bucketed hours equal the bucketed min/max of raw ts,
+    and one full scan feeds everything (code-review r6 #4: the previous
+    shape scanned raw events three times per query)."""
+    bounds = agg.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = agg.select("event_type").distinct()
+    return hours.crossJoin(F.broadcast(types)).join(
+        agg, ["h", "event_type"], "left"
+    )
+
+
 @register(
     "q_time_gapfill_locf",
     oracle="""
@@ -214,18 +236,7 @@ def q_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         as_double(F.sum(F.col("value").cast(_VAL))).alias("tv"),
     )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    hours = bounds.select(
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
-        ).alias("h")
-    )
-    types = events.select("event_type").distinct()
-    grid = hours.crossJoin(F.broadcast(types))
-    filled = grid.join(agg, ["h", "event_type"], "left")
+    filled = _hourly_dense_grid(agg)
     locf = F.last("tv", ignorenulls=True).over(
         Window.partitionBy("event_type")
         .orderBy("h")
@@ -305,17 +316,7 @@ def q_time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(as_double(F.sum(F.col("value").cast(_VAL))).alias("tv"))
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    hours = bounds.select(
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
-        ).alias("h")
-    )
-    grid = hours.crossJoin(F.broadcast(events.select("event_type").distinct()))
-    filled = grid.join(agg, ["h", "event_type"], "left")
+    filled = _hourly_dense_grid(agg)
     w = Window.partitionBy("event_type").orderBy("h")
     fwd = w.rowsBetween(Window.unboundedPreceding, 0)
     bwd = w.rowsBetween(0, Window.unboundedFollowing)
