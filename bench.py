@@ -64,6 +64,7 @@ HEADLINE = [
     "q_time_gapfill_locf",
     "q_time_gapfill_interpolate",
     "q_series_linear_trend",
+    "q_series_ewma",
 ]
 
 

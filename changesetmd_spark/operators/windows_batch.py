@@ -415,3 +415,81 @@ def q_series_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+_EWMA_SPAN = 8  # trailing hours blended; alpha = 1/2 so weights are 2^-k
+
+
+@register(
+    "q_series_ewma",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), contrib AS (
+      SELECT a.event_type,
+             a.h + k.k * INTERVAL '1 hour' AS h,
+             CAST(a.y * POWER(2.0, -k.k) AS DECIMAL(28,12)) AS wy,
+             CAST(POWER(2.0, -k.k) AS DECIMAL(28,12)) AS w
+      FROM agg a
+      CROSS JOIN (SELECT unnest(generate_series(0, {_EWMA_SPAN - 1})) AS k) k
+    ), blended AS (
+      SELECT c.event_type, c.h,
+             CAST(SUM(c.wy) AS DOUBLE) / CAST(SUM(c.w) AS DOUBLE) AS ewma
+      FROM contrib c
+      JOIN agg p ON p.event_type = c.event_type AND p.h = c.h
+      GROUP BY c.event_type, c.h
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           ROUND(ewma, 6) AS ewma
+    FROM blended
+    """,
+)
+def q_series_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly totals
+    (metric smoothing / anomaly-baseline, the monitoring companion of
+    q_series_linear_trend): each observed hour blends the trailing
+    8 hours' totals with weights 2^-k, normalized over the weights of the
+    hours actually present.
+
+    alpha is pinned at 1/2 ON PURPOSE: the weights are exact powers of
+    two, so y·2^-k is one IEEE multiply both engines compute identically —
+    a general alpha^k via libm ``pow`` would not be bit-portable.  Each
+    weighted term folds through DECIMAL(28,12) so shuffle order cannot
+    perturb the sums.  Scale shape: the same contribute-forward explode as
+    the sliding-window query (each hourly row feeds its next 8 buckets —
+    a constant-factor map, no self-join), then one hash aggregate on
+    (type, hour); the join back to observed hours prunes the tail buckets
+    past the series end."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(as_double(F.sum(F.col("value").cast(_VAL))).alias("y"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_EWMA_SPAN - 1))).alias("k")
+    contrib = agg.select("event_type", "h", "y", ks).select(
+        "event_type",
+        (F.col("h") + F.make_interval(hours=F.col("k"))).alias("h"),
+        (F.col("y") * F.pow(F.lit(2.0), -F.col("k")))
+        .cast("decimal(28,12)")
+        .alias("wy"),
+        F.pow(F.lit(2.0), -F.col("k")).cast("decimal(28,12)").alias("w"),
+    )
+    blended = (
+        contrib.join(
+            agg.select("event_type", "h"), ["event_type", "h"]
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            (
+                F.sum("wy").cast("double") / F.sum("w").cast("double")
+            ).alias("ewma")
+        )
+    )
+    return blended.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.round("ewma", 6).alias("ewma"),
+    )
