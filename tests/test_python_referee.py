@@ -462,3 +462,83 @@ def test_series_linear_trend_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def _hourly_totals(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, "
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, h, y in rows:
+        series.setdefault(et, {})[h] = y
+    return series
+
+
+def test_time_gapfill_locf_matches_python_referee(spark, sf_dir):
+    import datetime
+
+    counts = {}
+    for et, h, n in duckdb.sql(
+        f"SELECT event_type, time_bucket(INTERVAL '1 hour', ts), COUNT(*) "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall():
+        counts[(et, h)] = n
+    series = _hourly_totals(sf_dir)
+    all_h = [h for s in series.values() for h in s]
+    h0, h1 = min(all_h), max(all_h)
+    hour = datetime.timedelta(hours=1)
+    expected = {}
+    for et, s in series.items():
+        last = None
+        h = h0
+        while h <= h1:
+            tv = s.get(h)
+            if tv is not None:
+                last = tv
+            expected[(h.strftime("%Y-%m-%d %H:%M:%S"), et)] = (
+                counts.get((et, h), 0),
+                tv,
+                last,
+            )
+            h += hour
+    got = {
+        (r.window_start, r.event_type): (
+            r.n_events,
+            None if r.total_value is None else float(r.total_value),
+            None if r.locf_value is None else float(r.locf_value),
+        )
+        for r in registry.queries()["q_time_gapfill_locf"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_series_ewma_matches_python_referee(spark, sf_dir):
+    import datetime
+    from decimal import Decimal
+
+    series = _hourly_totals(sf_dir)
+    q12 = Decimal(1).scaleb(-12)
+    hour = datetime.timedelta(hours=1)
+    expected = {}
+    for et, s in series.items():
+        for h in s:  # only observed hours are emitted
+            wy = Decimal(0)
+            w = Decimal(0)
+            for k in range(8):
+                src = h - k * hour
+                if src in s:
+                    wk = 2.0 ** -k
+                    wy += Decimal(s[src] * wk).quantize(q12)
+                    w += Decimal(wk).quantize(q12)
+            expected[(h.strftime("%Y-%m-%d %H:%M:%S"), et)] = round(
+                float(wy) / float(w), 6
+            )
+    got = {
+        (r.window_start, r.event_type): float(r.ewma)
+        for r in registry.queries()["q_series_ewma"](spark, sf_dir).collect()
+    }
+    assert got == expected
