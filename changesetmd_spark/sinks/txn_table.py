@@ -63,6 +63,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, StructField, StructType
 
 from .upsert import latest_per_key
 
@@ -149,12 +150,32 @@ class TxnTable:
 
     # ---- writing -----------------------------------------------------------
 
-    def _write_data_dir(self, df: DataFrame) -> tuple[str, list[str], bool]:
+    def _published_schema(self, df: DataFrame, partitioned: bool) -> dict:
+        """JSON schema as readers will observe it: hive layout appends the
+        partition column last, so the recorded schema mirrors that order.
+        Stored in every manifest so a truncated (or fully pruned) snapshot
+        still reads back as a typed empty DataFrame."""
+        schema = df.schema
+        if partitioned:
+            pfield = next(
+                (f for f in schema.fields if f.name == self.partition_col),
+                StructField(self.partition_col, DateType()),
+            )
+            schema = StructType(
+                [f for f in schema.fields if f.name != self.partition_col]
+                + [pfield]
+            )
+        return schema.jsonValue()
+
+    def _write_data_dir(
+        self, df: DataFrame
+    ) -> tuple[str, list[str], bool, dict]:
         """Write ``df`` into a fresh immutable commit directory; returns
-        (relative dir, partition dirnames inside it, partitioned?).  A
-        partitioned write of an empty frame yields ``parts == []`` — callers
-        must NOT fall back to the ``""`` pseudo-partition in that case (it
-        would make a partitioned table look unpartitioned to later merges).
+        (relative dir, partition dirnames inside it, partitioned?,
+        published schema json).  A partitioned write of an empty frame
+        yields ``parts == []`` — callers must NOT fall back to the ``""``
+        pseudo-partition in that case (it would make a partitioned table
+        look unpartitioned to later merges).
         """
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         full = os.path.join(self.path, rel)
@@ -177,9 +198,9 @@ class TxnTable:
                 for d in os.listdir(full)
                 if d.startswith(f"{self.partition_col}=")
             ]
-            return rel, parts, True
+            return rel, parts, True, self._published_schema(df, True)
         df.write.parquet(full)
-        return rel, [], False
+        return rel, [], False, self._published_schema(df, False)
 
     @staticmethod
     def _live_map(manifest: dict | None) -> dict[str, list[str]]:
@@ -189,7 +210,7 @@ class TxnTable:
             return {}
         return {k: list(v) for k, v in manifest["partitions"].items()}
 
-    def _commit_loop(self, op: str, apply) -> int:
+    def _commit_loop(self, op: str, apply, schema: dict) -> int:
         """Optimistic-commit driver: resolve state → ``apply(live_map)`` →
         try the next version slot; on losing the race, re-resolve and let
         ``apply`` rebase or recompute against the new state."""
@@ -203,6 +224,7 @@ class TxnTable:
                 "read_version": read_version,
                 "ts": time.time(),
                 "partitions": new_live,
+                "schema": schema,
             }
             if self._try_commit(read_version + 1, manifest):
                 return read_version + 1
@@ -211,36 +233,54 @@ class TxnTable:
             f"{self.path!r} ({op})"
         )
 
+    def _commit_empty_batch(self, op: str, df: DataFrame) -> int:
+        """Shared no-op path for an empty micro-batch (ADVICE r6): an empty
+        diff must not register data — on a partitioned table a data commit
+        would create the ``""`` pseudo-partition — but on a NEVER-committed
+        table silently returning ``current_version()`` would hand callers
+        the -1 sentinel where every other commit path returns a real
+        version.  There, publish an empty-but-readable v0 (schema-only
+        manifest, no data directory) so the table exists and reads back as
+        a typed empty DataFrame."""
+        v = self.current_version()
+        if v >= 0:
+            return v
+        partitioned = (
+            self.partition_source is not None
+            and self.partition_source in df.columns
+        )
+        schema = self._published_schema(df, partitioned)
+        return self._commit_loop(op, lambda live: live, schema)
+
     def append(self, df: DataFrame) -> int:
         """Blind append — commutes with every concurrent commit, so a lost
         race rebases by re-adding the same (already written) directory.
-        An empty batch (e.g. an empty replication micro-batch) is a no-op:
-        committing it on a partitioned table would register the ``""``
-        pseudo-partition and corrupt partition resolution for later merges.
-        """
+        An empty batch (e.g. an empty replication micro-batch) commits no
+        data (see :meth:`_commit_empty_batch`)."""
         if df.isEmpty():
-            return self.current_version()
-        rel, parts, partitioned = self._write_data_dir(df)
+            return self._commit_empty_batch("append", df)
+        rel, parts, partitioned, schema = self._write_data_dir(df)
 
         def apply(live: dict[str, list[str]]) -> dict[str, list[str]]:
             for p in parts if partitioned else [""]:
                 live.setdefault(p, []).append(rel)
             return live
 
-        return self._commit_loop("append", apply)
+        return self._commit_loop("append", apply, schema)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table state (DDL create/truncate parity, S7).
         Overwriting with an empty frame is a truncate: the new manifest has
-        no live partitions (never the ``""`` pseudo-partition)."""
-        rel, parts, partitioned = self._write_data_dir(df)
+        no live partitions (never the ``""`` pseudo-partition) but keeps
+        the schema, so ``read()`` returns a typed empty DataFrame."""
+        rel, parts, partitioned, schema = self._write_data_dir(df)
 
         def apply(live: dict[str, list[str]]) -> dict[str, list[str]]:
             if partitioned:
                 return {p: [rel] for p in parts}
             return {"": [rel]}
 
-        return self._commit_loop("overwrite", apply)
+        return self._commit_loop("overwrite", apply, schema)
 
     def merge(
         self,
@@ -262,10 +302,9 @@ class TxnTable:
         (T4), so retrying is safe."""
         key_cols = [key] if isinstance(key, str) else list(key)
         if batch.isEmpty():
-            # empty diff (e.g. an empty replication micro-batch): nothing to
-            # merge, and committing would register the "" pseudo-partition on
-            # partitioned tables
-            return self.current_version()
+            # empty diff (e.g. an empty replication micro-batch): no data to
+            # merge; publishes a readable empty v0 on a brand-new table
+            return self._commit_empty_batch("merge", batch)
         for _ in range(_MAX_COMMIT_RETRIES):
             read_version = self.current_version()
             prev = self._manifest(read_version) if read_version >= 0 else None
@@ -273,7 +312,9 @@ class TxnTable:
 
             incoming = latest_per_key(batch, key=key_cols, order_col=order_col)
             if not live:
-                rel, parts, partitioned = self._write_data_dir(incoming)
+                rel, parts, partitioned, schema = self._write_data_dir(
+                    incoming
+                )
                 new_live = {p: [rel] for p in (parts if partitioned else [""])}
             else:
                 current = self._read_live(live)
@@ -333,7 +374,9 @@ class TxnTable:
                     new_state = kept.unionByName(
                         incoming.select(*kept.columns), allowMissingColumns=False
                     )
-                rel, parts, partitioned = self._write_data_dir(new_state)
+                rel, parts, partitioned, schema = self._write_data_dir(
+                    new_state
+                )
                 new_live = dict(live)
                 for p in affected:
                     new_live.pop(p, None)  # partition lost all its rows
@@ -346,6 +389,7 @@ class TxnTable:
                 "read_version": read_version,
                 "ts": time.time(),
                 "partitions": new_live,
+                "schema": schema,
             }
             if self._try_commit(read_version + 1, manifest):
                 return read_version + 1
@@ -396,28 +440,49 @@ class TxnTable:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
+    def _empty_frame(self, manifest: dict, v: int) -> DataFrame:
+        """Typed empty DataFrame for a snapshot with no live rows (Delta
+        parity: truncate is readable, ADVICE r6).  Manifests written before
+        schema recording fall back to the newest older manifest that has a
+        schema, then to a ``limit(0)`` over any older live data."""
+        schema = manifest.get("schema")
+        if schema is None:
+            for ov in reversed(self.versions()):
+                if ov >= v:
+                    continue
+                m = self._manifest(ov)
+                if m.get("schema") is not None:
+                    schema = m["schema"]
+                    break
+                old_live = self._live_map(m)
+                if old_live:
+                    return self._read_live(old_live).limit(0)
+        if schema is None:
+            raise ValueError(
+                f"transactional table {self.path!r} has no live data at "
+                f"v{v} and no recorded schema"
+            )
+        return self.spark.createDataFrame([], StructType.fromJson(schema))
+
     def read(
         self, version: int | None = None, partitions: list | None = None
     ) -> DataFrame:
         """Snapshot read.  ``version`` time-travels; ``partitions`` (a list
         of partition values) prunes whole directories out of the scan from
-        the manifest alone — Spark never lists the skipped ones."""
+        the manifest alone — Spark never lists the skipped ones.  A
+        truncated snapshot (or one whose pruning matches nothing) reads as
+        a typed empty DataFrame, matching unpartitioned truncate and the
+        lakehouse formats' behavior."""
         v = self.current_version() if version is None else version
         if v < 0:
             raise ValueError(f"transactional table {self.path!r} is empty")
-        live = self._live_map(self._manifest(v))
-        if not live:
-            raise ValueError(
-                f"transactional table {self.path!r} has no live data at "
-                f"v{v} (truncated)"
-            )
+        manifest = self._manifest(v)
+        live = self._live_map(manifest)
         if partitions is not None and "" not in live:
             wanted = {self._partition_dirname(p) for p in partitions}
             live = {p: d for p, d in live.items() if p in wanted}
-            if not live:
-                raise ValueError(
-                    f"no live partitions among {sorted(wanted)} at v{v}"
-                )
+        if not live:
+            return self._empty_frame(manifest, v)
         return self._read_live(live)
 
     # ---- maintenance -------------------------------------------------------
@@ -459,7 +524,7 @@ class TxnTable:
             }
             if not targets:
                 return read_version  # already compact — no empty commit
-            rel, parts, partitioned = self._write_data_dir(
+            rel, parts, partitioned, schema = self._write_data_dir(
                 self._read_live(targets)
             )
             new_live = dict(live)
@@ -473,6 +538,7 @@ class TxnTable:
                 "read_version": read_version,
                 "ts": time.time(),
                 "partitions": new_live,
+                "schema": schema,
             }
             if self._try_commit(read_version + 1, manifest):
                 return read_version + 1

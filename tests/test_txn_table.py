@@ -164,7 +164,9 @@ def test_sustained_contention_raises(spark, table):
 def test_uncommitted_data_invisible_and_vacuumed(spark, table):
     table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
     # a crashed writer: data directory written, commit never happened
-    orphan_rel, _, _ = table._write_data_dir(_mk(spark, [(99, 1, D1, "ghost")]))
+    orphan_rel, _, _, _ = table._write_data_dir(
+        _mk(spark, [(99, 1, D1, "ghost")])
+    )
     assert _rows(table.read().select("id")) == [(1,)]
     removed = table.vacuum(keep_versions=10, retention_seconds=0.0)
     assert orphan_rel in removed
@@ -301,6 +303,23 @@ def test_lost_race_same_key_other_partition_no_duplicate(spark, table):
     assert rows == [(1, "ours"), (2, "b")]  # exactly ONE row for key 1
 
 
+def test_empty_batch_on_new_table_publishes_readable_v0(spark, table):
+    """ADVICE r6: an empty first batch must not hand back the -1 sentinel.
+    It publishes a schema-only v0 (no data dir, no "" pseudo-partition)
+    that reads as a typed empty frame, and later writes proceed normally."""
+    empty = _mk(spark, []).limit(0)
+    v = table.append(empty)
+    assert v == 0
+    assert table._live_map(table._manifest(0)) == {}
+    got = table.read()
+    assert got.count() == 0
+    assert "created_date" in got.columns  # partitioned schema published
+    # a second empty batch is a pure no-op at the existing version
+    assert table.merge(empty, key="id", order_col="sequence") == 0
+    table.merge(_mk(spark, [(1, 1, D1, "a")]), key="id", order_col="sequence")
+    assert _rows(table.read().select("id", "payload")) == [(1, "a")]
+
+
 def test_empty_batch_append_and_merge_are_noops(spark, table):
     """An empty micro-batch (e.g. an empty replication diff) must not
     commit: on a partitioned table it would otherwise register the ""
@@ -320,13 +339,17 @@ def test_empty_batch_append_and_merge_are_noops(spark, table):
 
 def test_overwrite_empty_truncates_partitioned_table(spark, table):
     table.overwrite(_mk(spark, [(1, 1, D1, "a")]))
+    full = table.read()
     table.overwrite(_mk(spark, []).limit(0))
     live = table._live_map(table._manifest(table.current_version()))
     assert live == {}  # truly empty — no "" pseudo-partition
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="no live data"):
-        table.read()
+    # truncate reads back as a TYPED empty frame (Delta parity, ADVICE r6)
+    # with the same schema a populated snapshot shows
+    empty = table.read()
+    assert empty.count() == 0
+    assert empty.schema == full.schema
+    # partition pruning to nothing is likewise empty, not an error
+    assert table.read(partitions=[D2.date()]).count() == 0
     # and the table recovers on the next write
     table.merge(_mk(spark, [(2, 1, D2, "b")]), key="id", order_col="sequence")
     assert _rows(table.read().select("id", "payload")) == [(2, "b")]
