@@ -370,9 +370,13 @@ def q_time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM idx GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_hours,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept
+           CASE WHEN n > 1 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+           END AS slope,
+           CASE WHEN n > 1 THEN
+             ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                   6)
+           END AS intercept
     FROM sums
     """,
 )
@@ -407,13 +411,18 @@ def q_series_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # a single-bucket series has zero x-variance: the denominator is 0 and
+    # the engines disagree on 0/0 (Spark NaN vs DuckDB NULL/inf, ADVICE
+    # r6) — both slope and intercept are undefined there, report NULL
+    defined = F.col("n") > 1
     return sums.select(
         "event_type",
         F.col("n").cast("long").alias("n_hours"),
-        F.round(slope, 8).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        F.round(F.when(defined, slope), 8).alias("slope"),
+        F.round(
+            F.when(defined, (F.col("sy") - slope * F.col("sx")) / F.col("n")),
+            6,
+        ).alias("intercept"),
     )
 
 
