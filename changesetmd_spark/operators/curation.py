@@ -436,7 +436,7 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
-    return scored.crossJoin(F.broadcast(total)).select(
+    out = scored.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         # denominator in double: n_tokens * n as long*long overflows past
@@ -448,6 +448,11 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("prob_mass"),
     )
+    # materialize the per-doc scores, then release the postings cache (the
+    # q_dedup_groups/q_tfidf_top_terms release pattern — VERDICT r6 #5)
+    result = out.localCheckpoint(eager=True)
+    posts.unpersist()
+    return result
 
 
 _PACK_CTX = 512  # context length (tokens) for concat-and-chunk packing
@@ -596,7 +601,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cr") + 1).alias("s_raw"),
         )
     )
-    return scored.crossJoin(F.broadcast(totals)).select(
+    out = scored.crossJoin(F.broadcast(totals)).select(
         "doc_id",
         F.col("n_toks").cast("long").alias("n_toks"),
         F.round(
@@ -605,6 +610,10 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("importance"),
     )
+    # materialize the per-doc weights, then release the postings cache
+    result = out.localCheckpoint(eager=True)
+    posts.unpersist()
+    return result
 
 
 @register(

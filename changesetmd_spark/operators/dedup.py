@@ -263,7 +263,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % F.col("_stride") == 0)
         .drop("_stride")
     )
-    return ngram_jaccard_pairs(hashed_shingle_docs(spark, sf_dir, sampled))
+    caches: list[DataFrame] = []
+    out = ngram_jaccard_pairs(
+        hashed_shingle_docs(spark, sf_dir, sampled), caches=caches
+    )
+    # materialize the pairs, then release the postings cache the helper
+    # handed us ownership of
+    result = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return result
 
 
 def minhash_signatures(
@@ -376,11 +385,16 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cands.join(sh1, "doc_id_1").join(sh2, "doc_id_2")
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter * 1.0 / union, 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
+    # materialize the verified pairs, then release both caches
+    result = out.localCheckpoint(eager=True)
+    buckets.unpersist()
+    docs.unpersist()
+    return result
 
 
 # hash-checked LSH-banding variant: xxhash64 (the fast path above) has no
@@ -822,10 +836,15 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("s"),
         (F.max("pos") + (_SPAN_W - 1)).alias("e"),
     )
-    return merged.groupBy("doc_id").agg(
+    out = merged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
     )
+    # materialize the per-doc rollup, then release the postings cache (the
+    # q_dedup_groups/q_tfidf_top_terms release pattern — VERDICT r6 #5)
+    result = out.localCheckpoint(eager=True)
+    posts.unpersist()
+    return result
 
 
 _CDC_K = 4   # tokens hashed to decide a boundary
@@ -958,7 +977,7 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
     shared = F.when(F.col("cnt") > 1, 1).otherwise(0)
-    return (
+    out = (
         chunks.join(freq, "h")
         .groupBy("doc_id")
         .agg(
@@ -969,3 +988,7 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # materialize the per-doc rollup, then release the tokenized-docs cache
+    result = out.localCheckpoint(eager=True)
+    docs.unpersist()
+    return result
