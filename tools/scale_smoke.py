@@ -22,6 +22,12 @@ Up-sampling preserves workload *density* rather than inflating it:
   pattern — norm- and distribution-preserving, decorrelated across ALL
   replicas (rotation alone repeats every `dim` replicas, which at 100×
   planted exact cross-replica duplicates — code-review r6 #2).
+* events (VERDICT r6 #4): replica k shifts event_id, moves user_id and the
+  ``props.k`` item id into disjoint per-replica ranges, and offsets ts by
+  k·31 days.  So the time span, the user population, and the item graph
+  all grow linearly with the data — the gap-fill grid (O(hours·types)),
+  the session count, and the co-occurrence/PageRank node set actually
+  scale instead of only deepening each hour bucket / graph edge.
 
 Run:  PYTHONPATH=. python tools/scale_smoke.py
 """
@@ -61,18 +67,18 @@ QUERIES = [
     "q_dsir_importance_weights",
     "q_sequence_packing",
     "q_kmeans_assign_update",
+    # runs at EVERY replica count since the K ∝ n seed-stride fix
+    # (VERDICT r6 #2) removed the old fixed-K exemption
     "q_semdedup_clustered",
     "q_winnowed_fingerprints",
     "q_cdc_chunk_dedup",
+    # graph / time-series family over the replicated events table
+    # (VERDICT r6 #4)
+    "q_item_cooccurrence",
+    "q_pagerank_items",
+    "q_time_gapfill_locf",
+    "q_series_ewma",
 ]
-
-# Queries whose REGISTERED parameters only make sense up to a bounded
-# corpus multiple.  q_semdedup_clustered pins K=8 clusters (right for the
-# driver corpus); SemDeDup at larger n uses K ∝ n to bound Σ|cluster|², so
-# running the fixed-K registration at 100× would measure a deliberately
-# wrong configuration, not the engine.  Skips are recorded in the output —
-# never silent.
-MAX_REPLICAS = {"q_semdedup_clustered": 10}
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
 # driver's command timeout); results MERGE per-query into the existing run
@@ -83,7 +89,8 @@ SUBSET = [
 
 
 def build_scale_data(spark) -> None:
-    marker = os.path.join(SCALE_DIR, "_DONE")
+    # v2: events up-sampling added — older dirs lack it and must rebuild
+    marker = os.path.join(SCALE_DIR, "_DONE_v2")
     if os.path.exists(marker):
         return
     shutil.rmtree(SCALE_DIR, ignore_errors=True)
@@ -156,8 +163,35 @@ def build_scale_data(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.parquet(os.path.join(SCALE_DIR, "embeddings.parquet"))
 
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    parts = []
+    for k in range(REPLICAS):
+        item = F.get_json_object(F.col("props"), "$.k").cast("long")
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 100_000_000)).alias(
+                    "event_id"
+                ),
+                # disjoint per-replica time span: the hourly grid / window
+                # count grows with the data instead of only deepening
+                (F.col("ts") + F.expr(f"INTERVAL {k * 31} DAYS")).alias("ts"),
+                (F.col("user_id") + F.lit(k * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                # disjoint per-replica item space: the co-occurrence /
+                # PageRank node set grows linearly, per-user degree doesn't
+                F.to_json(
+                    F.struct((item + F.lit(k * 1_000_000)).alias("k"))
+                ).alias("props"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(os.path.join(SCALE_DIR, "events.parquet"))
+
     # remaining tables: symlink the base versions (queries above only touch
-    # documents/embeddings, but registry builders may load others)
+    # documents/embeddings/events, but registry builders may load others)
     for f in os.listdir(BASE):
         dst = os.path.join(SCALE_DIR, f)
         if not os.path.exists(dst):
@@ -192,14 +226,6 @@ def main() -> None:
     skipped = {}
     for name in QUERIES:
         if SUBSET and name not in SUBSET:
-            continue
-        if REPLICAS > MAX_REPLICAS.get(name, 10**9):
-            skipped[name] = (
-                f"fixed-parameter registration only meaningful to "
-                f"x{MAX_REPLICAS[name]} (see MAX_REPLICAS note)"
-            )
-            print(f"{name}: SKIPPED at x{REPLICAS} — {skipped[name]}",
-                  file=sys.stderr)
             continue
         base_t[name], _ = timed(qs, name, BASE, spark)
         scale_t[name], rows[name] = timed(qs, name, SCALE_DIR, spark)
@@ -245,8 +271,13 @@ def main() -> None:
         result["pass"] = all(
             r <= REPLICAS for r in result["time_ratio"].values()
         )
-        if prev_same.get("skipped"):
-            result.setdefault("skipped", {}).update(prev_same["skipped"])
+        stale_skips = {
+            k: v
+            for k, v in prev_same.get("skipped", {}).items()
+            if k not in result["time_ratio"]  # now measured → skip resolved
+        }
+        if stale_skips:
+            result.setdefault("skipped", {}).update(stale_skips)
     doc["runs"].append(result)
     doc["runs"].sort(key=lambda r: r["replicas"])
     doc["pass"] = all(r["pass"] for r in doc["runs"])
