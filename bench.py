@@ -140,27 +140,30 @@ def main() -> None:
 
     # One throwing query must cost only its own timing slot, never the whole
     # bench: record the error string and keep going so every round has a
-    # perf signal for the remaining queries.  Each query is timed twice and
-    # the MINIMUM recorded (timeit methodology): this host shows sporadic
-    # global 1.5-2x slowdowns (shared-host contention + page-cache drops)
-    # that would otherwise be indistinguishable from plan regressions.
+    # perf signal for the remaining queries.  Each query is timed 3× — the
+    # MINIMUM is the headline (timeit methodology: this host shows sporadic
+    # global 1.5-2x slowdowns from shared-host contention + page-cache
+    # drops that would otherwise be indistinguishable from plan
+    # regressions) and the MEDIAN is reported alongside (VERDICT r6 #7) so
+    # round-over-round diffs can tell host noise from real plan changes.
+    _RUNS = 3
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = None
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(_RUNS):
             t0 = time.perf_counter()
             try:
                 rows = qs[name](spark, SF_DIR).collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append(time.perf_counter() - t0)
                 assert rows is not None
             except Exception as ex:  # noqa: BLE001
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
-                # keep times/errors disjoint: a first-run success followed by
-                # a second-run failure must not double-report the query as
+                # keep times/errors disjoint: an early-run success followed
+                # by a later failure must not double-report the query as
                 # both measured and failed
-                best = None
+                samples = []
                 break
             finally:
                 # measurement isolation: several queries persist
@@ -170,8 +173,9 @@ def main() -> None:
                 # iterative queries, which then recompute whole lineages —
                 # observed as 5s → 20-30s swings on the late queries.
                 spark.catalog.clearCache()
-        if best is not None:
-            times[name] = round(best, 3)
+        if samples:
+            times[name] = round(min(samples), 3)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -179,6 +183,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
         "sf": sf_from_dir(SF_DIR),
         "xml_ingest": ingest,
     }
