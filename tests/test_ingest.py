@@ -157,3 +157,38 @@ def test_bz2_input_reads_identically(spark, tmp_path):
         bz.write_bytes(bz2.compress(src.read()))
     df = normalize_changesets(read_changeset_xml(spark, str(bz)))
     assert sorted(r.id for r in df.select("id").collect()) == [1001, 1002, 1003, 1004]
+
+
+def test_multistream_bz2_through_cli_bulk_load(spark, tmp_path, capsys):
+    """S2 splittability on a REAL multi-stream file (VERDICT r6 stretch):
+    pbzip2/lbzip2 dumps are concatenations of independent bz2 streams —
+    the exact layout Hadoop's Bzip2Codec splits on stream boundaries, and
+    the case the reference needs the ``bz2file`` module for (ref
+    changesetmd.py:23-27).  A golden 2-stream fixture (split mid-document
+    at an element boundary, each half its own stream) must bulk-load
+    through the CLI end-to-end identically to the plain XML."""
+    import bz2
+
+    from changesetmd_spark.cli import main
+
+    text = open(FIXTURE, "rb").read()
+    cut = text.index(b"<changeset", text.index(b"<changeset") + 1)
+    assert 0 < cut < len(text)  # split inside the document, between elements
+    bz = tmp_path / "multistream.osm.bz2"
+    bz.write_bytes(bz2.compress(text[:cut]) + bz2.compress(text[cut:]))
+    # sanity: the file really is two concatenated streams
+    assert bz.read_bytes().count(b"BZh9\x31\x41\x59\x26\x53\x59") == 2
+
+    plain_store = str(tmp_path / "store_plain")
+    multi_store = str(tmp_path / "store_multi")
+    assert main(["-s", plain_store, "-c", "-f", FIXTURE]) == 0
+    assert main(["-s", multi_store, "-c", "-f", str(bz)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("loaded 4") == 2
+
+    plain = spark.read.parquet(os.path.join(plain_store, "changesets"))
+    multi = spark.read.parquet(os.path.join(multi_store, "changesets"))
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(plain.collect(), key=key) == sorted(
+        multi.collect(), key=key
+    )
