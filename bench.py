@@ -65,6 +65,10 @@ HEADLINE = [
     "q_time_gapfill_interpolate",
     "q_series_linear_trend",
     "q_series_ewma",
+    "q_rag_chunk_overlap",
+    "q_bigram_lm_fluency",
+    "q_value_mad_outliers",
+    "q_token_len_histogram",
 ]
 
 

@@ -455,6 +455,85 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register(
+    "q_bigram_lm_fluency",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+    ), bg AS (
+      SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+    ), c2 AS (
+      SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b
+    ), c1 AS (
+      SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(c2.n2 * 1.0 / c1.n1 AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_cond_prob
+    FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+    GROUP BY bg.doc_id
+    """,
+)
+def q_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency proxy, the second rung of the statistical-LM
+    quality ladder (q_unigram_prob_mass is the first): each document
+    scores the mean corpus conditional probability P(b|a) = c(a,b)/c(a·)
+    of its adjacent token pairs — shuffled or template-stitched token
+    soup scores low even when every individual token is common, which
+    the unigram mass cannot see.
+
+    Determinism: each P(b|a) is one IEEE-exact double division of two
+    bigints, folded through DECIMAL(28,12) before the per-doc SUM so
+    shuffle order cannot perturb the total (the module's established
+    integer/decimal discipline).  Scale shape: one bigram explode, two
+    hash aggregates on the bigram/prefix keys (map-side combined — the
+    Zipf head collapses before the exchange), then postings⋈counts joins
+    on those same keys; the prefix join is the skew point at 100 TB and
+    rides AQE's skew split exactly like DSIR's hot-token join."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+        .persist()
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    out = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, ["a"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    (F.col("n2") * 1.0 / F.col("n1")).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_cond_prob"),
+        )
+    )
+    # materialize the per-doc scores, then release the bigram cache
+    result = out.localCheckpoint(eager=True)
+    bg.unpersist()
+    return result
+
+
 _PACK_CTX = 512  # context length (tokens) for concat-and-chunk packing
 
 
@@ -521,6 +600,94 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
         )
+    )
+
+
+_RAG_CTX = 128   # chunk length (tokens)
+_RAG_STRIDE = 96  # chunk stride; CTX - STRIDE = 32 tokens of overlap
+
+
+@register(
+    "q_rag_chunk_overlap",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n
+      FROM documents
+    ), k AS (
+      SELECT doc_id, toks, n,
+             (GREATEST(n - {_RAG_CTX}, 0) + {_RAG_STRIDE - 1})
+               // {_RAG_STRIDE} AS kmax
+      FROM d
+    ), c AS (
+      SELECT doc_id, i AS chunk_id, toks,
+             CASE WHEN i < kmax THEN {_RAG_CTX}
+                  ELSE n - i * {_RAG_STRIDE} END AS clen
+      FROM k, UNNEST(generate_series(0, kmax)) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(clen AS INT) AS n_tok_chunk,
+           md5(array_to_string(
+             toks[chunk_id * {_RAG_STRIDE} + 1
+                  : chunk_id * {_RAG_STRIDE} + clen], ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def q_rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval-corpus prep
+    step every RAG pipeline runs before embedding: each document is cut
+    into {CTX}-token windows advancing by {STRIDE} tokens ({CTX−STRIDE}
+    tokens of overlap so no sentence is stranded at a boundary), and each
+    chunk is content-fingerprinted for downstream chunk-level dedup.
+    Chunk k covers tokens [k·STRIDE+1, k·STRIDE+CTX] clipped to the
+    document end; kmax = ⌈max(0, n−CTX)/STRIDE⌉ in pure integer form, so
+    every document yields ≥ 1 chunk.
+
+    Determinism: integer-only placement arithmetic plus md5 — both
+    engines bit-identical.  Scale shape: an embarrassingly-parallel
+    per-document map (closed-form chunk count, then one explode over
+    ~n/STRIDE chunk indices); the token array is replicated only within
+    the projection pipeline of a single stage — NO shuffle carries it
+    (the CDC lesson, code-review r6 #3) because there is no exchange at
+    all: chunk rows stream straight to the sink/embedder."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+        .withColumn(
+            "kmax",
+            F.expr(
+                f"(greatest(n - {_RAG_CTX}, 0) + {_RAG_STRIDE - 1}) "
+                f"div {_RAG_STRIDE}"
+            ),
+        )
+    )
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        "kmax",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("kmax"))
+        ).alias("chunk_id"),
+    )
+    clen = F.when(F.col("chunk_id") < F.col("kmax"), F.lit(_RAG_CTX)).otherwise(
+        F.col("n") - F.col("chunk_id") * _RAG_STRIDE
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        clen.cast("int").alias("n_tok_chunk"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    (F.col("chunk_id") * _RAG_STRIDE + 1).cast("int"),
+                    clen.cast("int"),
+                ),
+            )
+        ).alias("chunk_hash"),
     )
 
 

@@ -46,6 +46,87 @@ def q_value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 3 · 1.4826 — the classic "3 sigma" robust threshold: MAD·1.4826 estimates
+# σ for a normal distribution.  One literal so both engines parse the same
+# double.
+_MAD_K = "4.4478"
+
+
+@register(
+    "q_value_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dv
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dv, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(m.med), 6) AS med,
+           ROUND(MIN(d.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > {_MAD_K} * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN abs(e.value - m.med) > {_MAD_K} * d.mad
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS outlier_ratio
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier detection via median/MAD (the
+    metric-anomaly and sensor-glitch filter a telemetry pipeline runs
+    where mean/stddev would be dragged by the very outliers it hunts):
+    per event type, the median, the median absolute deviation, and how
+    many values fall outside med ± 3·1.4826·MAD.
+
+    Determinism: both engines compute the same type-7 interpolated
+    percentile (see module docstring), |v − med| is IEEE-exact per row,
+    and the outlier comparison uses the UNROUNDED med/mad in both
+    engines.  Scale shape: three scans of the events table — median,
+    MAD-of-deviations, threshold count — each a hash aggregate on the
+    (low-cardinality) type key with the 5-row med/mad frames broadcast
+    back; no data-sized shuffle anywhere.  Exact multi-pass is the
+    referee tier; the one-pass 100 TB path is percentile_approx in
+    q_sketch_cardinality_and_quantiles."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dv")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dv", F.lit(0.5)).alias("mad")
+    )
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("med"))
+        > float(_MAD_K) * F.col("mad"),
+        1,
+    ).otherwise(0)
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+            F.round(F.sum(is_out) * 1.0 / F.count("*"), 6).alias(
+                "outlier_ratio"
+            ),
+        )
+    )
+
+
 @register("q_sketch_cardinality_and_quantiles")  # no oracle: sketch outputs
 def q_sketch_cardinality_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: HLL++ distinct users + approximate quantiles per

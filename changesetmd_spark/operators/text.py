@@ -357,3 +357,46 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density"),
         )
     )
+
+
+@register(
+    "q_token_len_histogram",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, len(regexp_extract_all(text, '\S+')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(length(bin(n_tok)) AS INT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tok) AS INT) AS min_tokens,
+           CAST(MAX(n_tok) AS INT) AS max_tokens
+    FROM d
+    GROUP BY source, length(bin(n_tok))
+    """,
+)
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed document-length histogram — the length
+    profile a curation run inspects before choosing truncation / packing
+    / quality thresholds (length distributions are heavy-tailed; linear
+    buckets hide the tail that matters).  The bucket key is the BIT WIDTH
+    of the token count (floor(log2 n)+1) computed via base-2 string
+    length — pure integer arithmetic, because floating log2 at exact
+    powers of two is an engine-divergence trap.
+
+    Scale shape: one embarrassingly-parallel projection, one hash
+    aggregate on (source, bits) with map-side combine — cardinality is
+    sources × ~40 buckets, so the exchange is trivially small at any
+    corpus size."""
+    n_tok = token_count(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", n_tok.alias("n_tok")
+    )
+    bits = F.length(F.conv(F.col("n_tok"), 10, 2))
+    return d.groupBy("source", bits.cast("int").alias("bits")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("n_tok").cast("int").alias("min_tokens"),
+        F.max("n_tok").cast("int").alias("max_tokens"),
+    )

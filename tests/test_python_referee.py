@@ -542,3 +542,128 @@ def test_series_ewma_matches_python_referee(spark, sf_dir):
         for r in registry.queries()["q_series_ewma"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_rag_chunk_overlap_matches_python_referee(spark, sf_dir):
+    C, S = 128, 96
+    docs = _docs(sf_dir)
+    expected = set()
+    for doc_id, toks in docs.items():
+        n = len(toks)
+        kmax = (max(n - C, 0) + S - 1) // S
+        for k in range(kmax + 1):
+            clen = C if k < kmax else n - k * S
+            text = " ".join(toks[k * S : k * S + clen])
+            expected.add(
+                (doc_id, k, clen, hashlib.md5(text.encode()).hexdigest())
+            )
+    got = {
+        (r.doc_id, r.chunk_id, r.n_tok_chunk, r.chunk_hash)
+        for r in registry.queries()["q_rag_chunk_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_token_len_histogram_matches_python_referee(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT source, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    buckets = {}
+    for source, text in rows:
+        n = len(re.findall(r"\S+", text))
+        bits = len(bin(n)) - 2  # '0b…' prefix; bin(0) -> 1 bit like conv/bin
+        buckets.setdefault((source, bits), []).append(n)
+    expected = {
+        k: (len(v), sum(v), min(v), max(v)) for k, v in buckets.items()
+    }
+    got = {
+        (r.source, r.bits): (
+            r.n_docs,
+            r.total_tokens,
+            r.min_tokens,
+            r.max_tokens,
+        )
+        for r in registry.queries()["q_token_len_histogram"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def _quantile_type7(vals):
+    """Linear-interpolated (type-7) quantile at p=0.5, the formula both
+    F.percentile and DuckDB quantile_cont implement."""
+    v = sorted(vals)
+    pos = 0.5 * (len(v) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    if frac == 0:
+        return v[lo]
+    return v[lo] + (v[lo + 1] - v[lo]) * frac
+
+
+def test_value_mad_outliers_matches_python_referee(spark, sf_dir):
+    K = 4.4478
+    rows = duckdb.sql(
+        f"SELECT event_type, value "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    series = {}
+    for et, v in rows:
+        series.setdefault(et, []).append(v)
+    expected = {}
+    for et, vals in series.items():
+        med = _quantile_type7(vals)
+        mad = _quantile_type7([abs(v - med) for v in vals])
+        n_out = sum(1 for v in vals if abs(v - med) > K * mad)
+        expected[et] = (
+            len(vals),
+            round(med, 6),
+            round(mad, 6),
+            n_out,
+            round(n_out * 1.0 / len(vals), 6),
+        )
+    got = {
+        r.event_type: (
+            r.n,
+            float(r.med),
+            float(r.mad),
+            r.n_outliers,
+            float(r.outlier_ratio),
+        )
+        for r in registry.queries()["q_value_mad_outliers"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_bigram_lm_fluency_matches_python_referee(spark, sf_dir):
+    from collections import Counter
+    from decimal import Decimal
+
+    docs = _docs(sf_dir)
+    bigrams = {
+        doc_id: list(zip(toks, toks[1:]))
+        for doc_id, toks in docs.items()
+        if len(toks) >= 2
+    }
+    c2 = Counter(p for ps in bigrams.values() for p in ps)
+    c1 = Counter(a for ps in bigrams.values() for a, _ in ps)
+    q12 = Decimal(1).scaleb(-12)
+    expected = {}
+    for doc_id, ps in bigrams.items():
+        total = sum(
+            Decimal(c2[p] * 1.0 / c1[p[0]]).quantize(q12) for p in ps
+        )
+        expected[doc_id] = (len(ps), round(float(total) / len(ps), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, float(r.mean_cond_prob))
+        for r in registry.queries()["q_bigram_lm_fluency"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
