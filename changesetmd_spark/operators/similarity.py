@@ -725,11 +725,16 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster self-join is an equi-join on cluster_id.  The constant
     seed STRIDE makes K ∝ n (SemDeDup uses ~100k clusters for web
     corpora): average |cluster| stays ~stride/4 at every corpus size, so
-    Σ|cluster|² — the pair-generation work — grows linearly with the data
-    instead of quadratically, and the operator holds its scale ratio in
-    tools/scale_smoke.py at 100× (the fixed-K=8 version had to be
-    exempted there).  Deliberately missing cross-cluster pairs is the
-    algorithm's documented approximation."""
+    Σ|cluster|² — the pair-generation work — grows LINEARLY with the data
+    instead of quadratically (the fixed-K=8 version had to be exempted
+    from the 100× scale run; this one passes it).  The remaining
+    superlinear term is the exact argmin-over-all-seeds assignment
+    (n·K distance evaluations — visible as the 100× scale row's ratio
+    exceeding the 10× one): that exactness is this query's referee-tier
+    contract, and the production path replaces it with the IVF coarse-
+    quantizer probe (q_embedding_ann_ivf's plan shape), which is how the
+    paper's implementation assigns at web scale.  Deliberately missing
+    cross-cluster pairs is the algorithm's documented approximation."""
     base = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 4 == 0)
