@@ -455,9 +455,7 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register(
-    "q_bigram_lm_fluency",
-    oracle=r"""
+_BIGRAM_ORACLE = r"""
     WITH d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
       FROM documents
@@ -476,24 +474,15 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DOUBLE) / COUNT(*), 6) AS mean_cond_prob
     FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
     GROUP BY bg.doc_id
-    """,
-)
-def q_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM fluency proxy, the second rung of the statistical-LM
-    quality ladder (q_unigram_prob_mass is the first): each document
-    scores the mean corpus conditional probability P(b|a) = c(a,b)/c(a·)
-    of its adjacent token pairs — shuffled or template-stitched token
-    soup scores low even when every individual token is common, which
-    the unigram mass cannot see.
+    """
 
-    Determinism: each P(b|a) is one IEEE-exact double division of two
-    bigints, folded through DECIMAL(28,12) before the per-doc SUM so
-    shuffle order cannot perturb the total (the module's established
-    integer/decimal discipline).  Scale shape: one bigram explode, two
-    hash aggregates on the bigram/prefix keys (map-side combined — the
-    Zipf head collapses before the exchange), then postings⋈counts joins
-    on those same keys; the prefix join is the skew point at 100 TB and
-    rides AQE's skew split exactly like DSIR's hot-token join."""
+
+def bigram_fluency_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(scores, bigram postings) — the lazy plan behind
+    q_bigram_lm_fluency, exposed so tests/test_plan_quality.py can pin
+    the join shapes BEFORE the query's checkpoint hides them."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     bg = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -509,7 +498,6 @@ def q_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", "p.a", "p.b")
-        .persist()
     )
     c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
@@ -528,7 +516,30 @@ def q_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cond_prob"),
         )
     )
-    # materialize the per-doc scores, then release the bigram cache
+    return out, bg
+
+
+@register("q_bigram_lm_fluency", oracle=_BIGRAM_ORACLE)
+def q_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency proxy, the second rung of the statistical-LM
+    quality ladder (q_unigram_prob_mass is the first): each document
+    scores the mean corpus conditional probability P(b|a) = c(a,b)/c(a·)
+    of its adjacent token pairs — shuffled or template-stitched token
+    soup scores low even when every individual token is common, which
+    the unigram mass cannot see.
+
+    Determinism: each P(b|a) is one IEEE-exact double division of two
+    bigints, folded through DECIMAL(28,12) before the per-doc SUM so
+    shuffle order cannot perturb the total (the module's established
+    integer/decimal discipline).  Scale shape: one bigram explode, two
+    hash aggregates on the bigram/prefix keys (map-side combined — the
+    Zipf head collapses before the exchange), then postings⋈counts joins
+    on those same keys; the prefix join is the skew point at 100 TB and
+    rides AQE's skew split exactly like DSIR's hot-token join."""
+    out, bg = bigram_fluency_plan(spark, sf_dir)
+    # the postings feed both count aggregates AND the scoring join —
+    # persist across those reads, then release after materializing
+    bg = bg.persist()
     result = out.localCheckpoint(eager=True)
     bg.unpersist()
     return result

@@ -236,3 +236,45 @@ def test_semdedup_blocks_on_cluster_equi_join(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.cosine_sim >= 0.92 for r in rows)
+
+
+def test_rag_chunk_overlap_no_exchange(spark, sf_dir):
+    """q_rag_chunk_overlap is a pure per-document map (closed-form chunk
+    placement + explode + hash) — the ONLY allowed exchange is fan_out's
+    widen of the single-file local corpus (a no-op on a wide scan); any
+    second exchange means token arrays are being shuffled, the quadratic
+    trap the CDC operator fixed."""
+    df = QS["q_rag_chunk_overlap"](spark, sf_dir)
+    assert shuffle_count(df) <= 1, shuffle_count(df)
+
+
+def test_token_len_histogram_single_exchange(spark, sf_dir):
+    """One hash aggregate on (source, bits) with map-side combine — the
+    exchange carries only the tiny bucket space."""
+    df = QS["q_token_len_histogram"](spark, sf_dir)
+    assert shuffle_count(df) == 1, shuffle_count(df)
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """q_value_mad_outliers must broadcast the 5-row med/mad frames back
+    to the events scans — a sort-merge join here would shuffle the whole
+    events table three times at 100 TB."""
+    df = QS["q_value_mad_outliers"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "stats joins must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_fluency_equi_joins_only(spark, sf_dir):
+    """q_bigram_lm_fluency's postings⋈counts joins must be equi-joins on
+    the bigram/prefix keys — no cartesian, no nested loop.  Pinned via
+    the exposed lazy plan (the registered query checkpoints eagerly, so
+    its returned frame's plan is just the materialized scan)."""
+    from changesetmd_spark.operators.curation import bigram_fluency_plan
+
+    out, _ = bigram_fluency_plan(spark, sf_dir)
+    plan = _physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # non-vacuous: the scoring joins are present
