@@ -69,6 +69,7 @@ HEADLINE = [
     "q_bigram_lm_fluency",
     "q_value_mad_outliers",
     "q_token_len_histogram",
+    "q_embedding_pca_power",
 ]
 
 

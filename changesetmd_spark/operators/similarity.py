@@ -797,3 +797,116 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 5).alias("cosine_sim"),
         )
     )
+
+
+@register(
+    "q_embedding_pca_power",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d1 AS (
+      SELECT label, e, list_reduce(e, (a, b) -> a + b) AS d FROM v
+    ), s1 AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(d * e[i] AS DECIMAL(28,12))) AS DOUBLE) AS y
+      FROM d1, UNNEST(generate_series(1, {_DIM})) AS t(i)
+      GROUP BY label, i
+    ), y1 AS (
+      SELECT label, list(y ORDER BY pos) AS y FROM s1 GROUP BY label
+    ), x1 AS (
+      SELECT label,
+             list_transform(y, w -> w / sqrt(list_reduce(
+               list_transform(y, w -> w * w), (a, b) -> a + b))) AS x
+      FROM y1
+    ), d2 AS (
+      SELECT v.label, v.e,
+             list_reduce(list_transform(generate_series(1, {_DIM}),
+                         i -> v.e[i] * x1.x[i]), (a, b) -> a + b) AS d
+      FROM v JOIN x1 USING (label)
+    ), s2 AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(d * e[i] AS DECIMAL(28,12))) AS DOUBLE) AS y
+      FROM d2, UNNEST(generate_series(1, {_DIM})) AS t(i)
+      GROUP BY label, i
+    ), y2 AS (
+      SELECT label, list(y ORDER BY pos) AS y FROM s2 GROUP BY label
+    ), fin AS (
+      SELECT label, y,
+             sqrt(list_reduce(list_transform(y, w -> w * w),
+                              (a, b) -> a + b)) AS nrm
+      FROM y2
+    )
+    SELECT label,
+           ROUND(nrm, 6) AS lambda_1,
+           ROUND(y[1] / nrm, 6) AS pc_1,
+           ROUND(y[2] / nrm, 6) AS pc_2,
+           ROUND(y[3] / nrm, 6) AS pc_3,
+           ROUND(y[4] / nrm, 6) AS pc_4
+    FROM fin
+    """,
+)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dominant principal component via two power iterations —
+    the embedding-space diagnostic a curation pipeline runs before
+    whitening, ANN index training, or drift detection (a class whose top
+    eigenvalue explodes is collapsing onto one direction; anisotropic
+    embeddings break cosine ANN recall).  x₀ = 1⃗; each iteration computes
+    y = Σ_v (v·x)·v — the covariance-matrix product without ever
+    materializing the 64×64 Gram matrix — then normalizes.  Output per
+    label: the Rayleigh-style eigenvalue estimate ‖y₂‖ (given ‖x₁‖ = 1)
+    and the first four eigenvector components.
+
+    Determinism: the dot v·x is the module's sequential left-fold; each
+    per-position contribution d·v[i] folds through DECIMAL(28,12) before
+    the per-(label,pos) SUM (shuffle-order-proof); sqrt is IEEE
+    correctly-rounded in both engines; the final divisions are one IEEE
+    expression each.  Scale shape: matvec = one posexplode → hash
+    aggregate on (label, pos) — map-side combined, so the exchange
+    carries labels × dim rows, NOT the corpus; the dim-length iterate
+    re-joins the corpus as a broadcast.  Per iteration exactly one wide
+    exchange over the vectors, the PageRank/k-means loop discipline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+
+    def matvec(vecs: DataFrame) -> DataFrame:
+        """(label, e, d) → per-label Σ d·v as a dim-length array column."""
+        sums = (
+            vecs.select(
+                "label", "d", F.posexplode("e").alias("pos0", "val")
+            )
+            .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                F.sum((F.col("d") * F.col("val")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        return sums.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "y"))),
+                lambda s: s["y"],
+            ).alias("y")
+        )
+
+    d1 = emb.withColumn(
+        "d", F.aggregate("e", F.lit(0.0), lambda a, x: a + x)
+    )
+    y1 = matvec(d1)
+    nrm1 = l2_norm(F.col("y"))
+    x1 = y1.select(
+        "label", F.transform("y", lambda w: w / nrm1).alias("x")
+    )
+    d2 = emb.join(F.broadcast(x1), "label").select(
+        "label", "e", dot(F.col("e"), F.col("x")).alias("d")
+    )
+    fin = matvec(d2).withColumn("nrm", l2_norm(F.col("y")))
+    return fin.select(
+        "label",
+        F.round("nrm", 6).alias("lambda_1"),
+        F.round(F.col("y")[0] / F.col("nrm"), 6).alias("pc_1"),
+        F.round(F.col("y")[1] / F.col("nrm"), 6).alias("pc_2"),
+        F.round(F.col("y")[2] / F.col("nrm"), 6).alias("pc_3"),
+        F.round(F.col("y")[3] / F.col("nrm"), 6).alias("pc_4"),
+    )

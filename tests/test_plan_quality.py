@@ -278,3 +278,15 @@ def test_bigram_fluency_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # non-vacuous: the scoring joins are present
+
+
+def test_pca_power_matvec_shape(spark, sf_dir):
+    """q_embedding_pca_power's matvec must aggregate on (label, pos) —
+    the exchange carries labels × dim rows, never the corpus — and the
+    dim-length iterate must re-join the vectors as a broadcast."""
+    df = QS["q_embedding_pca_power"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the x-iterate re-join on label
+    # two matvecs: per-pos aggregate + per-label regroup each, nothing more
+    assert shuffle_count(df) <= 4, shuffle_count(df)

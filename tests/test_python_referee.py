@@ -667,3 +667,59 @@ def test_bigram_lm_fluency_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_embedding_pca_power_matches_python_referee(spark, sf_dir):
+    import math
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"SELECT label, embedding "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    by_label = {}
+    for label, e in rows:
+        by_label.setdefault(label, []).append([float(x) for x in e])
+    q12 = Decimal(1).scaleb(-12)
+    expected = {}
+    for label, vecs in by_label.items():
+        dim = len(vecs[0])
+
+        def matvec(x):
+            y = []
+            for i in range(dim):
+                total = Decimal(0)
+                for e in vecs:
+                    d = 0.0
+                    for a, b in zip(e, x):  # sequential left fold
+                        d += a * b
+                    total += Decimal(d * e[i]).quantize(q12)
+                y.append(float(total))
+            return y
+
+        ones = [1.0] * dim
+        y1 = matvec(ones)
+        n1 = math.sqrt(sum(w * w for w in y1))
+        x1 = [w / n1 for w in y1]
+        y2 = matvec(x1)
+        n2 = math.sqrt(sum(w * w for w in y2))
+        expected[label] = (
+            round(n2, 6),
+            round(y2[0] / n2, 6),
+            round(y2[1] / n2, 6),
+            round(y2[2] / n2, 6),
+            round(y2[3] / n2, 6),
+        )
+    got = {
+        r.label: (
+            float(r.lambda_1),
+            float(r.pc_1),
+            float(r.pc_2),
+            float(r.pc_3),
+            float(r.pc_4),
+        )
+        for r in registry.queries()["q_embedding_pca_power"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected

@@ -78,6 +78,12 @@ QUERIES = [
     "q_pagerank_items",
     "q_time_gapfill_locf",
     "q_series_ewma",
+    # round-7 operators
+    "q_rag_chunk_overlap",
+    "q_bigram_lm_fluency",
+    "q_value_mad_outliers",
+    "q_token_len_histogram",
+    "q_embedding_pca_power",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
