@@ -70,6 +70,7 @@ HEADLINE = [
     "q_value_mad_outliers",
     "q_token_len_histogram",
     "q_embedding_pca_power",
+    "q_funnel_conversion",
 ]
 
 

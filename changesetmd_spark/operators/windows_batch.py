@@ -502,3 +502,90 @@ def q_series_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("ewma", 6).alias("ewma"),
     )
+
+
+_FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'signup' GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s3 ON s3.user_id = e.user_id AND e.ts > s3.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'signup', COUNT(*) FROM s3
+      UNION ALL
+      SELECT 4, 'purchase', COUNT(*) FROM s4
+    )
+    SELECT stage, stage_name, CAST(n AS BIGINT) AS n_users,
+           ROUND(n * 1.0 / LAG(n) OVER (ORDER BY stage), 6) AS conv_rate
+    FROM counts
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream — the canonical
+    clickstream product-analytics query: how many users progress
+    view → click → signup → purchase, where each stage must occur
+    STRICTLY AFTER the user's entry into the previous stage (a purchase
+    before the first qualifying click does not count — set-intersection
+    funnels overcount exactly these).  Stage k is the per-user earliest
+    qualifying event; output is one row per stage with the user count
+    and the stage-over-stage conversion rate.
+
+    Determinism: timestamps and counts are exact; the single division is
+    one IEEE double, rounded.  Scale shape: each stage is a pushed-down
+    event_type scan (partition/row-group pruning takes most of the table
+    off the wire) equi-joined on user_id to the previous stage's
+    shrinking (user, t) frame, then a per-user MIN aggregate — shuffle
+    keys are user_id throughout, so AQE reuses the same exchange
+    partitioning down the chain.  The final 4-row window is driver-scale
+    by construction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def entry(etype: str, prev: DataFrame | None) -> DataFrame:
+        stage = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            stage = stage.join(
+                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
+            ).filter(F.col("ts") > F.col("_pt"))
+        return stage.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    frames = []
+    prev = None
+    for etype in _FUNNEL_STAGES:
+        prev = entry(etype, prev)
+        frames.append(prev)
+    counts = None
+    for i, (etype, fr) in enumerate(zip(_FUNNEL_STAGES, frames), start=1):
+        row = fr.agg(F.count("*").alias("n")).select(
+            F.lit(i).alias("stage"),
+            F.lit(etype).alias("stage_name"),
+            F.col("n"),
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = Window.orderBy("stage")
+    return counts.select(
+        "stage",
+        "stage_name",
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.col("n") * 1.0 / F.lag("n").over(w), 6).alias("conv_rate"),
+    )

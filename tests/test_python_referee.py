@@ -723,3 +723,45 @@ def test_embedding_pca_power_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_funnel_conversion_matches_python_referee(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, ts "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user = {}
+    for uid, et, ts in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    stages = ("view", "click", "signup", "purchase")
+    counts = []
+    entered = {uid: None for uid in by_user}  # uid -> entry ts of prev stage
+    for stage in stages:
+        nxt = {}
+        for uid, prev_t in entered.items():
+            ts_list = [
+                ts
+                for ts, et in by_user[uid]
+                if et == stage and (prev_t is None or ts > prev_t)
+            ]
+            if ts_list:
+                nxt[uid] = min(ts_list)
+        counts.append(len(nxt))
+        entered = nxt
+    expected = {}
+    for i, stage in enumerate(stages):
+        conv = (
+            round(counts[i] * 1.0 / counts[i - 1], 6) if i > 0 else None
+        )
+        expected[i + 1] = (stage, counts[i], conv)
+    got = {
+        r.stage: (
+            r.stage_name,
+            r.n_users,
+            float(r.conv_rate) if r.conv_rate is not None else None,
+        )
+        for r in registry.queries()["q_funnel_conversion"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected

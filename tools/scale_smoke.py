@@ -84,6 +84,7 @@ QUERIES = [
     "q_value_mad_outliers",
     "q_token_len_histogram",
     "q_embedding_pca_power",
+    "q_funnel_conversion",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
