@@ -25,7 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="changesetmd_spark",
         description="PySpark-native changeset analytics engine",
     )
-    p.add_argument("-s", "--store", required=True, help="store root directory")
+    p.add_argument(
+        "-s",
+        "--store",
+        help="store root directory (required for -c/-t/-f/-r)",
+    )
     p.add_argument(
         "-c", "--create", action="store_true", help="initialize the store (ref -c)"
     )
@@ -52,11 +56,60 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="watermark recorded after a bulk load",
     )
+    p.add_argument(
+        "-q",
+        "--query",
+        help="run a registered analytics query by name (see --list-queries)",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        help="table directory for -q (default: $SPARK_GRAFT_SF_DIR or "
+        "/root/testdata/sf0.1)",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20, help="rows to print for -q"
+    )
+    p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list every registered query name and exit",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.list_queries:
+        from . import registry
+
+        for name in registry.queries():
+            print(name)
+        return 0
+
+    if args.query:
+        import os
+
+        from . import registry
+
+        qs = registry.queries()
+        if args.query not in qs:
+            print(
+                f"unknown query {args.query!r}; --list-queries shows all",
+                file=sys.stderr,
+            )
+            return 2
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        spark = get_spark(app_name="changesetmd-spark-cli")
+        qs[args.query](spark, sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if not args.store:
+        parser.error("-s/--store is required for -c/-t/-f/-r")
     spark = get_spark(app_name="changesetmd-spark-cli")
     store = ChangesetStore(spark, args.store)
 

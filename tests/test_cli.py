@@ -18,3 +18,19 @@ def test_cli_create_load(spark, tmp_path, capsys):
 
     assert main(["-s", store_dir, "-t"]) == 0
     assert not os.path.exists(os.path.join(store_dir, "changesets"))
+
+
+def test_cli_query_runner(spark, capsys):
+    """-q runs any registered query against --sf-dir; --list-queries
+    enumerates the driver-contract surface (user-facing parity: the whole
+    queries() registry is reachable from the shell, not just Python)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    assert main(["--list-queries"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q_distinct_counts" in names and len(names) >= 100
+    assert main(["-q", "q_distinct_counts", "--sf-dir", sf]) == 0
+    out = capsys.readouterr().out
+    assert "event_type" in out or "n" in out  # show() table rendered
+    assert main(["-q", "no_such_query"]) == 2
