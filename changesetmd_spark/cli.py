@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from . import registry
 
+        if args.create or args.truncate or args.file or args.replicate:
+            parser.error(
+                "-q cannot be combined with the store operations "
+                "(-c/-t/-f/-r); run them as separate invocations"
+            )
         qs = registry.queries()
         if args.query not in qs:
             print(

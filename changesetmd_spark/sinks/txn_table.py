@@ -241,16 +241,34 @@ class TxnTable:
         the -1 sentinel where every other commit path returns a real
         version.  There, publish an empty-but-readable v0 (schema-only
         manifest, no data directory) so the table exists and reads back as
-        a typed empty DataFrame."""
-        v = self.current_version()
-        if v >= 0:
-            return v
+        a typed empty DataFrame.  Only slot 0 is ever contended: the
+        existence check re-runs on every retry, so losing the race to a
+        concurrent real commit returns THAT version instead of burning a
+        redundant no-op manifest (which would also supersede the winner's
+        recorded schema with the empty batch's)."""
         partitioned = (
             self.partition_source is not None
             and self.partition_source in df.columns
         )
         schema = self._published_schema(df, partitioned)
-        return self._commit_loop(op, lambda live: live, schema)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v >= 0:
+                return v  # table exists (possibly created by a racer)
+            manifest = {
+                "version": 0,
+                "op": op,
+                "read_version": -1,
+                "ts": time.time(),
+                "partitions": {},
+                "schema": schema,
+            }
+            if self._try_commit(0, manifest):
+                return 0
+        raise TxnConflictError(
+            f"gave up after {_MAX_COMMIT_RETRIES} contended commits on "
+            f"{self.path!r} ({op}, empty batch)"
+        )
 
     def append(self, df: DataFrame) -> int:
         """Blind append — commutes with every concurrent commit, so a lost

@@ -34,3 +34,9 @@ def test_cli_query_runner(spark, capsys):
     out = capsys.readouterr().out
     assert "event_type" in out or "n" in out  # show() table rendered
     assert main(["-q", "no_such_query"]) == 2
+    # -q combined with store operations must error loudly, not silently
+    # skip the store work (code-review r7)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["-s", "/tmp/nowhere", "-c", "-q", "q_distinct_counts"])

@@ -230,7 +230,6 @@ def main() -> None:
     print(f"scale data x{REPLICAS} at {SCALE_DIR} ({build_s}s)", file=sys.stderr)
 
     base_t, scale_t, rows = {}, {}, {}
-    skipped = {}
     for name in QUERIES:
         if SUBSET and name not in SUBSET:
             continue
@@ -254,8 +253,6 @@ def main() -> None:
         "data_ratio": REPLICAS,
         "pass": all(r <= REPLICAS for r in ratios.values()),
     }
-    if skipped:
-        result["skipped"] = skipped
     doc = {"metric": "scale_smoke", "runs": []}
     prev_same = None
     if os.path.exists(OUT_JSON):
