@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .util import fan_out
+from .util import fan_out, materialize_releasing
 
 # dictionary scrubbing: terms chosen to EXIST in the driver vocabulary so
 # the hash check exercises real replacements
@@ -448,11 +448,8 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("prob_mass"),
     )
-    # materialize the per-doc scores, then release the postings cache (the
-    # q_dedup_groups/q_tfidf_top_terms release pattern — VERDICT r6 #5)
-    result = out.localCheckpoint(eager=True)
-    posts.unpersist()
-    return result
+    # materialize the per-doc scores, then release the postings cache
+    return materialize_releasing(out, posts)
 
 
 _BIGRAM_ORACLE = r"""
@@ -540,9 +537,7 @@ def q_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the postings feed both count aggregates AND the scoring join —
     # persist across those reads, then release after materializing
     bg = bg.persist()
-    result = out.localCheckpoint(eager=True)
-    bg.unpersist()
-    return result
+    return materialize_releasing(out, bg)
 
 
 _PACK_CTX = 512  # context length (tokens) for concat-and-chunk packing
@@ -789,9 +784,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("importance"),
     )
     # materialize the per-doc weights, then release the postings cache
-    result = out.localCheckpoint(eager=True)
-    posts.unpersist()
-    return result
+    return materialize_releasing(out, posts)
 
 
 @register(

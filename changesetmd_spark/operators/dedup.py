@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load_table
 from .text import fingerprint
-from .util import drop_oversized_groups, fan_out
+from .util import drop_oversized_groups, fan_out, materialize_releasing
 
 _N_MINHASH = 64
 _LONG_MAX = (1 << 63) - 1  # empty-set minhash sentinel
@@ -269,10 +269,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the pairs, then release the postings cache the helper
     # handed us ownership of
-    result = out.localCheckpoint(eager=True)
-    for c in caches:
-        c.unpersist()
-    return result
+    return materialize_releasing(out, *caches)
 
 
 def minhash_signatures(
@@ -391,10 +388,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
     # materialize the verified pairs, then release both caches
-    result = out.localCheckpoint(eager=True)
-    buckets.unpersist()
-    docs.unpersist()
-    return result
+    return materialize_releasing(out, buckets, docs)
 
 
 # hash-checked LSH-banding variant: xxhash64 (the fast path above) has no
@@ -840,11 +834,8 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
     )
-    # materialize the per-doc rollup, then release the postings cache (the
-    # q_dedup_groups/q_tfidf_top_terms release pattern — VERDICT r6 #5)
-    result = out.localCheckpoint(eager=True)
-    posts.unpersist()
-    return result
+    # materialize the per-doc rollup, then release the postings cache
+    return materialize_releasing(out, posts)
 
 
 _CDC_K = 4   # tokens hashed to decide a boundary
@@ -989,6 +980,4 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # materialize the per-doc rollup, then release the tokenized-docs cache
-    result = out.localCheckpoint(eager=True)
-    docs.unpersist()
-    return result
+    return materialize_releasing(out, docs)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .util import materialize_releasing
 
 _DIM = 64
 _N_QUERIES = 5  # vec_id < 5 are the query vectors in the checked entries
@@ -562,9 +563,7 @@ def q_embedding_ann_ivf(
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     # materialize the top-k result, then release the assignment cache
-    result = out.localCheckpoint(eager=True)
-    assigned.unpersist()
-    return result
+    return materialize_releasing(out, assigned)
 
 
 _KMEANS_K = 8  # deterministic seeds: the K smallest vec_ids

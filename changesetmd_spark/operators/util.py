@@ -24,6 +24,19 @@ def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
     return df.repartition(parallelism, *keys)
 
 
+def materialize_releasing(out: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Eagerly materialize ``out`` (localCheckpoint), then unpersist the
+    cached intermediates it was computed from — the release discipline for
+    query-scope persists: a registered builder returns before the driver
+    collects, so a bare ``persist`` would outlive its query and evict live
+    caches across a bench gauntlet (VERDICT r6 #5).  One shared helper so
+    the idiom cannot drift across its many call sites."""
+    result = out.localCheckpoint(eager=True)
+    for f in frames:
+        f.unpersist()
+    return result
+
+
 def drop_oversized_groups(df: DataFrame, key: str, cap: int) -> DataFrame:
     """Remove every row whose ``key`` group exceeds ``cap`` rows — the
     degenerate-key guard every bucketed self-join needs (boilerplate
