@@ -39,7 +39,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # VERDICT r6 #1/#6).  For every registered query: the rounds whose driver
 # CORRECTNESS_r{N}.json recorded a green row (hash_match for oracled queries,
 # rows_match for the oracle-less ones).  The ledger is regenerated each round
-# from the driver's own output file — it records facts, not preferences.
+# from the driver's own output files by ``tools/update_witnessed.py`` (run
+# with --check to verify) — it records facts, not preferences.
 #
 # Query ordering is a single rule derived from it: LEAST-RECENTLY
 # EXTERNALLY VERIFIED FIRST (never-verified queries lead, in registration
