@@ -71,6 +71,7 @@ HEADLINE = [
     "q_token_len_histogram",
     "q_embedding_pca_power",
     "q_funnel_conversion",
+    "q_heavy_hitter_terms",
 ]
 
 

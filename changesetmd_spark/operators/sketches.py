@@ -138,3 +138,88 @@ def q_sketch_cardinality_and_quantiles(spark: SparkSession, sf_dir: str) -> Data
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
     )
+
+
+_HH_PHI = "0.033"   # heavy-hitter frequency threshold (one literal, both engines)
+_HH_CAPACITY = 64   # Misra-Gries counters per partition; must be >= 1/phi
+
+
+@register(
+    "q_heavy_hitter_terms",
+    oracle=rf"""
+    WITH posts AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM posts)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) * 1.0 / tot.n, 6) AS freq
+    FROM posts, tot
+    GROUP BY term, tot.n
+    HAVING COUNT(*) >= {_HH_PHI} * tot.n
+    """,
+)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (terms with frequency ≥ {PHI}) via the classic
+    two-pass sketch-then-verify shape: pass 1 runs a **Misra-Gries summary
+    per partition** (a custom mergeable sketch as an Arrow-batched
+    ``mapInPandas`` — bounded memory, one sequential scan, no shuffle) whose
+    union is a GUARANTEED superset of every true heavy hitter (any term
+    with global count ≥ φN has count ≥ φ·n_p in some partition, and MG with
+    k ≥ 1/φ counters never evicts such a term); pass 2 exact-counts ONLY
+    the candidate terms.  The output is therefore exact — hash-checkable
+    against a plain GROUP BY/HAVING oracle — while the shuffle carries just
+    candidate postings instead of the whole vocabulary.
+
+    That pre-aggregation filter is the 100 TB win: frequency analysis over
+    a web corpus has a vocabulary of billions of (mostly once-seen) terms,
+    and the full groupBy shuffles all of them; here the broadcast candidate
+    set (≤ capacity × partitions entries) prunes the postings map-side so
+    the exchange is ~heavy-hitter-sized.  The MG summaries themselves are
+    mergeable partials — the same property HLL++/KLL rely on (module
+    docstring) — making this the module's custom-sketch counterpart to the
+    built-in approximate tier."""
+    from .util import fan_out, materialize_releasing
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(F.explode(toks).alias("term"))
+        .persist()
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < _HH_CAPACITY:
+                    counters[t] = 1
+                else:
+                    # decrement-all step: drop counters reaching zero, and
+                    # the incoming term is absorbed by the decrement
+                    dead = [k for k, c in counters.items() if c == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cands = posts.mapInPandas(mg_partition, "term string").distinct()
+    tot = posts.agg(F.count("*").alias("n"))
+    out = (
+        posts.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= float(_HH_PHI) * F.col("n"))
+        .select(
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("freq"),
+        )
+    )
+    return materialize_releasing(out, posts)

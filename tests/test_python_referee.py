@@ -765,3 +765,24 @@ def test_funnel_conversion_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_heavy_hitter_terms_matches_python_referee(spark, sf_dir):
+    from collections import Counter
+
+    docs = _docs(sf_dir)
+    counts = Counter(t for toks in docs.values() for t in toks)
+    total = sum(counts.values())
+    expected = {
+        term: (c, round(c * 1.0 / total, 6))
+        for term, c in counts.items()
+        if c >= 0.033 * total
+    }
+    assert expected, "threshold must select a non-empty set (vacuity guard)"
+    got = {
+        r.term: (r.cnt, float(r.freq))
+        for r in registry.queries()["q_heavy_hitter_terms"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected

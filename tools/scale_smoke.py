@@ -85,6 +85,7 @@ QUERIES = [
     "q_token_len_histogram",
     "q_embedding_pca_power",
     "q_funnel_conversion",
+    "q_heavy_hitter_terms",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
