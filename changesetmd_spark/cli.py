@@ -82,6 +82,14 @@ def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
 
+    if (args.query or args.list_queries) and (
+        args.create or args.truncate or args.file or args.replicate
+    ):
+        parser.error(
+            "-q/--list-queries cannot be combined with the store "
+            "operations (-c/-t/-f/-r); run them as separate invocations"
+        )
+
     if args.list_queries:
         from . import registry
 
@@ -94,11 +102,6 @@ def main(argv: list[str] | None = None) -> int:
 
         from . import registry
 
-        if args.create or args.truncate or args.file or args.replicate:
-            parser.error(
-                "-q cannot be combined with the store operations "
-                "(-c/-t/-f/-r); run them as separate invocations"
-            )
         qs = registry.queries()
         if args.query not in qs:
             print(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .util import fan_out, materialize_releasing
 
 
 @register(
@@ -179,8 +180,6 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable partials — the same property HLL++/KLL rely on (module
     docstring) — making this the module's custom-sketch counterpart to the
     built-in approximate tier."""
-    from .util import fan_out, materialize_releasing
-
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     posts = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")

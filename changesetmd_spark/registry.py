@@ -37,10 +37,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # WITNESSED_ROUNDS — the external-verification ledger (ADVICE r6 high;
 # VERDICT r6 #1/#6).  For every registered query: the rounds whose driver
-# CORRECTNESS_r{N}.json recorded a green row (hash_match for oracled queries,
-# rows_match for the oracle-less ones).  The ledger is regenerated each round
-# from the driver's own output files by ``tools/update_witnessed.py`` (run
-# with --check to verify) — it records facts, not preferences.
+# CORRECTNESS_r{N}.json passed its strongest applicable check — hash_match
+# for oracled rows; a clean rows-only run for the oracle-less ones.  A row
+# whose hash comparison FAILED never counts, even if its row count matched.
+# The ledger is regenerated each round from the driver's own output files
+# by ``tools/update_witnessed.py`` (run with --check to verify) — it
+# records facts, not preferences.
 #
 # Query ordering is a single rule derived from it: LEAST-RECENTLY
 # EXTERNALLY VERIFIED FIRST (never-verified queries lead, in registration
@@ -58,7 +60,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_ann_verify_rerank": (6,),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6),
-    "q_bbox_area_filter": (1, 2, 3, 4, 5),
+    "q_bbox_area_filter": (2, 3, 4, 5),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6),
     "q_bm25_keyword_search": (2, 3, 4, 5),
@@ -72,19 +74,23 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_dedup_groups": (2, 3, 4, 5, 6),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6),
     "q_embedding_ann_checked": (6,),
+    "q_embedding_ann_ivf": (1,),
+    "q_embedding_ann_lsh": (1,),
     "q_embedding_centroid_per_label": (1, 2, 3, 4),
     "q_embedding_neardup_cosine": (1,),
     "q_embedding_topk_cosine": (1, 2, 3, 4),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6),
     "q_intersect_segments": (1, 2, 3, 4, 5),
     "q_json_typed_extract": (6,),
-    "q_like_part_types": (1, 2, 3, 4),
+    "q_like_part_types": (2, 3, 4),
     "q_map_explode_tag_histogram": (6,),
     "q_map_key_existence": (1, 6),
-    "q_map_value_extract": (1, 6),
+    "q_map_value_extract": (6,),
     "q_map_value_like": (6,),
+    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5),
     "q_minhash_lsh_checked": (5, 6),
-    "q_multimodal_byte_stats": (1, 2, 3, 4, 5),
+    "q_multimodal_byte_stats": (2, 3, 4, 5),
+    "q_multimodal_decode": (1, 2, 3, 4, 5),
     "q_neardup_verify_jaccard": (2, 3, 4, 5),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5),
     "q_orders_per_month": (1, 2, 3, 4),
@@ -100,6 +106,8 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6),
     "q_simhash_checked": (5, 6),
+    "q_simhash_near_dup": (1, 2, 3, 4, 5),
+    "q_sketch_cardinality_and_quantiles": (1,),
     "q_source_mixture_weights": (5,),
     "q_source_quota_sample": (2, 3, 4, 5),
     "q_stream_dedup_first_seen": (6,),
@@ -116,7 +124,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_text_quality_by_source": (1, 2, 3, 4, 5),
     "q_text_repetition_quality": (5,),
     "q_text_token_budget_by_source": (5,),
-    "q_text_token_stats": (1, 2, 3, 4, 5),
+    "q_text_token_stats": (2, 3, 4, 5),
     "q_tfidf_top_terms": (2, 3, 4, 5),
     "q_train_test_split": (2, 3, 4, 5),
     "q_txn_merge_snapshot": (6,),

@@ -70,6 +70,43 @@ def test_ledger_references_only_real_queries():
     assert not ghost, ghost
 
 
+def test_ledger_matches_correctness_files():
+    """WITNESSED_ROUNDS must be exactly what tools/update_witnessed.py
+    derives from the checked-in CORRECTNESS files — a hand-edited (or
+    stale) ledger would silently re-bias the gate order."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/update_witnessed.py", "--check"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_hash_failed_rows_are_not_witnessed():
+    """CORRECTNESS_r01 contains five oracled rows whose hash comparison
+    failed but whose row counts matched — those must NOT count as round-1
+    verifications (a regressed query would otherwise be deprioritized for
+    re-checking), while clean rows-only runs of the oracle-less queries
+    must count (that IS their strongest possible external check)."""
+    for q in (
+        "q_text_token_stats",
+        "q_bbox_area_filter",
+        "q_multimodal_byte_stats",
+        "q_like_part_types",
+        "q_map_value_extract",
+    ):
+        assert 1 not in registry.WITNESSED_ROUNDS.get(q, ()), q
+    assert 1 in registry.WITNESSED_ROUNDS["q_minhash_lsh_candidates"]
+    assert 1 in registry.WITNESSED_ROUNDS["q_multimodal_decode"]
+
+
 def test_oracleless_queries_are_the_designed_set():
     """Oracle-less (rows-only) queries are allowed in the window — an
     external rows check is still stronger than none — but the set must stay

@@ -8,11 +8,15 @@ new ``CORRECTNESS_r{N}.json`` lands, run
     PYTHONPATH=. python tools/update_witnessed.py        # rewrites registry.py
     PYTHONPATH=. python tools/update_witnessed.py --check  # verify only
 
-A row counts as witnessed when it recorded no error and matched (hash_match
-for oracled queries; rows_match is also accepted — the oracle-less queries
-only ever get the weaker rows check).  Ledger keys are restricted to
-currently registered queries so renames don't leave ghosts (the registry
-test asserts that too).
+A row counts as witnessed when its strongest applicable check passed:
+``hash_match is True`` for oracled rows, and a clean run (``err ==
+'no_oracle'`` with a recorded row count) for oracle-less rows — the rows
+check is the strongest external evidence those queries can ever get.  A
+row whose HASH comparison failed is never witnessed, even when its row
+count matched (CORRECTNESS_r01 has five such rows — counting them would
+deprioritize re-checking exactly the queries that regressed).  Ledger keys
+are restricted to currently registered queries so renames don't leave
+ghosts (the registry test asserts that too).
 """
 
 from __future__ import annotations
@@ -44,9 +48,10 @@ def gather() -> dict[str, list[int]]:
         for q, v in json.load(open(f)).items():
             if q not in names:
                 continue
-            ok = v.get("err") is None and (
-                v.get("hash_match") or v.get("rows_match")
-            )
+            if v.get("err") == "no_oracle":
+                ok = v.get("spark_rows") is not None and v["spark_rows"] >= 0
+            else:
+                ok = v.get("err") is None and v.get("hash_match") is True
             if ok and rnd not in witnessed.setdefault(q, []):
                 witnessed[q].append(rnd)
     return {q: sorted(rs) for q, rs in witnessed.items()}
@@ -68,7 +73,8 @@ def main() -> int:
     if not m:
         print("WITNESSED_ROUNDS block not found in registry.py", file=sys.stderr)
         return 1
-    new_body = render(gather())
+    witnessed = gather()
+    new_body = render(witnessed)
     if m.group(2) == new_body:
         print("ledger up to date")
         return 0
@@ -78,7 +84,7 @@ def main() -> int:
     open(REGISTRY, "w").write(
         src[: m.start(2)] + new_body + src[m.end(2) :]
     )
-    print(f"rewrote WITNESSED_ROUNDS ({len(gather())} queries)")
+    print(f"rewrote WITNESSED_ROUNDS ({len(witnessed)} queries)")
     return 0
 
 
