@@ -72,6 +72,7 @@ HEADLINE = [
     "q_embedding_pca_power",
     "q_funnel_conversion",
     "q_heavy_hitter_terms",
+    "q_cohort_retention",
 ]
 
 

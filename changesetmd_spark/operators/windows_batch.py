@@ -589,3 +589,62 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_users"),
         F.round(F.col("n") * 1.0 / F.lag("n").over(w), 6).alias("conv_rate"),
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(w) AS cw FROM ev GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, w FROM ev
+    ), sizes AS (
+      SELECT cw, COUNT(*) AS cohort_n FROM first GROUP BY cw
+    )
+    SELECT f.cw AS cohort_week,
+           CAST(a.w - f.cw AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           ROUND(COUNT(*) * 1.0 / s.cohort_n, 6) AS retention
+    FROM active a
+    JOIN first f USING (user_id)
+    JOIN sizes s ON s.cw = f.cw
+    GROUP BY f.cw, a.w - f.cw, s.cohort_n
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the other canonical product-
+    analytics query next to the funnel: users are cohorted by the week of
+    their first event, and each (cohort, week-offset) cell reports how
+    many of them were active that many weeks later, as a fraction of the
+    cohort.  Week indices are integer day-arithmetic from a fixed epoch
+    (no timezone/week-start ambiguity, engine-exact).
+
+    Scale shape: one per-user MIN aggregate, one distinct over (user,
+    week) — both shuffle on user_id and AQE reuses the partitioning into
+    their join — then a cells×1 aggregate; cohort sizes re-join the
+    (tiny, weeks²-sized) cell table, never the events.  The single
+    division is one IEEE double, rounded."""
+    wk = F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", wk.alias("w")
+    )
+    first = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    active = ev.distinct()
+    sizes = first.groupBy("cw").agg(F.count("*").alias("cohort_n"))
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("off"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return cells.join(sizes, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").cast("int").alias("week_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_n"), 6).alias(
+            "retention"
+        ),
+    )

@@ -786,3 +786,36 @@ def test_heavy_hitter_terms_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_cohort_retention_matches_python_referee(spark, sf_dir):
+    import datetime
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    epoch = datetime.date(2024, 1, 1)
+    weeks = {}
+    for uid, ts in rows:
+        w = (ts.date() - epoch).days // 7
+        weeks.setdefault(uid, set()).add(w)
+    first = {uid: min(ws) for uid, ws in weeks.items()}
+    sizes = {}
+    for uid, cw in first.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    cells = {}
+    for uid, ws in weeks.items():
+        cw = first[uid]
+        for w in ws:
+            cells[(cw, w - cw)] = cells.get((cw, w - cw), 0) + 1
+    expected = {
+        (cw, off): (n, round(n * 1.0 / sizes[cw], 6))
+        for (cw, off), n in cells.items()
+    }
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, float(r.retention))
+        for r in registry.queries()["q_cohort_retention"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected

@@ -86,6 +86,7 @@ QUERIES = [
     "q_embedding_pca_power",
     "q_funnel_conversion",
     "q_heavy_hitter_terms",
+    "q_cohort_retention",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
