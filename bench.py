@@ -73,6 +73,7 @@ HEADLINE = [
     "q_funnel_conversion",
     "q_heavy_hitter_terms",
     "q_cohort_retention",
+    "q_ngram_novelty",
 ]
 
 

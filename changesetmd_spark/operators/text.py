@@ -400,3 +400,68 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").cast("int").alias("min_tokens"),
         F.max("n_tok").cast("int").alias("max_tokens"),
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS gs
+      FROM d
+    ), posts AS (
+      SELECT doc_id, unnest(gs) AS gram FROM g
+    ), first AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM posts GROUP BY gram
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM posts p JOIN first f USING (gram)
+    GROUP BY p.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the dataset-diagnostics curve behind
+    "is the tail of this corpus adding anything": for each document (in
+    doc_id ingestion order) the fraction of its distinct word 3-grams
+    that NO earlier document contains.  A crawl whose novelty collapses
+    toward 0 is re-crawling itself; per-source novelty curves drive crawl
+    scheduling and mixture budgets.
+
+    Determinism: pure integer counts and one rounded IEEE division.
+    Scale shape: postings explode → MIN-per-gram hash aggregate
+    (map-side combined, uniform gram keys) → postings⋈first equi-join on
+    gram (one row per distinct gram on the build side) → per-doc
+    aggregate; shuffles are keyed by gram then doc_id, and nothing
+    quadratic exists — unlike pairwise dedup, novelty only needs each
+    gram's FIRST owner."""
+    from .dedup import word_shingles
+
+    docs = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+        .select("doc_id", word_shingles(F.col("text")).alias("gs"))
+    )
+    posts = docs.select("doc_id", F.explode("gs").alias("gram"))
+    first = posts.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        posts.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(is_novel).cast("long").alias("n_novel"),
+            F.round(F.sum(is_novel) * 1.0 / F.count("*"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -819,3 +819,29 @@ def test_cohort_retention_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_ngram_novelty_matches_python_referee(spark, sf_dir):
+    docs = _docs(sf_dir)
+    grams = {
+        doc_id: {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        for doc_id, toks in docs.items()
+        if len(toks) >= 3
+    }
+    first = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    expected = {}
+    for doc_id, gs in grams.items():
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        expected[doc_id] = (len(gs), novel, round(novel * 1.0 / len(gs), 6))
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, float(r.novelty))
+        for r in registry.queries()["q_ngram_novelty"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected

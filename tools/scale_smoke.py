@@ -87,6 +87,7 @@ QUERIES = [
     "q_funnel_conversion",
     "q_heavy_hitter_terms",
     "q_cohort_retention",
+    "q_ngram_novelty",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
