@@ -74,6 +74,7 @@ HEADLINE = [
     "q_heavy_hitter_terms",
     "q_cohort_retention",
     "q_ngram_novelty",
+    "q_media_shard_manifest",
 ]
 
 

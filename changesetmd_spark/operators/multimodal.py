@@ -248,3 +248,74 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+_SHARD_BYTES = 64 * 1024  # target shard payload budget (bytes)
+
+
+@register(
+    "q_media_shard_manifest",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    ), placed AS (
+      SELECT modality, media_id, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (PARTITION BY modality
+                      ORDER BY media_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM media
+    )
+    SELECT modality,
+           CAST(cum_before // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MIN(media_id) AS first_id
+    FROM placed
+    GROUP BY modality, cum_before // {_SHARD_BYTES}
+    """,
+)
+def q_media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard packing for the media table — the manifest a
+    webdataset/tar-shard writer needs: per modality, files are packed in
+    media_id order into ~{BYTES}-byte shards (a file is assigned to the
+    shard where its FIRST byte lands), and each (modality, shard) row
+    reports file count, payload bytes, and the first id — the E3 sibling
+    of q_sequence_packing's token-budget packs, keyed by BYTES because
+    binary payloads, not rows, dominate media storage and loader
+    throughput.
+
+    Scale shape: metadata-only — the payload column is never read
+    (column pruning keeps the scan to media_id/modality/n_bytes); one
+    running-sum window per modality partition and a hash aggregate that
+    reuses the same partitioning, exactly one wide exchange.  Integer
+    arithmetic throughout — engine-exact."""
+    from pyspark.sql import Window
+
+    media = synthesize_media(spark, sf_dir).select(
+        "modality", "media_id", "n_bytes"
+    )
+    w = (
+        Window.partitionBy("modality")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = media.withColumn(
+        "cum_before", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    )
+    return (
+        placed.withColumn(
+            "shard_id", F.expr(f"cum_before div {_SHARD_BYTES}")
+        )
+        .groupBy("modality", "shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("media_id").alias("first_id"),
+        )
+    )

@@ -845,3 +845,31 @@ def test_ngram_novelty_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_media_shard_manifest_matches_python_referee(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT doc_id, octet_length(CAST(text AS BLOB)) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    budget = 64 * 1024
+    by_mod = {}
+    for doc_id, n_bytes in rows:
+        mod = ("image", "audio", "video")[doc_id % 3]
+        by_mod.setdefault(mod, []).append((doc_id, n_bytes))
+    expected = {}
+    for mod, files in by_mod.items():
+        cum = 0
+        for media_id, n_bytes in sorted(files):
+            shard = cum // budget
+            key = (mod, shard)
+            n, tot, first = expected.get(key, (0, 0, media_id))
+            expected[key] = (n + 1, tot + n_bytes, min(first, media_id))
+            cum += n_bytes
+    got = {
+        (r.modality, r.shard_id): (r.n_files, r.total_bytes, r.first_id)
+        for r in registry.queries()["q_media_shard_manifest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
