@@ -282,3 +282,68 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("item_id", F.round("r", 8).alias("rank"))
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg USING (user_id)
+    ), edges AS (
+      SELECT a.item_id AS u, b.item_id AS v
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), members AS (
+      SELECT a AS item_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members
+    GROUP BY item_id
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle participation over the co-occurrence graph — the
+    third member of the graph-analytics triad (co-occurrence builds the
+    graph, PageRank ranks it, triangles measure its local clustering):
+    community cores, link-spam farms, and bot rings all announce
+    themselves as abnormal triangle density.  Uses the ordered-triple
+    formulation — every triangle a<b<c is found exactly once as wedge
+    (a<b)∧(b<c) closed by edge (a,c) — so no post-hoc deduplication and
+    pure integer counts, engine-exact.
+
+    Scale shape: two equi-joins over the ordered edge list — the wedge
+    join on the middle vertex (Σ_b deg⁺(b)·deg⁻(b) work, the quantity
+    degree-ordering bounds in the literature) and the closing-edge join
+    on (a, c); the user-degree cap upstream already bounds per-node
+    degree, and at 100 TB the edge list is the one frame worth bucketing
+    by vertex so both joins co-locate.  The membership explode is 3 rows
+    per triangle into a map-side-combined aggregate."""
+    pairs = _pair_counts(_capped_user_items(spark, sf_dir))
+    edges = pairs.select(
+        F.col("item_1").alias("u"), F.col("item_2").alias("v")
+    ).localCheckpoint(eager=True)  # read by all three join roles
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("item_id")
+    )
+    return members.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -873,3 +873,38 @@ def test_media_shard_manifest_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_triangle_count_matches_python_referee(spark, sf_dir):
+    import json as _json
+    from itertools import combinations
+
+    rows = duckdb.sql(
+        f"SELECT user_id, props FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    items = {}
+    for uid, props in rows:
+        items.setdefault(uid, set()).add(int(_json.loads(props)["k"]))
+    edges = set()
+    for uid, its in items.items():
+        if len(its) > 500:  # the shared user-degree cap
+            continue
+        for a, b in combinations(sorted(its), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    expected = {}
+    for a, b in edges:
+        for c in adj.get(b, ()):  # a < b < c by construction
+            if (a, c) in edges:
+                for v in (a, b, c):
+                    expected[v] = expected.get(v, 0) + 1
+    got = {
+        r.item_id: r.n_triangles
+        for r in registry.queries()["q_triangle_count"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "corpus must contain triangles (vacuity guard)"

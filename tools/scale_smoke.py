@@ -88,6 +88,7 @@ QUERIES = [
     "q_heavy_hitter_terms",
     "q_cohort_retention",
     "q_ngram_novelty",
+    "q_triangle_count",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
