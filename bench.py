@@ -76,6 +76,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_media_shard_manifest",
     "q_triangle_count",
+    "q_type_transition_matrix",
 ]
 
 

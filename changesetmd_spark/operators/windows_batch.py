@@ -648,3 +648,61 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@register(
+    "q_type_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), pairs AS (
+      SELECT prev, event_type AS next FROM ordered WHERE prev IS NOT NULL
+    ), tot AS (
+      SELECT prev, COUNT(*) AS n_prev FROM pairs GROUP BY prev
+    )
+    SELECT p.prev AS from_type, p.next AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / t.n_prev, 6) AS prob
+    FROM pairs p JOIN tot t ON t.prev = p.prev
+    GROUP BY p.prev, p.next, t.n_prev
+    """,
+)
+def q_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the behavioral-model input the funnel and cohort queries sit on top
+    of: for every (from_type → to_type) pair of CONSECUTIVE events of the
+    same user (ordered by ts with event_id as the deterministic
+    tie-break), the transition count and row-normalized probability.
+    Anomalous transition mass (error→error loops, purchase→purchase
+    replays) is the classic sequence-quality signal.
+
+    Determinism: integer counts; ties in ts broken by event_id so both
+    engines see the same successor; one rounded IEEE division per cell.
+    Scale shape: one per-user sort window (the unavoidable cost of
+    sequence order — user_id shards it), then a types²-sized hash
+    aggregate with map-side combine; row totals re-join the tiny cell
+    table.  The transition matrix is types² ≈ 25 rows at any corpus
+    size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = load_table(spark, sf_dir, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    pairs = ordered.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    tot = pairs.groupBy("from_type").agg(F.count("*").alias("n_prev"))
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("n_prev"), 6).alias("prob"),
+        )
+    )

@@ -908,3 +908,31 @@ def test_triangle_count_matches_python_referee(spark, sf_dir):
     }
     assert got == expected
     assert expected, "corpus must contain triangles (vacuity guard)"
+
+
+def test_type_transition_matrix_matches_python_referee(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, ts, event_id "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    seqs = {}
+    for uid, et, ts, eid in rows:
+        seqs.setdefault(uid, []).append((ts, eid, et))
+    cells = {}
+    totals = {}
+    for uid, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cells[(a, b)] = cells.get((a, b), 0) + 1
+            totals[a] = totals.get(a, 0) + 1
+    expected = {
+        (a, b): (n, round(n * 1.0 / totals[a], 6))
+        for (a, b), n in cells.items()
+    }
+    got = {
+        (r.from_type, r.to_type): (r.n, float(r.prob))
+        for r in registry.queries()["q_type_transition_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
