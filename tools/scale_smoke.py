@@ -89,6 +89,7 @@ QUERIES = [
     "q_cohort_retention",
     "q_ngram_novelty",
     "q_triangle_count",
+    "q_type_transition_matrix",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
