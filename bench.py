@@ -77,6 +77,7 @@ HEADLINE = [
     "q_media_shard_manifest",
     "q_triangle_count",
     "q_type_transition_matrix",
+    "q_user_value_deciles",
 ]
 
 

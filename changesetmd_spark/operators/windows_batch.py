@@ -706,3 +706,74 @@ def q_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("n_prev"), 6).alias("prob"),
         )
     )
+
+
+@register(
+    "q_user_value_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, total,
+             NTILE(10) OVER (ORDER BY total DESC, user_id) AS decile
+      FROM per_user
+    ), tot AS (
+      SELECT SUM(total) AS grand FROM per_user
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(total) AS DOUBLE) AS decile_value,
+           ROUND(CAST(SUM(total) AS DOUBLE) / CAST(tot.grand AS DOUBLE), 6)
+             AS value_share
+    FROM ranked, tot
+    GROUP BY decile, tot.grand
+    """,
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration deciles (the "whale curve"): users ranked by
+    total purchase value and cut into 10 equal-count buckets; each decile
+    reports its user count, summed value, and share of all value — the
+    concentration read that decides whether revenue (or, in a data
+    pipeline, token mass per source/author) hinges on a handful of heavy
+    accounts.  NTILE ties are broken by user_id so both engines assign
+    identical buckets.
+
+    Determinism: per-user totals are DECIMAL sums (shuffle-order-proof);
+    the rank order is total-desc with a unique tie-break; decile sums
+    stay DECIMAL until the final double division.  Scale shape: one hash
+    aggregate on user_id, then ONE global sort window over |users| rows
+    (the unavoidable cost of exact ranking — per-user totals, not raw
+    events, are what sorts), then a 10-row aggregate; the grand total
+    rides as a 1-row broadcast."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(_VAL)).alias("total"))
+    )
+    ranked = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("total"), F.asc("user_id"))
+        ),
+    )
+    tot = per_user.agg(F.sum("total").alias("grand"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("total").alias("_dv"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.col("_dv").cast("double").alias("decile_value"),
+            F.round(
+                F.col("_dv").cast("double") / F.col("grand").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+    )

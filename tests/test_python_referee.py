@@ -936,3 +936,43 @@ def test_type_transition_matrix_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_user_value_deciles_matches_python_referee(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"SELECT user_id, value FROM read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE event_type = 'purchase'"
+    ).fetchall()
+    q6 = Decimal(1).scaleb(-6)
+    totals = {}
+    for uid, v in rows:
+        totals[uid] = totals.get(uid, Decimal(0)) + Decimal(v).quantize(q6)
+    order = sorted(totals, key=lambda u: (-totals[u], u))
+    n = len(order)
+    deciles = {}
+    # NTILE(10): first (n % 10) buckets get ceil(n/10), rest floor(n/10)
+    big, base = n % 10, n // 10
+    idx = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= big else 0)
+        for uid in order[idx : idx + size]:
+            deciles.setdefault(d, []).append(uid)
+        idx += size
+    grand = sum(totals.values())
+    expected = {
+        d: (
+            len(uids),
+            float(sum(totals[u] for u in uids)),
+            round(float(sum(totals[u] for u in uids)) / float(grand), 6),
+        )
+        for d, uids in deciles.items()
+    }
+    got = {
+        r.decile: (r.n_users, float(r.decile_value), float(r.value_share))
+        for r in registry.queries()["q_user_value_deciles"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
