@@ -90,6 +90,7 @@ QUERIES = [
     "q_ngram_novelty",
     "q_triangle_count",
     "q_type_transition_matrix",
+    "q_user_value_deciles",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
