@@ -63,51 +63,70 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_bbox_area_filter": (2, 3, 4, 5),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6),
+    "q_bigram_lm_fluency": (7,),
     "q_bm25_keyword_search": (2, 3, 4, 5),
+    "q_cdc_chunk_dedup": (7,),
     "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6),
     "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6),
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6),
+    "q_cohort_retention": (7,),
     "q_contamination_ngram_overlap": (5,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6),
     "q_dedup_exact": (1, 2, 3, 4, 5, 6),
-    "q_dedup_exact_counts": (1, 2, 3, 4, 5),
+    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7),
     "q_dedup_groups": (2, 3, 4, 5, 6),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6),
+    "q_dsir_importance_weights": (7,),
+    "q_duplicate_substring_spans": (7,),
     "q_embedding_ann_checked": (6,),
-    "q_embedding_ann_ivf": (1,),
-    "q_embedding_ann_lsh": (1,),
-    "q_embedding_centroid_per_label": (1, 2, 3, 4),
-    "q_embedding_neardup_cosine": (1,),
-    "q_embedding_topk_cosine": (1, 2, 3, 4),
+    "q_embedding_ann_ivf": (1, 7),
+    "q_embedding_ann_lsh": (1, 7),
+    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7),
+    "q_embedding_neardup_cosine": (1, 7),
+    "q_embedding_pca_power": (7,),
+    "q_embedding_topk_cosine": (1, 2, 3, 4, 7),
+    "q_funnel_conversion": (7,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6),
+    "q_heavy_hitter_terms": (7,),
     "q_intersect_segments": (1, 2, 3, 4, 5),
+    "q_item_cooccurrence": (7,),
     "q_json_typed_extract": (6,),
-    "q_like_part_types": (2, 3, 4),
+    "q_kmeans_assign_update": (7,),
+    "q_like_part_types": (2, 3, 4, 7),
+    "q_line_dedup_c4": (7,),
     "q_map_explode_tag_histogram": (6,),
     "q_map_key_existence": (1, 6),
     "q_map_value_extract": (6,),
     "q_map_value_like": (6,),
-    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5),
+    "q_media_shard_manifest": (7,),
+    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7),
     "q_minhash_lsh_checked": (5, 6),
     "q_multimodal_byte_stats": (2, 3, 4, 5),
     "q_multimodal_decode": (1, 2, 3, 4, 5),
-    "q_neardup_verify_jaccard": (2, 3, 4, 5),
-    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5),
-    "q_orders_per_month": (1, 2, 3, 4),
+    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7),
+    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7),
+    "q_ngram_novelty": (7,),
+    "q_orders_per_month": (1, 2, 3, 4, 7),
     "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6),
+    "q_pagerank_items": (7,),
     "q_pipeline_curate_end_to_end": (5, 6),
     "q_pivot_status_by_priority": (1, 2, 3, 4, 6),
+    "q_rag_chunk_overlap": (7,),
     "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6),
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6),
-    "q_readme_count_created_by_josm": (2, 3, 4, 5),
+    "q_readme_count_created_by_josm": (2, 3, 4, 5, 7),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6),
-    "q_salted_join_skewed_types": (1,),
+    "q_salted_join_skewed_types": (1, 7),
+    "q_semdedup_clustered": (7,),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6),
+    "q_sequence_packing": (7,),
+    "q_series_ewma": (7,),
+    "q_series_linear_trend": (7,),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6),
     "q_simhash_checked": (5, 6),
-    "q_simhash_near_dup": (1, 2, 3, 4, 5),
-    "q_sketch_cardinality_and_quantiles": (1,),
+    "q_simhash_near_dup": (1, 2, 3, 4, 5, 7),
+    "q_sketch_cardinality_and_quantiles": (1, 7),
     "q_source_mixture_weights": (5,),
     "q_source_quota_sample": (2, 3, 4, 5),
     "q_stream_dedup_first_seen": (6,),
@@ -117,19 +136,28 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_stream_sliding_2h_1h": (6,),
     "q_stream_stateful_user_totals": (6,),
     "q_stream_tumbling_hourly": (6,),
+    "q_temperature_mixture": (7,),
     "q_text_blocklist_scrub": (5,),
-    "q_text_fingerprint": (1, 2, 3, 4, 5),
-    "q_text_lang_id_confusion": (1, 2, 3, 4, 5),
+    "q_text_fingerprint": (1, 2, 3, 4, 5, 7),
+    "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7),
     "q_text_quality": (1, 2, 3, 4, 5, 6),
-    "q_text_quality_by_source": (1, 2, 3, 4, 5),
+    "q_text_quality_by_source": (1, 2, 3, 4, 5, 7),
     "q_text_repetition_quality": (5,),
-    "q_text_token_budget_by_source": (5,),
-    "q_text_token_stats": (2, 3, 4, 5),
+    "q_text_token_budget_by_source": (5, 7),
+    "q_text_token_stats": (2, 3, 4, 5, 7),
     "q_tfidf_top_terms": (2, 3, 4, 5),
+    "q_time_gapfill_interpolate": (7,),
+    "q_time_gapfill_locf": (7,),
+    "q_token_len_histogram": (7,),
     "q_train_test_split": (2, 3, 4, 5),
+    "q_triangle_count": (7,),
     "q_txn_merge_snapshot": (6,),
-    "q_unpivot_quantity_price": (1, 2, 3, 4),
+    "q_type_transition_matrix": (7,),
+    "q_unigram_prob_mass": (7,),
+    "q_unpivot_quantity_price": (1, 2, 3, 4, 7),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6),
+    "q_user_value_deciles": (7,),
+    "q_value_mad_outliers": (7,),
     "q_value_percentiles_per_type": (1, 6),
     "q_window_running_total": (1, 2, 3, 4, 5, 6),
     "q_window_session_per_user": (6,),
@@ -137,6 +165,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6),
     "q_window_trailing_hour_sum": (6,),
     "q_window_tumbling_hourly": (6,),
+    "q_winnowed_fingerprints": (7,),
 }
 
 

@@ -38,30 +38,21 @@ def test_never_verified_block_fits_in_gate_budget():
     )
 
 
-def test_round6_operators_lead_the_window():
-    """The 15 round-6 operators (VERDICT r6 #1) plus the other
-    never-witnessed queries must occupy the head of the order."""
-    window = list(registry.queries())[:50]
-    must_include = {
-        "q_duplicate_substring_spans",
-        "q_cdc_chunk_dedup",
-        "q_winnowed_fingerprints",
-        "q_line_dedup_c4",
-        "q_unigram_prob_mass",
-        "q_sequence_packing",
-        "q_dsir_importance_weights",
-        "q_kmeans_assign_update",
-        "q_semdedup_clustered",
-        "q_item_cooccurrence",
-        "q_pagerank_items",
-        "q_time_gapfill_locf",
-        "q_time_gapfill_interpolate",
-        "q_series_linear_trend",
-        "q_series_ewma",
-        "q_temperature_mixture",
-    }
-    missing = must_include - set(window)
-    assert not missing, f"window lost {sorted(missing)}"
+def test_stalest_queries_lead_the_window():
+    """The gate window (head ~50) must contain every query whose last
+    external witness is strictly older than that of any query outside the
+    window — i.e. rotation is purely least-recently-verified, with no
+    hand-tuned exceptions (this generalizes the r6-specific pin)."""
+    names = list(registry.queries())
+    window, rest = names[:50], names[50:]
+    if not rest:
+        return
+    newest_in_window = max(_last(n) for n in window)
+    oldest_outside = min(_last(n) for n in rest)
+    assert newest_in_window <= oldest_outside, (
+        f"window holds a query witnessed in r{newest_in_window} while "
+        f"r{oldest_outside}-witnessed queries wait outside"
+    )
 
 
 def test_ledger_references_only_real_queries():
