@@ -290,23 +290,26 @@ def q_media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary payloads, not rows, dominate media storage and loader
     throughput.
 
-    Scale shape: metadata-only — the payload column is never read
-    (column pruning keeps the scan to media_id/modality/n_bytes); one
-    running-sum window per modality partition and a hash aggregate that
-    reuses the same partitioning, exactly one wide exchange.  Integer
-    arithmetic throughout — engine-exact."""
-    from pyspark.sql import Window
+    Scale shape (r7 fix): metadata-only — the payload column is never
+    read (column pruning keeps the scan to media_id/modality/n_bytes).
+    The old per-modality running-sum window serialized each modality's
+    cumulative scan into ONE task (modality has 3 values — a 10⁹-file
+    corpus would stream through 3 threads); now the cumulative bytes come
+    from the two-phase prefix machinery (range shuffle on (modality,
+    media_id) → parallel per-partition running sums → driver offsets
+    bounded by #partitions×#modalities → broadcast join), so every stage
+    is parallel.  Integer arithmetic throughout — engine-exact, same
+    shard assignment and hash as the sequential-window oracle."""
+    from .twophase import two_phase_prefix
 
     media = synthesize_media(spark, sf_dir).select(
         "modality", "media_id", "n_bytes"
     )
-    w = (
-        Window.partitionBy("modality")
-        .orderBy("media_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = media.withColumn(
-        "cum_before", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    placed, _ = two_phase_prefix(
+        media,
+        ["modality"],
+        [F.asc("media_id")],
+        [("cum_before", F.col("n_bytes"))],
     )
     return (
         placed.withColumn(

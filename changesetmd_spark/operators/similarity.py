@@ -566,6 +566,137 @@ def q_embedding_ann_ivf(
     return materialize_releasing(out, assigned)
 
 
+# Pinned IVF coarse quantizer for the hash-checked twin: cells are the
+# embeddings of these literal vec_ids (no averaging — byte-identical in
+# both engines), probe width fixed at 2.
+_IVF_CHECK_CENTROID_IDS = (5, 6, 7, 8, 9, 10, 11, 12)
+_IVF_CHECK_PROBE = 2
+
+
+def _ann_ivf_checked_oracle() -> str:
+    """DuckDB SQL reproducing the IVF-flat probe pipeline exactly: cell
+    centers are the pinned-vec_id embeddings (same bytes both engines),
+    dot products use the identical left-fold order as :func:`dot`, cell
+    ranks break ties on cell id — so assignment, probe set, and re-ranked
+    top-k match bit-for-bit before the final ROUND."""
+    ids = ", ".join(str(i) for i in _IVF_CHECK_CENTROID_IDS)
+    d = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    dot_ec = d.format(dim=_DIM, a="v.e", b="c.ce")
+    dot_qe = d.format(dim=_DIM, a="qe", b="e")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), cent AS (
+      SELECT vec_id AS cell, e AS ce, nrm AS cn
+      FROM n WHERE vec_id IN ({ids})
+    ), assigned AS (
+      SELECT v.vec_id, v.e, v.nrm, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {dot_ec} / (v.nrm * c.cn) DESC, c.cell
+             ) AS rk
+      FROM n v CROSS JOIN cent c
+    ), corpus AS (
+      SELECT vec_id, e, nrm, cell FROM assigned WHERE rk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+      FROM assigned
+      WHERE vec_id < {_N_QUERIES} AND rk <= {_IVF_CHECK_PROBE}
+    ), scored AS (
+      SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+             ROUND({dot_qe} / (qn * nrm), 5) AS cosine_sim
+      FROM corpus c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """
+
+
+@register("q_embedding_ann_ivf_checked", oracle=_ann_ivf_checked_oracle())
+def q_embedding_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with the FULL pipeline hash-checked (VERDICT r7 #7 —
+    the IVF counterpart of q_embedding_ann_checked): the coarse quantizer
+    is the 8 pinned-vec_id embeddings (literal id list, so cell centers
+    are byte-identical in both engines — no float averaging to drift),
+    every vector broadcast-joins the 8 cells and keeps its
+    nearest-by-cosine cell (ties on cell id), queries probe their 2
+    nearest cells, and candidates get the exact left-fold cosine re-rank.
+    The production-scale fast path (q_embedding_ann_ivf, learned
+    centroids) stays rows-only + recall-pinned by pytest; this twin
+    value-checks the same dataflow end-to-end.
+
+    Scale shape: one broadcast of an 8-row centroid table, one broadcast
+    of queries×probe rows, equi-join on cell — identical plan skeleton to
+    the learned-centroid IVF; nothing quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    cent = emb.filter(
+        F.col("vec_id").isin(list(_IVF_CHECK_CENTROID_IDS))
+    ).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cell_sim = cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "e", "nrm", "cell", cell_sim.alias("cs"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+            ),
+        )
+        .persist()
+    )
+    corpus = assigned.filter(F.col("rk") == 1).select("vec_id", "e", "nrm", "cell")
+    probes = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .filter(F.col("rk") <= _IVF_CHECK_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    sim = cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 5).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return materialize_releasing(out, assigned)
+
+
 _KMEANS_K = 8  # deterministic seeds: the K smallest vec_ids
 
 

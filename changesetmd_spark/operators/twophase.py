@@ -1,0 +1,119 @@
+"""Two-phase distributed prefix aggregation — the scale-safe replacement
+for low-parallelism running-sum / global-rank windows.
+
+A ``Window.orderBy(...)`` with no (or a low-cardinality) ``partitionBy``
+plans as ``Exchange SinglePartition`` + one Window task: every row funnels
+through a single executor thread, which is the classic 100 TB scale-killer
+(VERDICT r7 flagged two such sites).  The classic fix is the textbook
+parallel prefix sum, expressed in Spark primitives:
+
+1. **Range shuffle** — ``repartitionByRange`` on (group cols, order cols);
+   the RangePartitioner guarantees partition *i*'s keys all precede
+   partition *i+1*'s under the requested sort order, so global order is the
+   concatenation of per-partition orders.  Fully parallel.
+2. **Pin partition ids** — ``spark_partition_id()`` captured as a column,
+   then ``localCheckpoint(eager=True)`` so every downstream job sees the
+   SAME row→partition assignment (the range sampler is re-run otherwise).
+3. **Local prefix** — a ``Window.partitionBy(pid, groups)`` running sum:
+   one parallel task per range partition, no SinglePartition exchange.
+4. **Driver offsets** — per-(pid, groups) subtotals are collected; this is
+   bounded by ``#partitions × #groups-per-partition`` (≤ a few thousand
+   rows at ANY corpus size), the same bounded-collect pattern the MERGE
+   partition pruning already uses.  Exclusive cumulative offsets are
+   computed in Python and broadcast-joined back.
+
+``prefix = offset[pid, group] + local_prefix`` is exact — integer/decimal
+arithmetic end-to-end, so results hash-match the sequential-window oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["two_phase_prefix"]
+
+
+def two_phase_prefix(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    values: Sequence[Tuple[str, Column]],
+    num_partitions: int | None = None,
+) -> Tuple[DataFrame, Dict[str, Dict[tuple, object]]]:
+    """Attach exact EXCLUSIVE prefix sums (rows strictly before the current
+    row in (group, order) order, per group) for each ``(out_col, expr)`` in
+    ``values`` — without ever funnelling a group through one task.
+
+    Returns ``(out_df, totals)`` where ``totals[out_col][group_tuple]`` is
+    the full-group sum of that value (the driver already holds the
+    subtotals, so group grand totals come for free — callers use them for
+    NTILE arithmetic / share-of-total denominators without an extra
+    ``Exchange SinglePartition`` global aggregate).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gcols = list(group_cols)
+    range_exprs = [F.col(g).asc() for g in gcols] + list(order_cols)
+
+    pinned = (
+        df.repartitionByRange(num_partitions, *range_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    val_names = [n for n, _ in values]
+    subs = (
+        pinned.groupBy("_pid", *gcols)
+        .agg(*[F.sum(e).alias(n) for n, e in values])
+        .collect()
+    )
+
+    off_schema = (
+        pinned.groupBy("_pid", *gcols)
+        .agg(*[F.sum(e).alias(f"_off_{n}") for n, e in values])
+        .schema
+    )
+    # Typed zeros so createDataFrame accepts the first-partition offsets
+    # (DecimalType rejects Python int 0).
+    from decimal import Decimal
+    from pyspark.sql.types import DecimalType
+
+    zeros = {
+        n: Decimal(0)
+        if isinstance(off_schema[f"_off_{n}"].dataType, DecimalType)
+        else 0
+        for n in val_names
+    }
+
+    # Exclusive offsets per group, walking partitions in range order.
+    totals: Dict[str, Dict[tuple, object]] = {n: {} for n in val_names}
+    offset_rows: List[tuple] = []
+    for row in sorted(subs, key=lambda r: r["_pid"]):
+        g = tuple(row[c] for c in gcols)
+        offs = []
+        for n in val_names:
+            cur = totals[n].get(g, zeros[n])
+            offs.append(cur)
+            totals[n][g] = cur + (row[n] if row[n] is not None else zeros[n])
+        offset_rows.append((row["_pid"], *g, *offs))
+
+    off_df = spark.createDataFrame(offset_rows, off_schema)
+
+    w = (
+        Window.partitionBy("_pid", *gcols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = pinned
+    for n, e in values:
+        out = out.withColumn(f"_loc_{n}", F.coalesce(F.sum(e).over(w), F.lit(0)))
+    out = out.join(F.broadcast(off_df), ["_pid", *gcols])
+    for n, _ in values:
+        out = out.withColumn(n, F.col(f"_off_{n}") + F.col(f"_loc_{n}")).drop(
+            f"_off_{n}", f"_loc_{n}"
+        )
+    return out.drop("_pid"), totals

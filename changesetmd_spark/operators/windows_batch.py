@@ -742,37 +742,57 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-user totals are DECIMAL sums (shuffle-order-proof);
     the rank order is total-desc with a unique tie-break; decile sums
-    stay DECIMAL until the final double division.  Scale shape: one hash
-    aggregate on user_id, then ONE global sort window over |users| rows
-    (the unavoidable cost of exact ranking — per-user totals, not raw
-    events, are what sorts), then a 10-row aggregate; the grand total
-    rides as a 1-row broadcast."""
+    stay DECIMAL until the final double division.  Scale shape (r7 fix —
+    the old global un-partitioned NTILE planned Exchange SinglePartition,
+    a one-task sort at 10⁹ users): exact global ranks come from the
+    two-phase prefix machinery (range shuffle → parallel per-partition
+    rank → driver offsets bounded by #partitions), and the NTILE bucket
+    is pure integer arithmetic on that rank — same assignment as
+    NTILE(10), every stage parallel.  The grand total falls out of the
+    driver-side subtotals, so no Exchange SinglePartition anywhere."""
+    from .twophase import two_phase_prefix
+
     per_user = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast(_VAL)).alias("total"))
     )
-    ranked = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.desc("total"), F.asc("user_id"))
-        ),
+    base, totals = two_phase_prefix(
+        per_user,
+        [],
+        [F.desc("total"), F.asc("user_id")],
+        [("_before", F.lit(1)), ("_val", F.col("total"))],
     )
-    tot = per_user.agg(F.sum("total").alias("grand"))
+    n = int(totals["_before"].get((), 0))
+    grand = totals["_val"].get((), None)
+    q, rem = divmod(n, 10)
+    boundary = rem * (q + 1)
+    # NTILE(10) over n rows: the first `rem` buckets hold q+1 rows, the
+    # rest hold q.  rank is 1-based; integer `div` keeps this exact.
+    rank = F.col("_before") + F.lit(1)
+    ranked = base.withColumn(
+        "decile",
+        F.when(
+            rank <= F.lit(boundary),
+            F.expr(f"(_before div {q + 1}) + 1"),
+        )
+        .otherwise(F.expr(f"{rem} + ((_before - {boundary}) div {max(q, 1)}) + 1"))
+        .cast("int"),
+    )
+    grand_d = float(grand) if grand is not None else 1.0
     return (
         ranked.groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_users"),
             F.sum("total").alias("_dv"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n_users",
             F.col("_dv").cast("double").alias("decile_value"),
             F.round(
-                F.col("_dv").cast("double") / F.col("grand").cast("double"),
+                F.col("_dv").cast("double") / F.lit(grand_d),
                 6,
             ).alias("value_share"),
         )

@@ -290,3 +290,27 @@ def test_pca_power_matvec_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # the x-iterate re-join on label
     # two matvecs: per-pos aggregate + per-label regroup each, nothing more
     assert shuffle_count(df) <= 4, shuffle_count(df)
+
+
+def test_user_value_deciles_no_single_partition_window(spark, sf_dir):
+    """q_user_value_deciles must rank via the two-phase prefix machinery
+    (VERDICT r7 #2): the old global un-partitioned NTILE planned
+    `Exchange SinglePartition` + one Window task — a one-thread sort of
+    every per-user total at 10⁹ users.  The window must be partitioned by
+    the pinned range-partition id, every exchange parallel."""
+    df = QS["q_user_value_deciles"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan and "_pid" in plan  # non-vacuous: 2-phase rank
+
+
+def test_media_shard_manifest_no_single_partition_window(spark, sf_dir):
+    """q_media_shard_manifest's cumulative-bytes scan must not serialize a
+    modality (3 distinct values) through one task (VERDICT r7 #3): the
+    running sum must be a per-(range-partition, modality) window plus a
+    broadcast offsets join, with no SinglePartition exchange."""
+    df = QS["q_media_shard_manifest"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan and "_pid" in plan
+    assert "BroadcastExchange" in plan  # the offsets join rides broadcast

@@ -53,3 +53,39 @@ def test_sketches_within_error_bounds(spark, sf_dir):
             hi = bisect.bisect_right(vs, got) - 1
             target = q * (n - 1)
             assert lo - 2 <= target <= hi + 2, (t, q, got, lo, hi, target)
+
+
+def test_mg_merge_of_batch_counts_superset_guarantee():
+    """Referee for the vectorized Misra-Gries pass (`sketches._mg_merge_counts`):
+    feeding batch-level EXACT counts through MG MERGE must keep every term
+    whose stream frequency is >= phi, for capacity >= 1/phi, at any batch
+    split.  Adversarial stream: a long unique-token tail (maximal decrement
+    pressure) interleaved with genuine heavy hitters near the threshold."""
+    import random
+
+    from changesetmd_spark.operators.sketches import _mg_merge_counts
+
+    rng = random.Random(8)
+    phi, capacity = 1 / 30, 64
+    n = 30_000
+    # heavy hitters sit just above phi*n; tail tokens are all distinct
+    heavy = {f"hh{i}": int(phi * n) + 1 + i for i in range(8)}
+    stream = [t for t, c in heavy.items() for _ in range(c)]
+    stream += [f"tail{i}" for i in range(n - len(stream))]
+    assert len(stream) == n
+    rng.shuffle(stream)
+
+    for batch_size in (1, 7, 100, 4096, n):
+        counters: dict = {}
+        for start in range(0, n, batch_size):
+            batch = stream[start : start + batch_size]
+            counts: dict = {}
+            for t in batch:
+                counts[t] = counts.get(t, 0) + 1
+            counters = _mg_merge_counts(counters, counts, capacity)
+        assert len(counters) <= capacity
+        missing = set(heavy) - set(counters)
+        assert not missing, (batch_size, missing)
+        # undercount bound: counter >= true - n/(capacity+1)
+        for t, true_c in heavy.items():
+            assert counters[t] >= true_c - n / (capacity + 1), (batch_size, t)

@@ -91,6 +91,12 @@ QUERIES = [
     "q_triangle_count",
     "q_type_transition_matrix",
     "q_user_value_deciles",
+    # r8: two-phase prefix rewrites (VERDICT r7 #2/#3) — deciles re-measured
+    # above, and the shard manifest now scales its file dimension via the
+    # replicated documents table (media_id = doc_id, offset per replica).
+    # Modality stays 3-valued by nature; the fix makes per-modality work
+    # parallel, so a fixed modality count no longer means fixed parallelism.
+    "q_media_shard_manifest",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
