@@ -78,6 +78,7 @@ HEADLINE = [
     "q_triangle_count",
     "q_type_transition_matrix",
     "q_user_value_deciles",
+    "q_embedding_pq_adc",
 ]
 
 
@@ -139,6 +140,127 @@ def xml_ingest_rate(spark, n: int = 200_000) -> dict:
     }
 
 
+def replication_steady_state(spark) -> dict:
+    """Steady-state replication latency (VERDICT r7 #8): a backlog of
+    ``SPARK_GRAFT_REPL_DIFFS`` minutely diff files (default 400; set 10000
+    for the full long-run sweep) drains through
+    ``run_replication_stream_txn`` as bounded micro-batches (25 diffs each)
+    with transactional compaction every 4 batches — the production loop:
+    streaming checkpoint = consumed-file watermark, one atomic MERGE commit
+    per batch, OPTIMIZE interleaved with ingest.
+
+    Two phases over ONE checkpoint: phase 1 (half the diffs) warms the
+    table so phase 2 measures MERGE-against-a-populated-table — the
+    steady state.  ``sec_per_diff`` is phase-2 wall per diff, the
+    apples-to-apples number against the reference's "a few seconds per
+    minutely diff" (ref README.md:69, BASELINE.md).  Ends with the
+    maintenance pair: compact() then vacuum(), asserting the table stays
+    readable and the data-dir count collapses."""
+    import shutil
+    import time
+    import uuid
+
+    from changesetmd_spark.sinks.txn_table import TxnTable
+    from changesetmd_spark.streaming import run_replication_stream_txn
+
+    n_diffs = int(os.environ.get("SPARK_GRAFT_REPL_DIFFS", "400"))
+    per_diff_cs = 5
+    root = f"/tmp/changesetmd_repl_bench_{uuid.uuid4().hex}"
+    src = os.path.join(root, "diffs")
+    table_dir = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    import gzip
+
+    def write_diff(seq: int) -> None:
+        # ids overlap the previous diff by 2 → every batch is an
+        # insert+update mix (changesets evolving across diffs, T5).
+        # created_at advances with the sequence (a minutely diff touches
+        # recently-created changesets), so each MERGE prunes to the few
+        # newest of the 28 date partitions and the per-diff cost stays
+        # flat as the table grows — the steady-state property under test.
+        base = seq * (per_diff_cs - 2)
+        day = (seq - 1) * 28 // n_diffs + 1
+        rows = []
+        for cid in range(base, base + per_diff_cs):
+            rows.append(
+                f'<changeset id="{cid + 1}" '
+                f'created_at="2024-05-{day:02d}T01:00:00Z" '
+                f'closed_at="2024-05-{day:02d}T02:00:00Z" open="false" '
+                f'user="u{cid % 50}" uid="{cid % 50}" '
+                f'num_changes="{seq % 100}"/>'
+            )
+        payload = ("<osm>\n" + "\n".join(rows) + "\n</osm>").encode()
+        path = os.path.join(src, f"{seq:09d}.osm.gz")
+        with open(path, "wb") as f:
+            f.write(gzip.compress(payload))
+        # in-order delivery contract: the file stream batches by mtime and
+        # the LWW merge is by-arrival; production drops one diff per
+        # minute, so burst-written fixtures must pin increasing mtimes
+        t = 1_700_000_000 + seq
+        os.utime(path, (t, t))
+
+    try:
+        half = n_diffs // 2
+        for s in range(1, half + 1):
+            write_diff(s)
+        run_replication_stream_txn(
+            spark, src, table_dir, ckpt,
+            max_files_per_trigger=25, compact_every=4,
+        )
+        for s in range(half + 1, n_diffs + 1):
+            write_diff(s)
+        t0 = time.perf_counter()
+        run_replication_stream_txn(
+            spark, src, table_dir, ckpt,
+            max_files_per_trigger=25, compact_every=4,
+        )
+        dt = time.perf_counter() - t0
+
+        table = TxnTable(spark, table_dir, partition_source="created_at")
+        rows = table.read().count()
+        versions = table.current_version()
+        # min_dirs=1 = the full OPTIMIZE pass: commit dirs are shared by
+        # several date partitions, so superseded rows keep whole dirs
+        # referenced (live via a sibling partition) — rewriting every
+        # partition into one fresh dir un-references all of them, and
+        # vacuum then reclaims the long run's entire dir backlog.
+        table.compact(min_dirs=1)
+        removed = table.vacuum(keep_versions=1, retention_seconds=0.0)
+        live_dirs = len(
+            {
+                d
+                for dirs in table._manifest(table.current_version())[
+                    "partitions"
+                ].values()
+                for d in dirs
+            }
+        )
+        rows_after = table.read().count()
+        assert rows_after == rows, (rows, rows_after)
+        # maintenance must actually collapse the long run's fragmentation:
+        # the full OPTIMIZE leaves ONE live data dir, and vacuum reclaimed
+        # the whole commit-history backlog
+        assert live_dirs == 1, live_dirs
+        assert removed, "vacuum removed nothing after a 100+-commit run"
+        expected_ids = (n_diffs * (per_diff_cs - 2)) + 2
+        assert rows == expected_ids, (rows, expected_ids)
+        return {
+            "diffs": n_diffs,
+            "measured_diffs": n_diffs - half,
+            "sec_per_diff": round(dt / (n_diffs - half), 4),
+            "diffs_per_sec": round((n_diffs - half) / dt, 1),
+            "phase2_sec": round(dt, 3),
+            "rows": rows,
+            "commits": versions,
+            "live_dirs_after_maintenance": live_dirs,
+            "vacuumed_dirs": len(removed),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else -1.0
@@ -163,6 +285,11 @@ def main() -> None:
         ingest = xml_ingest_rate(spark)
     except Exception as ex:  # noqa: BLE001 — a broken ingest must not kill the run
         ingest = {"err": f"{type(ex).__name__}: {ex}"[:300]}
+
+    try:
+        repl = replication_steady_state(spark)
+    except Exception as ex:  # noqa: BLE001
+        repl = {"err": f"{type(ex).__name__}: {ex}"[:300]}
 
     # One throwing query must cost only its own timing slot, never the whole
     # bench: record the error string and keep going so every round has a
@@ -212,6 +339,8 @@ def main() -> None:
         "queries_median": medians,
         "sf": sf_from_dir(SF_DIR),
         "xml_ingest": ingest,
+        "replication_steady_state": repl,
+        "replication_steady_state_sec_per_diff": repl.get("sec_per_diff"),
     }
     if errors:
         out["errors"] = errors

@@ -697,6 +697,212 @@ def q_embedding_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_releasing(out, assigned)
 
 
+# Product quantization: M subspaces × DSUB dims (= _DIM), K codewords per
+# subspace.  The codebook is the subvectors of these pinned vec_ids (codeword
+# index = rank of the id in the sorted list) — byte-identical in both
+# engines, so even this approximate operator hash-checks end-to-end.
+_PQ_M = 8
+_PQ_DSUB = 8
+_PQ_K = 16
+_PQ_CODEBOOK_IDS = tuple(range(20, 36))
+
+
+def _pq_sub(col: Column, m: int) -> Column:
+    return F.slice(col, m * _PQ_DSUB + 1, _PQ_DSUB)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential left fold — deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB SQL reproducing PQ encode + ADC search exactly: same pinned
+    codebook rows, the identical left-fold order for every squared-L2 and
+    for the 8-term ADC sum (``list_reduce`` over ``generate_series`` in
+    subspace order — no commutative-reduction FP ambiguity), and the same
+    (distance, codeword) lexicographic tie-break for encoding."""
+    ids = ", ".join(str(i) for i in sorted(_PQ_CODEBOOK_IDS))
+    subd = (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_DSUB}),"
+        f" i -> (v.e[s.m*{_PQ_DSUB}+i] - c.e[s.m*{_PQ_DSUB}+i])"
+        f" * (v.e[s.m*{_PQ_DSUB}+i] - c.e[s.m*{_PQ_DSUB}+i])),"
+        f" (a, b) -> a + b)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cb AS (
+      SELECT CAST(list_position([{ids}], CAST(vec_id AS INT)) - 1 AS INT) AS k, e
+      FROM v WHERE vec_id IN ({ids})
+    ), subm AS (
+      SELECT CAST(unnest(generate_series(0, {_PQ_M - 1})) AS INT) AS m
+    ), pairs AS (
+      SELECT v.vec_id, s.m, c.k, {subd} AS d
+      FROM v CROSS JOIN subm s CROSS JOIN cb c
+    ), codes AS (
+      SELECT vec_id, list(k ORDER BY m) AS codes
+      FROM (SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, k) AS rn
+            FROM pairs)
+      WHERE rn = 1 GROUP BY vec_id
+    ), lut AS (
+      SELECT vec_id AS query_id, list(d ORDER BY m, k) AS lut
+      FROM pairs WHERE vec_id < {_N_QUERIES} GROUP BY vec_id
+    ), scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_reduce(
+                     list_transform(generate_series(0, {_PQ_M - 1}),
+                                    m -> l.lut[m*{_PQ_K} + c.codes[m+1] + 1]),
+                     (a, b) -> a + b), 5) AS adc_dist
+      FROM codes c CROSS JOIN lut l
+      WHERE c.vec_id <> l.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """
+
+
+@register("q_embedding_pq_adc", oracle=_pq_adc_oracle())
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation — the
+    memory-bounded scale path for 10⁹-vector corpora: each 64-dim float
+    vector compresses to 8 one-byte codes (32× smaller than the raw
+    column), queries scan CODES + a tiny per-query lookup table instead of
+    raw vectors (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — public method).
+
+    Encode: split each vector into {_PQ_M} subspaces of {_PQ_DSUB} dims;
+    per subspace pick the nearest of {_PQ_K} codewords (squared L2,
+    (distance, codeword) lexicographic tie-break via a struct-MIN
+    aggregate).  The codebook is the pinned-vec_id subvectors — no float
+    k-means training to drift, so the whole pipeline is hash-checked
+    against the DuckDB oracle (production would train per-subspace k-means
+    with `q_kmeans_assign_update`'s machinery; identical dataflow).
+    Search: ADC — each query precomputes its {_PQ_M}×{_PQ_K} distance
+    LUT; a candidate's approximate distance is the M-term ordered fold of
+    LUT lookups by its codes, summed in subspace order in BOTH engines so
+    the doubles match bit-for-bit.
+
+    Scale shape: encoding shuffles n×M skinny (vec, subspace) keys once
+    (the codebook rides broadcast); the search side broadcasts queries×LUT
+    rows and streams over the code table map-side — nothing quadratic,
+    and at 100 TB the code table is the only thing rescanned per query
+    batch.  At production scale ADC composes with the IVF cell pruning of
+    `q_embedding_ann_ivf` (scan only probed cells' codes)."""
+    ids_sorted = sorted(_PQ_CODEBOOK_IDS)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    cb = emb.filter(F.col("vec_id").isin(list(ids_sorted))).select(
+        (
+            F.array_position(
+                F.array(*[F.lit(i) for i in ids_sorted]),
+                F.col("vec_id").cast("int"),
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("k"),
+        "e",
+    )
+    cb_sub = cb.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        _pq_sub(F.col("e"), m).alias("ce"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.m").alias("m"), "k", F.col("s.ce").alias("ce"))
+
+    vec_sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        _pq_sub(F.col("e"), m).alias("ve"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.ve").alias("ve"))
+
+    paired = vec_sub.join(F.broadcast(cb_sub), "m")
+    d = _l2sq(F.col("ve"), F.col("ce"))
+    # nearest codeword per (vector, subspace): struct-MIN = ORDER BY d, k
+    best = paired.groupBy("vec_id", "m").agg(
+        F.min(F.struct(d.alias("d"), F.col("k").alias("k"))).alias("best")
+    )
+    codes = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("m"), F.col("best.k").alias("k"))
+                )
+            ),
+            lambda s: s["k"],
+        ).alias("codes")
+    )
+
+    # per-query LUT: flat array ordered by (m, k) — index m*K + code + 1
+    q_pairs = paired.filter(F.col("vec_id") < _N_QUERIES)
+    lut = q_pairs.groupBy(F.col("vec_id").alias("query_id")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("m"), F.col("k"), d.alias("d"))
+                )
+            ),
+            lambda s: s["d"],
+        ).alias("lut")
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"),
+            (m * _PQ_K + F.element_at(F.col("codes"), m + 1) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        codes.join(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 5).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
 _KMEANS_K = 8  # deterministic seeds: the K smallest vec_ids
 
 

@@ -24,17 +24,34 @@ from ..sources.schema import CHANGESET_XML_READ_SCHEMA
 from ..sources.xml_source import normalize_changesets
 
 
-def stream_changeset_diffs(spark: SparkSession, src_dir: str) -> DataFrame:
+def stream_changeset_diffs(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Unbounded XML source over a diff-drop directory.  The replication
     sequence number rides in the file name (``NNNNNNNNN.osm.gz``, written by
     ``sources.replication`` fetchers); ``_metadata.file_path`` recovers it
-    per-row so last-write-wins ordering survives multi-file micro-batches."""
-    raw = (
+    per-row so last-write-wins ordering survives multi-file micro-batches.
+
+    ``max_files_per_trigger`` bounds each micro-batch (``availableNow``
+    honors source rate limits and still drains everything): the steady-state
+    knob — a 10⁴-diff backlog becomes a long sequence of bounded MERGE
+    commits instead of one giant batch, which is what a continuously-running
+    production stream looks like.
+
+    In-order delivery contract: the file source orders (and batches) files
+    by modification time, and the downstream LWW merge is by-arrival
+    (reference parity — sequential apply, ref changesetmd.py:180-195).
+    Production fetchers drop one diff per minute with naturally increasing
+    mtimes; anything writing a backlog in a burst must pin increasing
+    mtimes or same-second timestamps make the batch grouping arbitrary."""
+    reader = (
         spark.readStream.format("xml")
         .option("rowTag", "changeset")
         .schema(CHANGESET_XML_READ_SCHEMA)
-        .load(src_dir)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(src_dir)
     seq = F.regexp_extract(F.col("_metadata.file_path"), r"(\d+)\.osm(?:\.gz)?$", 1)
     return raw.withColumn("sequence", seq.cast("long"))
 
@@ -72,6 +89,8 @@ def run_replication_stream_txn(
     table_dir: str,
     checkpoint_dir: str,
     await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """The cluster-deployment variant of :func:`run_replication_stream`:
     each micro-batch MERGEs through :class:`~..sinks.txn_table.TxnTable`
@@ -80,15 +99,24 @@ def run_replication_stream_txn(
     parity stack for the reference's transactional replication
     (ref changesetmd.py:140-143,71-76): streaming checkpoint = consumed-file
     watermark, commit log = transaction boundary, LWW MERGE = idempotent
-    delete+insert."""
+    delete+insert.
+
+    ``compact_every``: run transactional bin-pack compaction after every N
+    micro-batches — long-run maintenance interleaved with ingest, the
+    lakehouse OPTIMIZE cadence a minutely stream needs so date partitions
+    don't fragment into one small file per commit."""
     from ..sinks.txn_table import TxnTable
 
-    diffs = stream_changeset_diffs(spark, src_dir)
+    diffs = stream_changeset_diffs(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    )
     table = TxnTable(spark, table_dir, partition_source="created_at")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         normalized = normalize_changesets(batch_df, extra=("sequence",))
         table.merge(normalized, key="id", order_col="sequence")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            table.compact()
 
     q = (
         diffs.writeStream.foreachBatch(apply_batch)
