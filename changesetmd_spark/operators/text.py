@@ -465,3 +465,186 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_VG_CHECKPOINTS = 10
+
+
+def _vocab_growth_oracle() -> str:
+    """Inequality-join formulation (simple and exact at oracle SF).
+    Percentile fractions ride as repr'd double literals so both engines
+    interpolate identical ``quantile_cont`` (= ``F.percentile``) type-7
+    cut values over doc_id."""
+    ks = range(1, _VG_CHECKPOINTS + 1)
+    q_cols = ", ".join(
+        f"quantile_cont(doc_id, {c / 10.0!r}) AS q{c}" for c in ks
+    )
+    cut_union = "\n      UNION ALL ".join(
+        f"SELECT {c} AS c, q{c} AS cutoff FROM q" for c in ks
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), first AS (
+      SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term
+    ), q AS (
+      SELECT {q_cols} FROM documents
+    ), cuts AS (
+      {cut_union}
+    ), vocab AS (
+      SELECT c, COUNT(*) AS vocab_size
+      FROM cuts JOIN first ON fd <= cutoff GROUP BY c
+    ), ndocs AS (
+      SELECT c, COUNT(*) AS n_docs
+      FROM cuts JOIN documents ON doc_id <= cutoff GROUP BY c
+    )
+    SELECT v.c AS checkpoint,
+           n.n_docs,
+           v.vocab_size,
+           v.vocab_size - COALESCE(LAG(v.vocab_size)
+                                   OVER (ORDER BY v.c), 0) AS new_terms
+    FROM vocab v JOIN ndocs n ON v.c = n.c
+    """
+
+
+@register("q_vocab_growth", oracle=_vocab_growth_oracle())
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-term count after each
+    10% slice of the corpus (slices cut at exact doc_id percentiles) plus
+    the per-slice novel-term count — the curve that sizes a tokenizer
+    vocabulary and predicts how much new text still adds new types.
+
+    Scale shape: term first-appearances are one hash aggregate over
+    exploded tokens (map-side combinable MIN); the 10 cut values ride as a
+    one-row broadcast; bucket assignment is a 10-branch comparison chain
+    (fully parallel projection, NOT a 10× inequality-join blowup — that
+    formulation is left to the oracle where corpus size doesn't matter);
+    the cumulative curve is a 10-row window.  Same shape at 100 TB: the
+    only data-sized stages are the explode and two hash aggregates."""
+    from pyspark.sql import Window
+
+    ks = list(range(1, _VG_CHECKPOINTS + 1))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cuts = docs.agg(
+        *[
+            F.percentile("doc_id", F.lit(c / 10.0)).alias(f"q{c}")
+            for c in ks
+        ]
+    )
+
+    def bucket(col: Column) -> Column:
+        expr = F.when(col <= F.col("q1"), 1)
+        for c in ks[1:]:
+            expr = expr.when(col <= F.col(f"q{c}"), c)
+        return expr.cast("int")
+
+    first = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+            "doc_id",
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab_b = (
+        first.crossJoin(F.broadcast(cuts))
+        .select(bucket(F.col("fd")).alias("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count("*").alias("nv"))
+    )
+    docs_b = (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(bucket(F.col("doc_id")).alias("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count("*").alias("nd"))
+    )
+    base = spark.range(1, _VG_CHECKPOINTS + 1).select(
+        F.col("id").cast("int").alias("checkpoint")
+    )
+    joined = (
+        base.join(vocab_b, "checkpoint", "left")
+        .join(docs_b, "checkpoint", "left")
+        .na.fill({"nv": 0, "nd": 0})
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10 rows total — not a data-sized window
+    return joined.select(
+        "checkpoint",
+        F.sum("nd").over(w).cast("long").alias("n_docs"),
+        F.sum("nv").over(w).cast("long").alias("vocab_size"),
+        F.col("nv").cast("long").alias("new_terms"),
+    )
+
+
+@register(
+    "q_quality_percentile_gate",
+    oracle=r"""
+    WITH scored AS (
+      SELECT source,
+             ROUND(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) * 1.0
+                   / len(regexp_extract_all(text, '\S+')), 6) AS score
+      FROM documents
+      WHERE length(text) > 0 AND len(regexp_extract_all(text, '\S+')) > 0
+    ), thr AS (
+      SELECT source, ROUND(quantile_cont(score, 0.25), 6) AS threshold
+      FROM scored GROUP BY source
+    )
+    SELECT s.source, t.threshold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS kept_ratio,
+           ROUND(CAST(SUM(CASE WHEN s.score >= t.threshold
+                               THEN CAST(s.score AS DECIMAL(28,12)) END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END),
+                 6) AS avg_score_kept
+    FROM scored s JOIN thr t USING (source)
+    GROUP BY s.source, t.threshold
+    """,
+)
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gating — the filtering pattern real
+    curation pipelines use instead of one global cutoff: each source keeps
+    its own top-75% by stopword-ratio (a proxy for natural prose; same
+    expression as q_text_quality), because a fixed threshold tuned on one
+    crawl source over- or under-filters every other.
+
+    Determinism: the score is rounded BEFORE the percentile so both
+    engines cut identical doubles; the kept-side mean folds through
+    DECIMAL(28,12) (order-proof sum) before the final double division.
+    Scale shape: one aggregate for per-source thresholds (tiny — |sources|
+    rows, broadcast back), one map-side-combinable aggregate for the gate
+    stats; no data-sized shuffle beyond the two groupBys."""
+    q = quality_columns(F.col("text"))
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (token_count(F.col("text")) > 0))
+        .select("source", q["stopword_ratio"].alias("score"))
+    )
+    thr = scored.groupBy("source").agg(
+        F.round(F.percentile("score", F.lit(0.25)), 6).alias("threshold")
+    )
+    kept = F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0)
+    kept_score = F.when(
+        F.col("score") >= F.col("threshold"),
+        F.col("score").cast("decimal(28,12)"),
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source", "threshold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(F.sum(kept) * 1.0 / F.count("*"), 6).alias("kept_ratio"),
+            F.round(
+                F.sum(kept_score).cast("double") / F.sum(kept), 6
+            ).alias("avg_score_kept"),
+        )
+    )

@@ -976,3 +976,92 @@ def test_user_value_deciles_matches_python_referee(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_vocab_growth_matches_python_referee(spark, sf_dir):
+    """Pure-Python Heaps curve: type-7 interpolated doc_id percentiles as
+    cutoffs, vocabulary = terms whose first-bearing doc_id <= cutoff."""
+    docs = _docs(sf_dir)
+    ids = sorted(docs)
+    n = len(ids)
+
+    def quantile_type7(p):
+        h = (n - 1) * p
+        lo = int(h)
+        hi = min(lo + 1, n - 1)
+        return ids[lo] + (h - lo) * (ids[hi] - ids[lo])
+
+    first = {}
+    for d in ids:
+        for t in docs[d]:
+            if t not in first or d < first[t]:
+                first[t] = d
+    expected = {}
+    prev_vocab = 0
+    for c in range(1, 11):
+        cut = quantile_type7(c / 10.0)
+        n_docs = sum(1 for d in ids if d <= cut)
+        vocab = sum(1 for fd in first.values() if fd <= cut)
+        expected[c] = (n_docs, vocab, vocab - prev_vocab)
+        prev_vocab = vocab
+    got = {
+        r.checkpoint: (r.n_docs, r.vocab_size, r.new_terms)
+        for r in registry.queries()["q_vocab_growth"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_quality_percentile_gate_matches_python_referee(spark, sf_dir):
+    """Pure-Python adaptive gate: per-source p25 of the rounded stopword
+    ratio, keep-side stats recomputed exactly (Fraction-free: scores are
+    6-dp decimals, so Python floats reproduce the DECIMAL fold)."""
+    import re as _re
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE length(text) > 0"
+    ).fetchall()
+    by_source = {}
+    stop_re = _re.compile(r"\b(the|and|of|to|in)\b")
+    for source, text in rows:
+        toks = _re.findall(r"\S+", text)
+        if not toks:
+            continue
+        score = round(len(stop_re.findall(text.lower())) * 1.0 / len(toks), 6)
+        by_source.setdefault(source, []).append(score)
+
+    def quantile_type7(vals, p):
+        vs = sorted(vals)
+        h = (len(vs) - 1) * p
+        lo = int(h)
+        hi = min(lo + 1, len(vs) - 1)
+        return vs[lo] + (h - lo) * (vs[hi] - vs[lo])
+
+    expected = {}
+    for source, scores in by_source.items():
+        thr = round(quantile_type7(scores, 0.25), 6)
+        kept = [s for s in scores if s >= thr]
+        avg = float(
+            sum(Decimal(repr(s)).quantize(Decimal("1e-12")) for s in kept)
+        ) / len(kept)
+        expected[source] = (
+            thr,
+            len(scores),
+            len(kept),
+            round(len(kept) * 1.0 / len(scores), 6),
+            round(avg, 6),
+        )
+    got = {
+        r.source: (
+            float(r.threshold),
+            r.n_docs,
+            r.n_kept,
+            float(r.kept_ratio),
+            float(r.avg_score_kept),
+        )
+        for r in registry.queries()["q_quality_percentile_gate"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
