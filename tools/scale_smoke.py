@@ -100,6 +100,12 @@ QUERIES = [
     # r8: PQ-ADC over the replicated embeddings (codes table scales with
     # the corpus; codebook and LUTs stay constant-size broadcasts)
     "q_embedding_pq_adc",
+    # r8: corpus-analysis additions — token-salted replicas grow the
+    # vocabulary linearly (each replica renames every type), so the Heaps
+    # curve's term-aggregate actually scales; the gate's source dimension
+    # stays fixed by nature (thresholds are a broadcast either way)
+    "q_vocab_growth",
+    "q_quality_percentile_gate",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
