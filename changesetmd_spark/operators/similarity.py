@@ -1246,3 +1246,94 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y")[2] / F.col("nrm"), 6).alias("pc_3"),
         F.round(F.col("y")[3] / F.col("nrm"), 6).alias("pc_4"),
     )
+
+
+_HN_ANCHORS = 10  # vec_id < 10 are the anchors for hard-negative mining
+_HN_K = 5
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), scored AS (
+      SELECT a.vec_id AS anchor_id,
+             a.label AS anchor_label,
+             c.vec_id AS negative_id,
+             c.label AS negative_label,
+             ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),
+                                              i -> a.e[i] * c.e[i]),
+                               (a2, b2) -> a2 + b2) / (a.nrm * c.nrm), 5)
+               AS cosine_sim
+      FROM n a JOIN n c
+        ON a.vec_id < {_HN_ANCHORS}
+       AND c.label <> a.label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine_sim DESC, negative_id)
+                      AS rn
+          FROM scored)
+    WHERE rn <= {_HN_K}
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each anchor,
+    the top-{_HN_K} most-similar vectors carrying a DIFFERENT label — the
+    near-miss negatives that contrastive and retrieval fine-tuning actually
+    learn from (random negatives are trivially separable; the hard ones sit
+    just across the decision boundary).
+
+    Scale shape: identical to the brute-force cosine baseline — anchors
+    ride as a broadcast, the corpus scan is embarrassingly parallel, only
+    per-anchor top-k heaps shuffle (anchors × k rows).  At 10⁹ vectors the
+    corpus scan composes with the ANN tier exactly like search does: probe
+    `q_embedding_ann_ivf`'s cells (or `q_embedding_pq_adc`'s codes) first,
+    then apply the label-inequality filter during re-rank — same dataflow,
+    candidate set instead of full scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    anchors = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    sim = cosine(F.col("ae"), F.col("e"), F.col("an"), F.col("nrm"))
+    scored = (
+        emb.join(
+            F.broadcast(anchors),
+            F.col("label") != F.col("anchor_label"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(sim, 5).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cosine_sim",
+        )
+    )

@@ -306,6 +306,7 @@ class TxnTable:
         key: str | list[str] = "id",
         order_col: str = "sequence",
         merge_schema: bool = False,
+        order_aware: bool = False,
     ) -> int:
         """Idempotent LWW MERGE (delete-then-insert parity, S6/T4-T5): batch
         rows replace current rows with the same key; only partitions holding
@@ -317,7 +318,20 @@ class TxnTable:
         single-row-per-key guarantee the reference's delete+insert provides).
         Recompute-on-conflict is what Delta does for MERGE without predicate
         disjointness proofs; the idempotent LWW computation absorbs replays
-        (T4), so retrying is safe."""
+        (T4), so retrying is safe.
+
+        ``order_aware=False`` (default) is the reference's by-arrival
+        semantics: incoming rows replace current rows with the same key
+        unconditionally, so replaying a STALE diff resurrects its old state
+        (exactly the documented reference behavior, ref README.md:59) and
+        correctness depends on in-order delivery.  ``order_aware=True`` is
+        the engine-tier upgrade: per key, the row with the HIGHEST
+        ``order_col`` wins across current ∪ incoming (ties go to incoming,
+        so bit-identical replays still converge) — out-of-order and
+        duplicate delivery both reach the in-order final state, removing
+        the delivery-order contract entirely.  Cost is identical: the same
+        affected-partition rewrite, with the anti-join swapped for one
+        window over (affected current ∪ batch) rows."""
         key_cols = [key] if isinstance(key, str) else list(key)
         if batch.isEmpty():
             # empty diff (e.g. an empty replication micro-batch): no data to
@@ -371,24 +385,53 @@ class TxnTable:
                     )
                     if any(v is None for v in affected_vals):
                         cond = cond | F.col(self.partition_col).isNull()
-                    kept = current.filter(cond).join(
-                        F.broadcast(keys), on=key_cols, how="left_anti"
-                    )
+                    cur_aff = current.filter(cond)
                 else:
                     affected = {""}
-                    kept = current.join(
-                        F.broadcast(keys), on=key_cols, how="left_anti"
+                    cur_aff = current
+                if order_aware:
+                    # max-order row per key across current ∪ incoming; the
+                    # _src flag breaks order ties toward incoming so exact
+                    # replays converge (T4) without regressing newer state
+                    from pyspark.sql import Window
+
+                    inc = (
+                        incoming
+                        if merge_schema
+                        else incoming.select(*cur_aff.columns)
                     )
-                if merge_schema:
+                    combined = cur_aff.withColumn(
+                        "_src", F.lit(0)
+                    ).unionByName(
+                        inc.withColumn("_src", F.lit(1)),
+                        allowMissingColumns=merge_schema,
+                    )
+                    w = Window.partitionBy(*key_cols).orderBy(
+                        F.desc(order_col), F.desc("_src")
+                    )
+                    new_state = (
+                        combined.withColumn(
+                            "_rn", F.row_number().over(w)
+                        )
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn", "_src")
+                    )
+                elif merge_schema:
                     # additive schema evolution (Delta's mergeSchema): new
                     # batch columns join the table schema; current rows read
                     # NULL for them.  Strict mode stays the default so a
                     # typo'd column name fails loudly instead of forking the
                     # schema.
+                    kept = cur_aff.join(
+                        F.broadcast(keys), on=key_cols, how="left_anti"
+                    )
                     new_state = kept.unionByName(
                         incoming, allowMissingColumns=True
                     )
                 else:
+                    kept = cur_aff.join(
+                        F.broadcast(keys), on=key_cols, how="left_anti"
+                    )
                     new_state = kept.unionByName(
                         incoming.select(*kept.columns), allowMissingColumns=False
                     )

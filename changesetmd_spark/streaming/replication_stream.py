@@ -91,6 +91,7 @@ def run_replication_stream_txn(
     await_termination: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    order_aware: bool = False,
 ):
     """The cluster-deployment variant of :func:`run_replication_stream`:
     each micro-batch MERGEs through :class:`~..sinks.txn_table.TxnTable`
@@ -104,7 +105,14 @@ def run_replication_stream_txn(
     ``compact_every``: run transactional bin-pack compaction after every N
     micro-batches — long-run maintenance interleaved with ingest, the
     lakehouse OPTIMIZE cadence a minutely stream needs so date partitions
-    don't fragment into one small file per commit."""
+    don't fragment into one small file per commit.
+
+    ``order_aware=True`` switches the MERGE to max-sequence-wins across
+    current ∪ incoming (see :meth:`TxnTable.merge`): the stream then
+    converges to the in-order state under ANY file delivery order, making
+    the mtime in-order contract (module docstring) unnecessary — the
+    deployment-grade default when the diff fetcher isn't the only writer
+    or backfills can interleave with the tail."""
     from ..sinks.txn_table import TxnTable
 
     diffs = stream_changeset_diffs(
@@ -114,7 +122,12 @@ def run_replication_stream_txn(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         normalized = normalize_changesets(batch_df, extra=("sequence",))
-        table.merge(normalized, key="id", order_col="sequence")
+        table.merge(
+            normalized,
+            key="id",
+            order_col="sequence",
+            order_aware=order_aware,
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             table.compact()
 

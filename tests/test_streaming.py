@@ -206,3 +206,34 @@ def test_streaming_replication_steady_state_batches(spark, tmp_path):
     assert len(live) == 1, live
     assert removed, "vacuum reclaimed nothing after the multi-commit run"
     assert rows() == expected
+
+
+def test_streaming_replication_order_aware_shuffled_delivery(spark, tmp_path):
+    """order_aware=True removes the in-order mtime contract: diffs delivered
+    in REVERSE order (newest file oldest mtime, so the file source batches
+    them backwards) still converge to the in-order final state."""
+    from changesetmd_spark.sinks.txn_table import TxnTable
+    from changesetmd_spark.streaming import run_replication_stream_txn
+
+    src = str(tmp_path / "diffs")
+    table_dir = str(tmp_path / "store" / "cs_txn")
+    ckpt = str(tmp_path / "ckpt")
+
+    # id 1 evolves across three diffs; reverse the mtimes so arrival order
+    # is 103, 102, 101 with one file per micro-batch
+    for seq, nc in ((101, 1), (102, 5), (103, 9)):
+        _write_diff(src, seq, [_cs(1, seq == 101, nc)])
+        t = 1_700_000_000 - seq  # REVERSED
+        path = os.path.join(src, f"{seq:09d}.osm.gz")
+        os.utime(path, (t, t))
+    run_replication_stream_txn(
+        spark, src, table_dir, ckpt,
+        max_files_per_trigger=1, order_aware=True,
+    )
+    table = TxnTable(spark, table_dir, partition_source="created_at")
+    got = [
+        (r.id, r.open, r.num_changes, r.sequence)
+        for r in table.read().collect()
+    ]
+    # the in-order outcome: seq 103 wins despite arriving first
+    assert got == [(1, False, 9, 103)]

@@ -470,3 +470,73 @@ def test_merge_strict_mode_rejects_missing_columns(spark, table):
     bad = _mk(spark, [(2, 2, D1, "x")]).drop("payload")
     with pytest.raises(Exception):
         table.merge(bad, key="id", order_col="sequence")
+
+
+def test_merge_order_aware_out_of_order_converges(spark, table):
+    """order_aware=True: max-sequence-wins across current ∪ incoming, so
+    applying diffs in ANY order reaches the in-order state — unlike the
+    default by-arrival mode, where a stale batch resurrects old rows
+    (reference parity, asserted below as the contrast)."""
+    table.overwrite(_mk(spark, [(1, 5, D1, "v5"), (2, 1, D2, "x")]))
+
+    # stale batch (sequence 3 < live 5) must NOT regress id=1, but must
+    # still insert the unseen id=3; same-sequence replay converges
+    table.merge(
+        _mk(spark, [(1, 3, D1, "v3"), (3, 3, D2, "new")]),
+        key="id",
+        order_col="sequence",
+        order_aware=True,
+    )
+    assert _rows(table.read().select("id", "sequence", "payload")) == [
+        (1, 5, "v5"),
+        (2, 1, "x"),
+        (3, 3, "new"),
+    ]
+
+    # newer batch still wins, and replaying it bit-identically is a no-op
+    for _ in range(2):
+        table.merge(
+            _mk(spark, [(1, 7, D1, "v7")]),
+            key="id",
+            order_col="sequence",
+            order_aware=True,
+        )
+        assert _rows(table.read().select("id", "sequence", "payload")) == [
+            (1, 7, "v7"),
+            (2, 1, "x"),
+            (3, 3, "new"),
+        ]
+
+    # contrast: the default by-arrival mode DOES resurrect the stale row
+    table.merge(
+        _mk(spark, [(1, 3, D1, "v3")]), key="id", order_col="sequence"
+    )
+    assert _rows(table.read().select("id", "payload"))[0] == (1, "v3")
+
+
+def test_merge_order_aware_partition_migration(spark, table):
+    """A key whose newest row moved partitions must end up ONLY in the
+    winning row's partition, whichever side (current or incoming) wins."""
+    table.overwrite(_mk(spark, [(1, 5, D2, "newer-in-d2")]))
+    # stale incoming targets D1: both partitions rewritten, row stays in D2
+    table.merge(
+        _mk(spark, [(1, 2, D1, "stale-in-d1")]),
+        key="id",
+        order_col="sequence",
+        order_aware=True,
+    )
+    assert _rows(table.read().select("id", "sequence", "payload")) == [
+        (1, 5, "newer-in-d2")
+    ]
+    live = table._live_map(table._manifest(table.current_version()))
+    assert "created_date=2024-01-01" not in live  # no stale-row partition
+    # and the mirror case: newer incoming moves the row D2 -> D1
+    table.merge(
+        _mk(spark, [(1, 9, D1, "newest-in-d1")]),
+        key="id",
+        order_col="sequence",
+        order_aware=True,
+    )
+    assert _rows(table.read().select("id", "payload")) == [(1, "newest-in-d1")]
+    live = table._live_map(table._manifest(table.current_version()))
+    assert "created_date=2024-01-02" not in live
