@@ -314,3 +314,49 @@ def test_media_shard_manifest_no_single_partition_window(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan and "_pid" in plan
     assert "BroadcastExchange" in plan  # the offsets join rides broadcast
+
+
+def test_pq_adc_plan_broadcast_only_joins(spark, sf_dir):
+    """q_embedding_pq_adc must never shuffle-join: the codebook (128
+    subspace rows) and the query LUTs (5 rows) ride broadcast, the code
+    table is the only data-sized side, and nothing funnels through one
+    task."""
+    df = QS["q_embedding_pq_adc"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hard_negative_mining_broadcast_anchor_scan(spark, sf_dir):
+    """q_hard_negative_mining is the brute-force-baseline shape: anchors
+    broadcast, one parallel corpus scan, only the per-anchor top-k window
+    shuffles (anchor-partitioned, never SinglePartition)."""
+    df = QS["q_hard_negative_mining"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_growth_no_inequality_join_blowup(spark, sf_dir):
+    """q_vocab_growth must bucket via the broadcast comparison chain — a
+    10× inequality join of the term table (BroadcastNestedLoopJoin over
+    first-appearances × cutoffs) would be the scale bug.  The only BNLJ
+    allowed is the 1-row cutoffs broadcast; the 10-row cumulative window
+    may run SinglePartition (bounded by the checkpoint count, not data)."""
+    df = QS["q_vocab_growth"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    # the cutoff row joins each frame once: ≤2 nested-loop broadcasts of a
+    # single-row side, never a term×checkpoint expansion join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_quality_gate_threshold_broadcast(spark, sf_dir):
+    """q_quality_percentile_gate joins per-source thresholds back by
+    broadcast — the documents scan must not shuffle for the join."""
+    df = QS["q_quality_percentile_gate"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

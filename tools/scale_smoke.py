@@ -106,6 +106,7 @@ QUERIES = [
     # stays fixed by nature (thresholds are a broadcast either way)
     "q_vocab_growth",
     "q_quality_percentile_gate",
+    "q_hard_negative_mining",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
