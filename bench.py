@@ -79,6 +79,9 @@ HEADLINE = [
     "q_type_transition_matrix",
     "q_user_value_deciles",
     "q_embedding_pq_adc",
+    "q_label_propagation",
+    "q_kcore_items",
+    "q_zorder_layout",
 ]
 
 

@@ -347,3 +347,259 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.groupBy("item_id").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+_LP_ITERS = 3
+
+
+def _lp_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LP round: every node adopts the neighbor label with
+    the greatest total incident weight.  Equi-join + two hash aggregates —
+    the MAX over (tw, -label) struct is exactly ORDER BY tw DESC, label ASC
+    LIMIT 1 per node, with no per-node sort window anywhere in the plan."""
+    cand = (
+        edges.join(labels.withColumnRenamed("item_id", "src"), "src")
+        .groupBy("dst", "label")
+        .agg(F.sum("w").alias("tw"))
+    )
+    return (
+        cand.groupBy("dst")
+        .agg(
+            F.max(
+                F.struct(F.col("tw"), (-F.col("label")).alias("nl"))
+            ).alias("b")
+        )
+        .select(
+            F.col("dst").alias("item_id"),
+            (-F.col("b.nl")).alias("label"),
+        )
+    )
+
+
+def label_propagation_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LAZY LP round for plan inspection — the registered query
+    localCheckpoints between rounds, which truncates the per-round plan
+    out of the final frame's executedPlan."""
+    edges = _cooc_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("item_id"))
+        .distinct()
+        .withColumn("label", F.col("item_id"))
+    )
+    return _lp_round(edges, labels)
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg USING (user_id)
+    ), pairs AS (
+      SELECT a.item_id AS item_1, b.item_id AS item_2, COUNT(*) AS w
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+    ), edges AS (
+      SELECT item_1 AS src, item_2 AS dst, w FROM pairs
+      UNION ALL
+      SELECT item_2 AS src, item_1 AS dst, w FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS item_id, src AS label FROM edges
+    ), l1 AS (
+      SELECT item_id, label FROM (
+        SELECT e.dst AS item_id, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY SUM(e.w) DESC, l.label) AS rn
+        FROM edges e JOIN l0 l ON l.item_id = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1
+    ), l2 AS (
+      SELECT item_id, label FROM (
+        SELECT e.dst AS item_id, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY SUM(e.w) DESC, l.label) AS rn
+        FROM edges e JOIN l1 l ON l.item_id = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1
+    ), l3 AS (
+      SELECT item_id, label FROM (
+        SELECT e.dst AS item_id, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY SUM(e.w) DESC, l.label) AS rn
+        FROM edges e JOIN l2 l ON l.item_id = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1
+    ), sizes AS (
+      SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY label
+    )
+    SELECT l3.item_id, l3.label AS community, sizes.n_members
+    FROM l3 JOIN sizes ON l3.label = sizes.label
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation over the item
+    co-occurrence graph (Raghavan et al. 2007 — public method): every node
+    starts as its own community; each round it adopts the neighbor label
+    with the greatest total incident edge weight (ties → smallest label —
+    fully deterministic, so even this iterative algorithm hash-checks
+    against a {_LP_ITERS}-round unrolled SQL oracle).  Integer weights
+    end-to-end: no FP reduction anywhere.
+
+    Scale shape (the PageRank recipe, cooccurrence.py:220): edges
+    checkpointed once and reused every round; each round is one equi-join
+    (edges ⋈ labels on src) + two hash aggregates — the (dst, label)
+    struct-MAX replaces a per-node sort window; per-round localCheckpoint
+    truncates lineage and releases the previous label vector.  Rounds are
+    a fixed constant, so the whole run is {_LP_ITERS} shuffles of edge
+    cardinality, never quadratic."""
+    edges = _cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    if not edges.head(1):
+        return spark.createDataFrame(
+            [], "item_id long, community long, n_members long"
+        )
+    labels = (
+        edges.select(F.col("src").alias("item_id"))
+        .distinct()
+        .withColumn("label", F.col("item_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LP_ITERS):
+        labels = _lp_round(edges, labels).localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return labels.join(sizes, "label").select(
+        "item_id", F.col("label").alias("community"), "n_members"
+    )
+
+
+_KCORE_K = 4          # minimum degree to stay in the core
+_KCORE_ROUNDS = 4     # peel rounds (converges by round 3 on driver corpora)
+_KCORE_EDGE_Q = 0.9   # strong-tie cut: keep edges with w > p90(w)
+
+
+def _kcore_strong_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed strong-tie edges: co-occurrence pairs whose weight exceeds
+    the exact interpolated p90 of all pair weights — an SF-adaptive cut
+    (absolute weights grow with the user population, percentiles don't).
+
+    The exact global percentile is the hash-checkable referee; at 10⁹
+    edges the one-pass bounded-memory path is ``percentile_approx`` with
+    the identical downstream peel (sketches.py module docstring)."""
+    pairs = _pair_counts(_capped_user_items(spark, sf_dir))
+    thr = pairs.agg(F.percentile("w", F.lit(_KCORE_EDGE_Q)).alias("t"))
+    strong = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") > F.col("t"))
+        .select("item_1", "item_2")
+    )
+    return strong.select(
+        F.col("item_1").alias("src"), F.col("item_2").alias("dst")
+    ).unionAll(
+        strong.select(F.col("item_2").alias("src"), F.col("item_1").alias("dst"))
+    )
+
+
+def _kcore_degrees(edges: DataFrame, surviving: DataFrame) -> DataFrame:
+    """Degrees of the subgraph induced by ``surviving`` — two equi-joins
+    (endpoint membership) + one hash aggregate.  Edges are distinct pairs,
+    so COUNT(*) per endpoint is the neighbor count."""
+    return (
+        edges.join(
+            surviving.withColumnRenamed("item_id", "src"), "src"
+        )
+        .join(surviving.withColumnRenamed("item_id", "dst"), "dst")
+        .groupBy(F.col("src").alias("item_id"))
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+
+
+@register(
+    "q_kcore_items",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg0 AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg0 USING (user_id)
+    ), pairs AS (
+      SELECT a.item_id AS item_1, b.item_id AS item_2, COUNT(*) AS w
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+    ), thr AS (
+      SELECT quantile_cont(w, {_KCORE_EDGE_Q}) AS t FROM pairs
+    ), strong AS (
+      SELECT item_1, item_2 FROM pairs, thr WHERE w > t
+    ), edges AS (
+      SELECT item_1 AS src, item_2 AS dst FROM strong
+      UNION ALL
+      SELECT item_2 AS src, item_1 AS dst FROM strong
+    ), s0 AS (
+      SELECT DISTINCT src AS item_id FROM edges
+    ), d1 AS (
+      SELECT e.src AS item_id, COUNT(*) AS deg FROM edges e
+      JOIN s0 a ON e.src = a.item_id JOIN s0 b ON e.dst = b.item_id
+      GROUP BY e.src
+    ), s1 AS (SELECT item_id FROM d1 WHERE deg >= {_KCORE_K}),
+    d2 AS (
+      SELECT e.src AS item_id, COUNT(*) AS deg FROM edges e
+      JOIN s1 a ON e.src = a.item_id JOIN s1 b ON e.dst = b.item_id
+      GROUP BY e.src
+    ), s2 AS (SELECT item_id FROM d2 WHERE deg >= {_KCORE_K}),
+    d3 AS (
+      SELECT e.src AS item_id, COUNT(*) AS deg FROM edges e
+      JOIN s2 a ON e.src = a.item_id JOIN s2 b ON e.dst = b.item_id
+      GROUP BY e.src
+    ), s3 AS (SELECT item_id FROM d3 WHERE deg >= {_KCORE_K}),
+    d4 AS (
+      SELECT e.src AS item_id, COUNT(*) AS deg FROM edges e
+      JOIN s3 a ON e.src = a.item_id JOIN s3 b ON e.dst = b.item_id
+      GROUP BY e.src
+    )
+    SELECT item_id, deg AS core_degree FROM d4 WHERE deg >= {_KCORE_K}
+    """,
+)
+def q_kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the strong-tie co-occurrence graph (Seidman 1983
+    cores; Batagelj-Zaveršnik peeling — public methods): iteratively
+    remove nodes whose induced degree drops below k; survivors are the
+    densely-knit item community a recommender mines first.  Every
+    quantity is an integer degree, so the iterative peel hash-checks
+    against a {_KCORE_ROUNDS}-round unrolled SQL oracle (the peel
+    converges by round 3 on all driver corpora — verified empirically —
+    so the fixed unroll equals the true fixpoint there).
+
+    Scale shape: strong edges checkpointed once; each peel round is two
+    endpoint-membership equi-joins + one hash aggregate (never a window,
+    never node×node); the surviving-node frame shrinks monotonically and
+    is localCheckpointed per round to truncate lineage.  Peel rounds are
+    a fixed constant — at a 10⁹-node graph each round is edge-cardinality
+    shuffle work, and the percentile edge cut bounds the edge count to
+    the top decile of pair weights."""
+    edges = _kcore_strong_edges(spark, sf_dir).localCheckpoint(eager=True)
+    if not edges.head(1):
+        return spark.createDataFrame([], "item_id long, core_degree long")
+    surviving = edges.select(F.col("src").alias("item_id")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = _kcore_degrees(edges, surviving)
+        surviving = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select("item_id")
+            .localCheckpoint(eager=True)
+        )
+    return deg.filter(F.col("deg") >= _KCORE_K).select(
+        "item_id", F.col("deg").alias("core_degree")
+    )

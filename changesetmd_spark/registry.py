@@ -189,6 +189,7 @@ def _load_all() -> None:
         curation,
         dedup,
         geometry,
+        layout,
         multimodal,
         rangejoin,
         relational,

@@ -360,3 +360,46 @@ def test_quality_gate_threshold_broadcast(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_label_propagation_round_no_window_no_nested_loop(spark, sf_dir):
+    """Each LP round must stay equi-join + hash aggregates: the
+    (tw, -label) struct-MAX replaces a per-node sort window, so a Window
+    (or any nested-loop join) in the round plan is a scale regression —
+    at 10⁹ nodes a rank window per node re-sorts the whole candidate set."""
+    from changesetmd_spark.operators.cooccurrence import (
+        label_propagation_round_plan,
+    )
+
+    plan = _physical_plan(label_propagation_round_plan(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kcore_peel_round_equi_join_only(spark, sf_dir):
+    """Each k-core peel round must be two endpoint-membership equi-joins +
+    one hash aggregate — no window, no nested-loop/cartesian fallback
+    (either would serialize or square a 10⁹-node graph round)."""
+    from pyspark.sql import functions as F
+
+    from changesetmd_spark.operators.cooccurrence import (
+        _kcore_degrees,
+        _kcore_strong_edges,
+    )
+
+    edges = _kcore_strong_edges(spark, sf_dir)
+    surviving = edges.select(F.col("src").alias("item_id")).distinct()
+    plan = _physical_plan(_kcore_degrees(edges, surviving))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_scan_prunes_to_two_key_columns(spark, sf_dir):
+    """The Z-order stats pass must read ONLY the two clustering keys —
+    a scan that drags the full 16-column lineitem row through a 100 TB
+    layout job is wrong even when the answer is right."""
+    plan = _physical_plan(QS["q_zorder_layout"](spark, sf_dir))
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

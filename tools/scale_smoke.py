@@ -107,6 +107,9 @@ QUERIES = [
     "q_vocab_growth",
     "q_quality_percentile_gate",
     "q_hard_negative_mining",
+    "q_label_propagation",
+    "q_kcore_items",
+    "q_zorder_layout",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
