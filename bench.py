@@ -82,6 +82,7 @@ HEADLINE = [
     "q_label_propagation",
     "q_kcore_items",
     "q_zorder_layout",
+    "q_bloom_prefilter_join",
 ]
 
 

@@ -183,6 +183,7 @@ def _window_ordered(d: dict) -> dict:
 def _load_all() -> None:
     # import for registration side effects; keep cheap (no Spark work at import)
     from .operators import (  # noqa: F401
+        bloomjoin,
         changesets,
         cooccurrence,
         corpus,

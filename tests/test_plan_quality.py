@@ -403,3 +403,14 @@ def test_zorder_scan_prunes_to_two_key_columns(spark, sf_dir):
     assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_never_shuffles_fact(spark, sf_dir):
+    """The bloom probe must be broadcast hash joins only: the fact side of
+    a 100 TB prefilter may never shuffle or sort-merge — that would cost
+    more than the join the filter is saving."""
+    df = QS["q_bloom_prefilter_join"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

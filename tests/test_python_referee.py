@@ -1195,3 +1195,49 @@ def test_zorder_layout_matches_python_referee(spark, sf_dir):
     assert len(got) > 1
     for _, (_, _, _, _, _, pspan, sspan) in got.items():
         assert pspan * sspan <= full_p * full_s // 4
+
+
+def test_bloom_prefilter_matches_python_referee(spark, sf_dir):
+    M, K = 131072, 3
+    urgent = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"WHERE o_orderpriority = '1-URGENT'"
+        ).fetchall()
+    }
+    fact = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT l_orderkey FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        ).fetchall()
+    ]
+
+    def pos(key, i):
+        return int(
+            hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16
+        ) % M
+
+    bits = {pos(k, i) for k in urgent for i in range(K)}
+    n_bloom = n_exact = n_fp = 0
+    for k in fact:
+        bp = all(pos(k, i) in bits for i in range(K))
+        ex = k in urgent
+        n_bloom += bp
+        n_exact += ex
+        n_fp += bp and not ex
+    expected = (
+        len(fact), n_bloom, n_exact, n_fp,
+        round(n_fp / (len(fact) - n_exact), 6),
+    )
+    row = registry.queries()["q_bloom_prefilter_join"](
+        spark, sf_dir
+    ).collect()[0]
+    got = (
+        row.n_fact, row.n_bloom_pass, row.n_exact, row.n_false_pos,
+        float(row.fp_rate),
+    )
+    assert got == expected
+    # the Bloom contract: never a false negative, and the filter filters
+    assert row.n_exact <= row.n_bloom_pass
+    assert row.n_bloom_pass < row.n_fact

@@ -110,6 +110,10 @@ QUERIES = [
     "q_label_propagation",
     "q_kcore_items",
     "q_zorder_layout",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "q_bloom_prefilter_join",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
@@ -121,8 +125,8 @@ SUBSET = [
 
 
 def build_scale_data(spark) -> None:
-    # v2: events up-sampling added — older dirs lack it and must rebuild
-    marker = os.path.join(SCALE_DIR, "_DONE_v2")
+    # v3: orders/lineitem fact up-sampling added — older dirs must rebuild
+    marker = os.path.join(SCALE_DIR, "_DONE_v3")
     if os.path.exists(marker):
         return
     shutil.rmtree(SCALE_DIR, ignore_errors=True)
@@ -222,8 +226,27 @@ def build_scale_data(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.parquet(os.path.join(SCALE_DIR, "events.parquet"))
 
+    # fact tables grow, dimensions stay fixed — the 100 TB warehouse shape
+    # (10× orders per customer, 10× lineitems per part/supplier): replica k
+    # shifts the order key into a disjoint range so the orders⋈lineitem
+    # join stays consistent, while cust/part/supp keys keep their base
+    # dimension ranges.  Unlocks TPC-H q1/q3/q5 + the Z-order layout in
+    # the scale gauntlet.
+    for fname, key in (("orders.parquet", "o_orderkey"),
+                       ("lineitem.parquet", "l_orderkey")):
+        t = spark.read.parquet(os.path.join(BASE, fname))
+        parts = [
+            t.withColumn(key, F.col(key) + F.lit(k * 100_000_000))
+            for k in range(REPLICAS)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.parquet(os.path.join(SCALE_DIR, fname))
+
     # remaining tables: symlink the base versions (queries above only touch
-    # documents/embeddings/events, but registry builders may load others)
+    # documents/embeddings/events/orders/lineitem, but registry builders may
+    # load others)
     for f in os.listdir(BASE):
         dst = os.path.join(SCALE_DIR, f)
         if not os.path.exists(dst):
