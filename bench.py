@@ -83,6 +83,8 @@ HEADLINE = [
     "q_kcore_items",
     "q_zorder_layout",
     "q_bloom_prefilter_join",
+    "q_neardup_canonical",
+    "q_embedding_random_projection",
 ]
 
 

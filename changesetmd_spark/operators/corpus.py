@@ -465,3 +465,83 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once their frames go out of scope, so repeated invocations don't
     # accumulate executor storage.
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "q_neardup_canonical",
+    oracle=_cc_edges_sql()
+    + """
+    , und AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), nodes AS (
+      SELECT doc_id FROM s
+    ), walk AS (
+      SELECT doc_id, doc_id AS reach FROM nodes
+      UNION
+      SELECT w.doc_id, u.b AS reach
+      FROM walk w JOIN und u ON u.a = w.reach
+    ), comp AS (
+      SELECT doc_id, MIN(reach) AS component FROM walk GROUP BY doc_id
+    ), multi AS (
+      SELECT component FROM comp GROUP BY component HAVING COUNT(*) > 1
+    ), grp AS (
+      SELECT c.doc_id, c.component FROM comp c JOIN multi USING (component)
+    ), canon AS (
+      SELECT component, doc_id AS canonical_doc FROM (
+        SELECT g.component, g.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY g.component
+                                  ORDER BY d.n_chars DESC, g.doc_id) AS rn
+        FROM grp g JOIN documents d USING (doc_id))
+      WHERE rn = 1
+    )
+    SELECT g.doc_id, g.component AS group_id, c.canonical_doc,
+           g.doc_id = c.canonical_doc AS is_kept
+    FROM grp g JOIN canon c USING (component)
+    """,
+)
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdicts for near-dup clusters, keeping the
+    LONGEST member (ties → smallest doc_id) as canonical — the
+    keep-best-representative selection step a curation pipeline runs after
+    transitive closure (C4/RefinedWeb keep-longest heuristic; public
+    method).  Complements q_dedup_groups (which reports per-GROUP
+    summaries with a min-id keep): this emits the per-DOC mapping a
+    downstream filter joins against, with a length-based canonical.
+
+    Scale shape: components from the same large-star/small-star iteration
+    as q_dedup_groups (corpus.py:312); the canonical pick is one hash
+    aggregate per component via struct-MAX over (n_chars, -doc_id) — no
+    per-group sort window — and n_chars rides a 2-column documents scan
+    broadcast-joined to the (tiny) multi-member label set."""
+    docs = hashed_shingle_docs(spark, sf_dir).persist()
+    edge_caches: list[DataFrame] = []
+    edges = cc_candidate_edges(docs, caches=edge_caches)
+    labels = connected_components(edges).localCheckpoint(eager=True)
+    for c in edge_caches:
+        c.unpersist()
+    docs.unpersist()
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n"))
+    grp = labels.join(
+        F.broadcast(sizes.filter(F.col("n") > 1).select("component")),
+        "component",
+    ).select(F.col("node").alias("doc_id"), "component")
+    chars = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    canon = (
+        grp.join(chars, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+            ).alias("b")
+        )
+        .select("component", (-F.col("b.nd")).alias("canonical_doc"))
+    )
+    return (
+        grp.join(F.broadcast(canon), "component")
+        .select(
+            "doc_id",
+            F.col("component").alias("group_id"),
+            "canonical_doc",
+            (F.col("doc_id") == F.col("canonical_doc")).alias("is_kept"),
+        )
+    )

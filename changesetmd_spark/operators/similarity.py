@@ -1337,3 +1337,80 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_sim",
         )
     )
+
+
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix from md5 parity —
+    the Achlioptas/JL database-friendly construction (public method),
+    generated once at plan-build time and embedded as literals in BOTH the
+    Spark expression and the oracle SQL (no runtime hashing needed)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(_RP_IN_DIMS)
+        ]
+        for j in range(_RP_OUT_DIMS)
+    ]
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j, row in enumerate(_rp_signs()):
+        lst = "[" + ", ".join(
+            "1.0" if s > 0 else "-1.0" for s in row
+        ) + "]"
+        cols.append(
+            f"ROUND(list_reduce(list_transform("
+            f"generate_series(1, {_RP_IN_DIMS}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lst})[i]), (a, b) -> a + b), 6) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register("q_embedding_random_projection", oracle=_rp_oracle())
+def q_embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection {_RP_IN_DIMS}→{_RP_OUT_DIMS}
+    dims with a pinned Rademacher sign matrix — the dimensionality-
+    reduction prefilter an ANN pipeline runs before exact re-rank (project
+    once, compare 8-dim sketches, re-rank survivors on the full vector;
+    8× less distance arithmetic and memory traffic per comparison).
+
+    Determinism: signs are compile-time literals shared with the oracle;
+    each output dim is one left-fold over the vector in index order
+    (``F.aggregate`` ≡ DuckDB ``list_reduce`` — the PQ-ADC ordered-fold
+    parity recipe), so the float math is bit-identical across engines.
+
+    Scale shape: pure projection — per-row JVM-side array arithmetic
+    inside codegen, no shuffle, no UDF, no state; the scan reads only
+    (vec_id, embedding).  At 10⁹ vectors this is a map-only pass."""
+    signs = _rp_signs()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cols = []
+    for j in range(_RP_OUT_DIMS):
+        zipped = F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(s) for s in signs[j]]),
+            lambda x, sg: x * sg,
+        )
+        cols.append(
+            F.round(
+                F.aggregate(
+                    zipped, F.lit(0.0), lambda acc, x: acc + x
+                ),
+                6,
+            ).alias(f"p{j}")
+        )
+    return emb.select("vec_id", *cols)

@@ -414,3 +414,15 @@ def test_bloom_probe_broadcasts_never_shuffles_fact(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    """The JL projection must be a pure map pass: zero exchanges, scan
+    pruned to (vec_id, embedding) — any shuffle in a 10⁹-vector projection
+    is pure waste."""
+    from changesetmd_spark.plans import read_schema_columns, shuffle_count
+
+    df = QS["q_embedding_random_projection"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    for cols in read_schema_columns(df):
+        assert cols <= {"vec_id", "embedding"}, cols

@@ -1241,3 +1241,73 @@ def test_bloom_prefilter_matches_python_referee(spark, sf_dir):
     # the Bloom contract: never a false negative, and the filter filters
     assert row.n_exact <= row.n_bloom_pass
     assert row.n_bloom_pass < row.n_fact
+
+
+def test_neardup_canonical_invariants(spark, sf_dir):
+    """Keep-longest canonical selection: exactly one kept doc per group,
+    every member points at it, and it maximizes (n_chars, -doc_id)."""
+    n_chars = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_chars "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    rows = registry.queries()["q_neardup_canonical"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, ms in by_group.items():
+        assert len(ms) > 1  # singletons are excluded by definition
+        kept = [m for m in ms if m.is_kept]
+        assert len(kept) == 1
+        best = max(ms, key=lambda m: (n_chars[m.doc_id], -m.doc_id))
+        assert kept[0].doc_id == best.doc_id
+        assert all(m.canonical_doc == best.doc_id for m in ms)
+
+
+def test_random_projection_matches_python_referee(spark, sf_dir):
+    from changesetmd_spark.operators.similarity import _rp_signs
+
+    signs = _rp_signs()
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    expected = {}
+    for vec_id, emb in rows:
+        proj = []
+        for row in signs:
+            acc = 0.0
+            for x, sg in zip(emb, row):  # same left-fold order as engines
+                acc += float(x) * sg
+            proj.append(acc)
+        expected[vec_id] = proj
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in registry.queries()["q_embedding_random_projection"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for v in got:
+        for a, b in zip(got[v], expected[v]):
+            # engines round(…, 6); referee keeps full precision
+            assert abs(a - b) <= 5e-7, (v, got[v], expected[v])
+    # JL sanity: the ±1 projection preserves squared norms in expectation
+    # (E‖Pv‖² = D/d·‖v‖² for Rademacher rows) — check the corpus average
+    # is within 3x of the ideal ratio, which a sign/indexing bug breaks
+    import math
+
+    d_ratio = []
+    for vec_id, emb in rows:
+        full = sum(float(x) * float(x) for x in emb)
+        proj = sum(p * p for p in expected[vec_id])
+        if full > 0:
+            d_ratio.append(proj / full)
+    mean_ratio = sum(d_ratio) / len(d_ratio)
+    ideal = 8.0  # D rows of unnormalized ±1 signs: E‖Pv‖² = D·‖v‖²
+    assert ideal / 3 <= mean_ratio <= ideal * 3, mean_ratio
+    assert math.isfinite(mean_ratio)

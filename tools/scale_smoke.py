@@ -114,6 +114,8 @@ QUERIES = [
     "q3_top_revenue_orders",
     "q5_revenue_by_nation",
     "q_bloom_prefilter_join",
+    "q_neardup_canonical",
+    "q_embedding_random_projection",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
