@@ -54,44 +54,51 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # priority list is gone; there is nothing to tune — landing a new query or
 # a new driver round updates the order mechanically.
 WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6),
-    "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6),
-    "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8),
+    "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8),
+    "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8),
     "q_ann_verify_rerank": (6,),
-    "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6),
+    "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6),
-    "q_bbox_area_filter": (2, 3, 4, 5),
-    "q_bbox_area_topk": (1, 2, 3, 4, 5, 6),
-    "q_bbox_containment": (1, 2, 3, 4, 5, 6),
+    "q_bbox_area_filter": (2, 3, 4, 5, 8),
+    "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8),
+    "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8),
     "q_bigram_lm_fluency": (7,),
-    "q_bm25_keyword_search": (2, 3, 4, 5),
+    "q_bloom_prefilter_join": (8,),
+    "q_bm25_keyword_search": (2, 3, 4, 5, 8),
     "q_cdc_chunk_dedup": (7,),
-    "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6),
-    "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6),
-    "q_changeset_join_comments": (1, 2, 3, 4, 5, 6),
+    "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8),
+    "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8),
+    "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8),
     "q_cohort_retention": (7,),
-    "q_contamination_ngram_overlap": (5,),
-    "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6),
-    "q_dedup_exact": (1, 2, 3, 4, 5, 6),
+    "q_contamination_ngram_overlap": (5, 8),
+    "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8),
+    "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8),
     "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7),
-    "q_dedup_groups": (2, 3, 4, 5, 6),
-    "q_distinct_counts": (1, 2, 3, 4, 5, 6),
+    "q_dedup_groups": (2, 3, 4, 5, 6, 8),
+    "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8),
     "q_dsir_importance_weights": (7,),
     "q_duplicate_substring_spans": (7,),
     "q_embedding_ann_checked": (6,),
     "q_embedding_ann_ivf": (1, 7),
+    "q_embedding_ann_ivf_checked": (8,),
     "q_embedding_ann_lsh": (1, 7),
     "q_embedding_centroid_per_label": (1, 2, 3, 4, 7),
     "q_embedding_neardup_cosine": (1, 7),
     "q_embedding_pca_power": (7,),
+    "q_embedding_pq_adc": (8,),
+    "q_embedding_random_projection": (8,),
     "q_embedding_topk_cosine": (1, 2, 3, 4, 7),
     "q_funnel_conversion": (7,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6),
+    "q_hard_negative_mining": (8,),
     "q_heavy_hitter_terms": (7,),
-    "q_intersect_segments": (1, 2, 3, 4, 5),
+    "q_intersect_segments": (1, 2, 3, 4, 5, 8),
     "q_item_cooccurrence": (7,),
     "q_json_typed_extract": (6,),
+    "q_kcore_items": (8,),
     "q_kmeans_assign_update": (7,),
+    "q_label_propagation": (8,),
     "q_like_part_types": (2, 3, 4, 7),
     "q_line_dedup_c4": (7,),
     "q_map_explode_tag_histogram": (6,),
@@ -100,35 +107,37 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_map_value_like": (6,),
     "q_media_shard_manifest": (7,),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7),
-    "q_minhash_lsh_checked": (5, 6),
-    "q_multimodal_byte_stats": (2, 3, 4, 5),
-    "q_multimodal_decode": (1, 2, 3, 4, 5),
+    "q_minhash_lsh_checked": (5, 6, 8),
+    "q_multimodal_byte_stats": (2, 3, 4, 5, 8),
+    "q_multimodal_decode": (1, 2, 3, 4, 5, 8),
+    "q_neardup_canonical": (8,),
     "q_neardup_verify_jaccard": (2, 3, 4, 5, 7),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7),
     "q_ngram_novelty": (7,),
     "q_orders_per_month": (1, 2, 3, 4, 7),
-    "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6),
+    "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8),
     "q_pagerank_items": (7,),
-    "q_pipeline_curate_end_to_end": (5, 6),
+    "q_pipeline_curate_end_to_end": (5, 6, 8),
     "q_pivot_status_by_priority": (1, 2, 3, 4, 6),
+    "q_quality_percentile_gate": (8,),
     "q_rag_chunk_overlap": (7,),
-    "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6),
-    "q_readme_count_comment_tag": (2, 3, 4, 5, 6),
+    "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8),
+    "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7),
-    "q_readme_envelope_containment": (2, 3, 4, 5, 6),
-    "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6),
+    "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8),
+    "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8),
     "q_salted_join_skewed_types": (1, 7),
     "q_semdedup_clustered": (7,),
-    "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6),
+    "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8),
     "q_sequence_packing": (7,),
     "q_series_ewma": (7,),
     "q_series_linear_trend": (7,),
-    "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6),
-    "q_simhash_checked": (5, 6),
+    "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8),
+    "q_simhash_checked": (5, 6, 8),
     "q_simhash_near_dup": (1, 2, 3, 4, 5, 7),
     "q_sketch_cardinality_and_quantiles": (1, 7),
-    "q_source_mixture_weights": (5,),
-    "q_source_quota_sample": (2, 3, 4, 5),
+    "q_source_mixture_weights": (5, 8),
+    "q_source_quota_sample": (2, 3, 4, 5, 8),
     "q_stream_dedup_first_seen": (6,),
     "q_stream_purchase_attribution": (6,),
     "q_stream_rollup_hourly": (6,),
@@ -137,46 +146,220 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_stream_stateful_user_totals": (6,),
     "q_stream_tumbling_hourly": (6,),
     "q_temperature_mixture": (7,),
-    "q_text_blocklist_scrub": (5,),
+    "q_text_blocklist_scrub": (5, 8),
     "q_text_fingerprint": (1, 2, 3, 4, 5, 7),
     "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7),
-    "q_text_quality": (1, 2, 3, 4, 5, 6),
+    "q_text_quality": (1, 2, 3, 4, 5, 6, 8),
     "q_text_quality_by_source": (1, 2, 3, 4, 5, 7),
-    "q_text_repetition_quality": (5,),
+    "q_text_repetition_quality": (5, 8),
     "q_text_token_budget_by_source": (5, 7),
     "q_text_token_stats": (2, 3, 4, 5, 7),
-    "q_tfidf_top_terms": (2, 3, 4, 5),
+    "q_tfidf_top_terms": (2, 3, 4, 5, 8),
     "q_time_gapfill_interpolate": (7,),
     "q_time_gapfill_locf": (7,),
     "q_token_len_histogram": (7,),
-    "q_train_test_split": (2, 3, 4, 5),
+    "q_train_test_split": (2, 3, 4, 5, 8),
     "q_triangle_count": (7,),
     "q_txn_merge_snapshot": (6,),
     "q_type_transition_matrix": (7,),
     "q_unigram_prob_mass": (7,),
     "q_unpivot_quantity_price": (1, 2, 3, 4, 7),
-    "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6),
+    "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8),
     "q_user_value_deciles": (7,),
     "q_value_mad_outliers": (7,),
     "q_value_percentiles_per_type": (1, 6),
-    "q_window_running_total": (1, 2, 3, 4, 5, 6),
+    "q_vocab_growth": (8,),
+    "q_window_running_total": (1, 2, 3, 4, 5, 6, 8),
     "q_window_session_per_user": (6,),
     "q_window_sliding": (6,),
-    "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6),
+    "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8),
     "q_window_trailing_hour_sum": (6,),
     "q_window_tumbling_hourly": (6,),
     "q_winnowed_fingerprints": (7,),
+    "q_zorder_layout": (8,),
 }
+
+
+# WITNESSED_FINGERPRINTS — the implementation each witness actually saw
+# (VERDICT r8 #3: the rounds ledger alone keys rotation on *witness*
+# recency, not *code-change* recency, so a query reworked after its last
+# witness could rotate OUT of the window and the driver would never
+# hash-check the new implementation).  For every query: a short hash of
+# the builder's source (decorator included, so the oracle SQL is covered
+# too) captured by ``tools/update_witnessed.py`` at the regen that
+# recorded its most recent witness.  A query whose CURRENT fingerprint
+# differs from the stamped one sorts as if never witnessed — changed code
+# always re-enters the gate window before anything merely old.  The regen
+# rule keeps this factual: the stamp is refreshed ONLY when a new round is
+# added to the query's rounds tuple (the driver just ran the current
+# code); otherwise the old stamp is carried forward, preserving the
+# mismatch for code edited after its last witness.
+WITNESSED_FINGERPRINTS: dict[str, str] = {
+    "q1_pricing_summary": "924990a78492",
+    "q3_top_revenue_orders": "5c4ef681d492",
+    "q5_revenue_by_nation": "04cb5b299f24",
+    "q_ann_verify_rerank": "563e94b18960",
+    "q_anti_join_dormant_customers": "26563d35570d",
+    "q_asof_purchase_last_view": "2d40773351c1",
+    "q_bbox_area_filter": "e115f940f1c9",
+    "q_bbox_area_topk": "7e12375eb8e2",
+    "q_bbox_containment": "2b389e133bd7",
+    "q_bigram_lm_fluency": "6a3bbc058f88",
+    "q_bloom_prefilter_join": "169b7231bb6c",
+    "q_bm25_keyword_search": "603e2228aebe",
+    "q_cdc_chunk_dedup": "54b08c6f158c",
+    "q_changeset_comments_explode": "e28cdf81faff",
+    "q_changeset_ingest_normalize": "91a73d69bd16",
+    "q_changeset_join_comments": "67e155a3df90",
+    "q_cohort_retention": "0e48ae730a60",
+    "q_contamination_ngram_overlap": "007fd8327408",
+    "q_cube_order_status_priority": "51c528e2fa11",
+    "q_dedup_exact": "694e16905ec0",
+    "q_dedup_exact_counts": "f92e9478cbfb",
+    "q_dedup_groups": "6850c082e3d6",
+    "q_distinct_counts": "b7644aa98416",
+    "q_dsir_importance_weights": "e894c9ce8d97",
+    "q_duplicate_substring_spans": "d1f2a8dafa33",
+    "q_embedding_ann_checked": "4702c5d0fb1f",
+    "q_embedding_ann_ivf": "77f3261e726c",
+    "q_embedding_ann_ivf_checked": "822e4062996d",
+    "q_embedding_ann_lsh": "2b316a9d38c5",
+    "q_embedding_centroid_per_label": "db3e96ecfdb8",
+    "q_embedding_neardup_cosine": "8f70d8cfb768",
+    "q_embedding_pca_power": "a5c327894b93",
+    "q_embedding_pq_adc": "ca3f851a4f55",
+    "q_embedding_random_projection": "cbb1337a04df",
+    "q_embedding_topk_cosine": "551df2606fac",
+    "q_funnel_conversion": "4937330f3d66",
+    "q_fuzzy_name_pairs": "d7792924e350",
+    "q_grouping_sets_order_stats": "9a27415adf92",
+    "q_hard_negative_mining": "2ce8a3e9b3d3",
+    "q_heavy_hitter_terms": "7da4342493b1",
+    "q_intersect_segments": "d91bac44493f",
+    "q_item_cooccurrence": "ef3c12c8c51b",
+    "q_json_typed_extract": "c88841a31644",
+    "q_kcore_items": "efdbd2d82e63",
+    "q_kmeans_assign_update": "9303da178852",
+    "q_label_propagation": "61335c44533d",
+    "q_like_part_types": "9d4e6f50083c",
+    "q_line_dedup_c4": "38a12ec1b5bf",
+    "q_map_explode_tag_histogram": "e00e31aa3c4b",
+    "q_map_key_existence": "8c8f6be9009b",
+    "q_map_value_extract": "ff6e348356a3",
+    "q_map_value_like": "e0dfef91f1e6",
+    "q_media_shard_manifest": "r7-stamp-r8-rework",
+    "q_minhash_lsh_candidates": "c0b664190cc7",
+    "q_minhash_lsh_checked": "f5ee6e0464de",
+    "q_multimodal_byte_stats": "696c11b57902",
+    "q_multimodal_decode": "70e6af535d73",
+    "q_neardup_canonical": "5e9c7e9bf00d",
+    "q_neardup_verify_jaccard": "46fe093eb244",
+    "q_ngram_jaccard_pairs": "3e965c94242e",
+    "q_ngram_novelty": "42306be3766f",
+    "q_orders_per_month": "2e7c84bb0ae9",
+    "q_outer_join_order_counts": "149621fc6479",
+    "q_pagerank_items": "508378ca5fb4",
+    "q_pipeline_curate_end_to_end": "619268fad749",
+    "q_pivot_status_by_priority": "8de452afe200",
+    "q_quality_percentile_gate": "cff9f3163c44",
+    "q_rag_chunk_overlap": "dc7e8f6bf33d",
+    "q_range_join_shipments_in_window": "b11f59c7709e",
+    "q_readme_count_comment_tag": "1b73c20ac6cb",
+    "q_readme_count_created_by_josm": "9846bd27b0dd",
+    "q_readme_envelope_containment": "e5e856460749",
+    "q_rollup_nation_segment": "fcaca532c4ef",
+    "q_salted_join_skewed_types": "acf413b1e8a6",
+    "q_semdedup_clustered": "1c18ef47c4c3",
+    "q_semi_join_active_customers": "887971e96ad2",
+    "q_sequence_packing": "dcf8880efab6",
+    "q_series_ewma": "35d891ee96e8",
+    "q_series_linear_trend": "cb4906c6ba1d",
+    "q_set_ops_customer_cohorts": "c1752c02ad53",
+    "q_simhash_checked": "5dbf1427fcac",
+    "q_simhash_near_dup": "0f7849b5fcd3",
+    "q_sketch_cardinality_and_quantiles": "cee511b11934",
+    "q_source_mixture_weights": "b86df1b022e7",
+    "q_source_quota_sample": "1f58f856167f",
+    "q_stream_dedup_first_seen": "76cbd611d070",
+    "q_stream_purchase_attribution": "b4c25510793c",
+    "q_stream_rollup_hourly": "91bb1034b91c",
+    "q_stream_session_windows": "67157ecc744e",
+    "q_stream_sliding_2h_1h": "ae6b35072d48",
+    "q_stream_stateful_user_totals": "4588e76adc5c",
+    "q_stream_tumbling_hourly": "2eb91d1ad4db",
+    "q_table_profile": "f84b829d00c7",
+    "q_temperature_mixture": "9331bcd9a47b",
+    "q_text_blocklist_scrub": "468932933668",
+    "q_text_fingerprint": "8b71b9ddfd6a",
+    "q_text_lang_id_confusion": "b204de6407b2",
+    "q_text_quality": "ec87d2dd2a86",
+    "q_text_quality_by_source": "1ca2f822686d",
+    "q_text_repetition_quality": "82bf9c7e1f0f",
+    "q_text_token_budget_by_source": "f4654a67165a",
+    "q_text_token_stats": "07d0fcb5eba1",
+    "q_tfidf_top_terms": "c87b20d513c1",
+    "q_time_gapfill_interpolate": "07691491e86c",
+    "q_time_gapfill_locf": "a5d2a5666d50",
+    "q_token_len_histogram": "c9c4c0b4f98e",
+    "q_train_test_split": "cec82ef6be65",
+    "q_triangle_count": "3d9e4a4c9b67",
+    "q_txn_merge_snapshot": "37e57683a294",
+    "q_type_transition_matrix": "8c2ffed88a00",
+    "q_unigram_prob_mass": "956bc7deacf6",
+    "q_unpivot_quantity_price": "019a7ec3945b",
+    "q_upsert_last_write_wins": "f4f914c525c2",
+    "q_user_value_deciles": "r7-stamp-r8-rework",
+    "q_value_mad_outliers": "76767b7f944e",
+    "q_value_percentiles_per_type": "db145439f0ba",
+    "q_vocab_growth": "c14bed851f98",
+    "q_window_running_total": "07f6b6a670fc",
+    "q_window_session_per_user": "b9a862e5e873",
+    "q_window_sliding": "1f71aa30c65f",
+    "q_window_topk_orders_per_customer": "9bd5767bcdc7",
+    "q_window_trailing_hour_sum": "c63920d26d47",
+    "q_window_tumbling_hourly": "1d16e1c77c37",
+    "q_winnowed_fingerprints": "88d8ec7ec153",
+    "q_zorder_layout": "562293014cd1",
+}
+
+
+def _fingerprint(name: str) -> str:
+    """Hash of a registered builder's current implementation: its source
+    span (``inspect.getsource`` includes the ``@register`` decorator and
+    therefore the oracle expression) plus the resolved oracle string, so
+    an oracle-only edit re-fingerprints too."""
+    import hashlib
+    import inspect
+
+    fn = _QUERIES[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builders defined in a REPL/test double
+        src = fn.__code__.co_code.hex()
+    payload = src + "\x00" + _ORACLES.get(name, "")
+    return hashlib.sha256(payload.encode()).hexdigest()[:12]
+
+
+def effective_last_witness(name: str) -> int:
+    """Last round whose external witness still covers the CURRENT
+    implementation: 0 when never witnessed, and 0 when the stamped
+    fingerprint no longer matches the live code (the witness refers to a
+    dead implementation, so the query must re-enter the window)."""
+    rounds = WITNESSED_ROUNDS.get(name, ())
+    if not rounds:
+        return 0
+    fp = WITNESSED_FINGERPRINTS.get(name)
+    if fp is not None and fp != _fingerprint(name):
+        return 0
+    return max(rounds)
 
 
 def _window_ordered(d: dict) -> dict:
     """Return ``d`` ordered least-recently-externally-verified first
-    (never-verified queries lead); registration order breaks ties.  The
-    sort is stable, so equal last-witnessed rounds keep their relative
-    registration order."""
-    names = sorted(
-        d, key=lambda n: max(WITNESSED_ROUNDS.get(n, ()), default=0)
-    )
+    (never-verified and changed-since-witness queries lead); registration
+    order breaks ties.  The sort is stable, so equal last-witnessed rounds
+    keep their relative registration order."""
+    names = sorted(d, key=effective_last_witness)
     return {n: d[n] for n in names}
 
 
@@ -189,9 +372,11 @@ def _load_all() -> None:
         corpus,
         curation,
         dedup,
+        fuzzy,
         geometry,
         layout,
         multimodal,
+        profile,
         rangejoin,
         relational,
         similarity,

@@ -11,7 +11,7 @@ from changesetmd_spark import registry
 
 
 def _last(name: str) -> int:
-    return max(registry.WITNESSED_ROUNDS.get(name, ()), default=0)
+    return registry.effective_last_witness(name)
 
 
 def test_order_is_least_recently_verified_first():
@@ -59,6 +59,58 @@ def test_ledger_references_only_real_queries():
     names = set(registry.queries())
     ghost = [n for n in registry.WITNESSED_ROUNDS if n not in names]
     assert not ghost, ghost
+    ghost_fp = [n for n in registry.WITNESSED_FINGERPRINTS if n not in names]
+    assert not ghost_fp, ghost_fp
+
+
+def test_changed_code_reenters_window_first():
+    """VERDICT r8 #3: rotation must key on code-change recency too.  A
+    query whose stamped fingerprint no longer matches its live source
+    sorts as never-witnessed — ahead of everything merely old — so the
+    driver re-checks modified implementations before anything already
+    covered by a valid witness."""
+    names = list(registry.queries())
+    # pick the most-recently-witnessed query and poison its stamp
+    victim = names[-1]
+    assert _last(victim) > 0
+    old = registry.WITNESSED_FINGERPRINTS[victim]
+    try:
+        registry.WITNESSED_FINGERPRINTS[victim] = "poisoned-stamp"
+        assert registry.effective_last_witness(victim) == 0
+        reordered = list(registry.queries())
+        never = [n for n in reordered if registry.effective_last_witness(n) == 0]
+        assert victim in never
+        assert reordered.index(victim) < len(never) + 1
+    finally:
+        registry.WITNESSED_FINGERPRINTS[victim] = old
+
+
+def test_r8_reworked_queries_lead_r9_window():
+    """The deciles and shard-manifest builders were reworked in r8 after
+    their last (r7) witness — their stamps are the deliberate sentinel, so
+    both must sit inside the gate window until the driver hash-checks the
+    two-phase implementations.  Once a post-rework CORRECTNESS row lands,
+    the regen replaces the sentinel with a real stamp and this test's
+    premise goes away (guarded below)."""
+    for q in ("q_user_value_deciles", "q_media_shard_manifest"):
+        if registry.WITNESSED_FINGERPRINTS.get(q) != "r7-stamp-r8-rework":
+            continue  # driver has since witnessed the rework
+        assert registry.effective_last_witness(q) == 0
+        assert q in list(registry.queries())[:50]
+
+
+def test_fingerprint_covers_oracle_text():
+    """An oracle-only edit must re-fingerprint the query (the stamp hashes
+    builder source + resolved oracle), so oracle fixes re-enter the gate
+    window like code fixes do."""
+    name = next(iter(registry.oracles()))
+    base = registry._fingerprint(name)
+    old = registry._ORACLES[name]
+    try:
+        registry._ORACLES[name] = old + " -- edited"
+        assert registry._fingerprint(name) != base
+    finally:
+        registry._ORACLES[name] = old
 
 
 def test_ledger_matches_correctness_files():

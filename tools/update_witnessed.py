@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
-"""Regenerate registry.WITNESSED_ROUNDS from the driver's CORRECTNESS files.
+"""Regenerate registry.WITNESSED_ROUNDS / WITNESSED_FINGERPRINTS from the
+driver's CORRECTNESS files.
 
-The query ordering rule (least-recently-externally-verified first) is driven
-entirely by this ledger, so the per-round maintenance is mechanical: after a
-new ``CORRECTNESS_r{N}.json`` lands, run
+The query ordering rule (least-recently-externally-verified first, with
+changed-since-witness code re-entering the window immediately) is driven
+entirely by these ledgers, so the per-round maintenance is mechanical:
+after a new ``CORRECTNESS_r{N}.json`` lands, run
 
     PYTHONPATH=. python tools/update_witnessed.py        # rewrites registry.py
     PYTHONPATH=. python tools/update_witnessed.py --check  # verify only
 
-A row counts as witnessed when its strongest applicable check passed:
-``hash_match is True`` for oracled rows, and a clean run (``err ==
+Rounds: a row counts as witnessed when its strongest applicable check
+passed: ``hash_match is True`` for oracled rows, and a clean run (``err ==
 'no_oracle'`` with a recorded row count) for oracle-less rows — the rows
 check is the strongest external evidence those queries can ever get.  A
 row whose HASH comparison failed is never witnessed, even when its row
@@ -17,6 +19,18 @@ count matched (CORRECTNESS_r01 has five such rows — counting them would
 deprioritize re-checking exactly the queries that regressed).  Ledger keys
 are restricted to currently registered queries so renames don't leave
 ghosts (the registry test asserts that too).
+
+Fingerprints (VERDICT r8 #3): each witness stamp records the
+implementation the driver actually ran.  The regen refreshes a query's
+fingerprint to the CURRENT source ONLY when its rounds tuple changed in
+this regen (a new witness just landed, so current code is what was run)
+or when the query has no stamp yet (first registration — current code is
+what the next witness will run).  Otherwise the old stamp is carried
+forward verbatim, so code edited AFTER its last witness keeps a
+mismatching stamp and sorts to the head of the gate window.  Carrying
+stamps forward also means a deliberately poisoned stamp (marking known
+reworked-but-unwitnessed code, as done for the r8 two-phase rework) can
+only PROMOTE a query into the window — never hide one.
 """
 
 from __future__ import annotations
@@ -32,13 +46,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY = os.path.join(REPO, "changesetmd_spark", "registry.py")
 
-_BLOCK_RE = re.compile(
+_ROUNDS_RE = re.compile(
     r"(WITNESSED_ROUNDS: dict\[str, tuple\[int, \.\.\.\]\] = \{\n)(.*?)(\n\})",
+    re.DOTALL,
+)
+_FPS_RE = re.compile(
+    r"(WITNESSED_FINGERPRINTS: dict\[str, str\] = \{\n)(.*?)(\n\})",
     re.DOTALL,
 )
 
 
-def gather() -> dict[str, list[int]]:
+def gather_rounds() -> dict[str, list[int]]:
     from changesetmd_spark import registry
 
     names = set(registry.queries())
@@ -57,7 +75,23 @@ def gather() -> dict[str, list[int]]:
     return {q: sorted(rs) for q, rs in witnessed.items()}
 
 
-def render(witnessed: dict[str, list[int]]) -> str:
+def compute_fingerprints(rounds: dict[str, list[int]]) -> dict[str, str]:
+    from changesetmd_spark import registry
+
+    names = list(registry.queries())
+    old_rounds = registry.WITNESSED_ROUNDS
+    old_fps = registry.WITNESSED_FINGERPRINTS
+    fps: dict[str, str] = {}
+    for q in names:
+        rounds_changed = tuple(rounds.get(q, ())) != tuple(old_rounds.get(q, ()))
+        if q not in old_fps or rounds_changed:
+            fps[q] = registry._fingerprint(q)
+        else:
+            fps[q] = old_fps[q]
+    return fps
+
+
+def render_rounds(witnessed: dict[str, list[int]]) -> str:
     lines = []
     for q in sorted(witnessed):
         rs = witnessed[q]
@@ -66,25 +100,44 @@ def render(witnessed: dict[str, list[int]]) -> str:
     return "\n".join(lines)
 
 
+def render_fps(fps: dict[str, str]) -> str:
+    return "\n".join(f'    "{q}": "{fps[q]}",' for q in sorted(fps))
+
+
 def main() -> int:
     check = "--check" in sys.argv
     src = open(REGISTRY).read()
-    m = _BLOCK_RE.search(src)
-    if not m:
-        print("WITNESSED_ROUNDS block not found in registry.py", file=sys.stderr)
+    mr = _ROUNDS_RE.search(src)
+    mf = _FPS_RE.search(src)
+    if not mr or not mf:
+        print(
+            "WITNESSED_ROUNDS / WITNESSED_FINGERPRINTS block not found",
+            file=sys.stderr,
+        )
         return 1
-    witnessed = gather()
-    new_body = render(witnessed)
-    if m.group(2) == new_body:
+    rounds = gather_rounds()
+    fps = compute_fingerprints(rounds)
+    new_rounds_body = render_rounds(rounds)
+    new_fps_body = render_fps(fps)
+    if mr.group(2) == new_rounds_body and mf.group(2) == new_fps_body:
         print("ledger up to date")
         return 0
     if check:
         print("ledger STALE — run without --check to rewrite", file=sys.stderr)
         return 1
-    open(REGISTRY, "w").write(
-        src[: m.start(2)] + new_body + src[m.end(2) :]
+    # replace the later block first so the earlier match spans stay valid
+    blocks = sorted(
+        [(mr, new_rounds_body), (mf, new_fps_body)],
+        key=lambda t: t[0].start(2),
+        reverse=True,
     )
-    print(f"rewrote WITNESSED_ROUNDS ({len(witnessed)} queries)")
+    for m, body in blocks:
+        src = src[: m.start(2)] + body + src[m.end(2) :]
+    open(REGISTRY, "w").write(src)
+    print(
+        f"rewrote WITNESSED_ROUNDS ({len(rounds)} queries) and "
+        f"WITNESSED_FINGERPRINTS ({len(fps)} stamps)"
+    )
     return 0
 
 
