@@ -494,11 +494,11 @@ def _vocab_growth_oracle() -> str:
     ), cuts AS (
       {cut_union}
     ), vocab AS (
-      SELECT c, COUNT(*) AS vocab_size
-      FROM cuts JOIN first ON fd <= cutoff GROUP BY c
+      SELECT c, COUNT(fd) AS vocab_size
+      FROM cuts LEFT JOIN first ON fd <= cutoff GROUP BY c
     ), ndocs AS (
-      SELECT c, COUNT(*) AS n_docs
-      FROM cuts JOIN documents ON doc_id <= cutoff GROUP BY c
+      SELECT c, COUNT(doc_id) AS n_docs
+      FROM cuts LEFT JOIN documents ON doc_id <= cutoff GROUP BY c
     )
     SELECT v.c AS checkpoint,
            n.n_docs,
@@ -506,6 +506,7 @@ def _vocab_growth_oracle() -> str:
            v.vocab_size - COALESCE(LAG(v.vocab_size)
                                    OVER (ORDER BY v.c), 0) AS new_terms
     FROM vocab v JOIN ndocs n ON v.c = n.c
+    WHERE n.n_docs > 0
     """
 
 
@@ -578,6 +579,12 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nd").over(w).cast("long").alias("n_docs"),
         F.sum("nv").over(w).cast("long").alias("vocab_size"),
         F.col("nv").cast("long").alias("new_terms"),
+    ).filter(
+        # ADVICE r8 parity edge: on an EMPTY corpus the oracle's joins
+        # emit zero rows; dropping zero-doc checkpoints here matches that
+        # shape.  Harmless otherwise — cumulative n_docs ≥ 1 from
+        # checkpoint 1 onward whenever any document exists.
+        F.col("n_docs") > 0
     )
 
 

@@ -12,8 +12,9 @@ parallel prefix sum, expressed in Spark primitives:
    partition *i+1*'s under the requested sort order, so global order is the
    concatenation of per-partition orders.  Fully parallel.
 2. **Pin partition ids** — ``spark_partition_id()`` captured as a column,
-   then ``localCheckpoint(eager=True)`` so every downstream job sees the
-   SAME row→partition assignment (the range sampler is re-run otherwise).
+   then ``localCheckpoint`` (lazy: the subtotal collect is the first job
+   and materializes it) so every downstream job sees the SAME
+   row→partition assignment (the range sampler is re-run otherwise).
 3. **Local prefix** — a ``Window.partitionBy(pid, groups)`` running sum:
    one parallel task per range partition, no SinglePartition exchange.
 4. **Driver offsets** — per-(pid, groups) subtotals are collected; this is
@@ -59,23 +60,35 @@ def two_phase_prefix(
     gcols = list(group_cols)
     range_exprs = [F.col(g).asc() for g in gcols] + list(order_cols)
 
+    # Lazy local checkpoint: the subtotal collect below is the FIRST job
+    # over the pinned frame, so it materializes the checkpoint as a side
+    # effect — every later job reuses the stored partitions (same row→pid
+    # assignment), and the dedicated eager-materialization job (~0.5 s of
+    # fixed scheduling overhead at sf0.1) disappears.
     pinned = (
         df.repartitionByRange(num_partitions, *range_exprs)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     val_names = [n for n, _ in values]
-    subs = (
-        pinned.groupBy("_pid", *gcols)
-        .agg(*[F.sum(e).alias(n) for n, e in values])
-        .collect()
+    sub_df = pinned.groupBy("_pid", *gcols).agg(
+        *[F.sum(e).alias(n) for n, e in values]
     )
+    subs = sub_df.collect()
 
-    off_schema = (
-        pinned.groupBy("_pid", *gcols)
-        .agg(*[F.sum(e).alias(f"_off_{n}") for n, e in values])
-        .schema
+    # Offset-frame schema = the subtotal schema with the value columns
+    # renamed — derived from the already-analyzed plan, no second
+    # aggregation analysis pass.
+    from pyspark.sql.types import StructField, StructType
+
+    off_schema = StructType(
+        [
+            f
+            if f.name not in val_names
+            else StructField(f"_off_{f.name}", f.dataType, True)
+            for f in sub_df.schema.fields
+        ]
     )
     # Typed zeros so createDataFrame accepts the first-partition offsets
     # (DecimalType rejects Python int 0).
@@ -111,7 +124,21 @@ def two_phase_prefix(
     out = pinned
     for n, e in values:
         out = out.withColumn(f"_loc_{n}", F.coalesce(F.sum(e).over(w), F.lit(0)))
-    out = out.join(F.broadcast(off_df), ["_pid", *gcols])
+    # NULL-safe offset join (ADVICE r8): a plain equi-join on the group
+    # columns would silently drop rows whose group key is NULL — NULL is a
+    # legal group under SQL GROUP BY semantics (and the Python offsets dict
+    # already keys it as None), so each group column compares via <=>.
+    off_renamed = off_df.select(
+        F.col("_pid").alias("_off_pid"),
+        *[F.col(g).alias(f"_off_g_{g}") for g in gcols],
+        *[f"_off_{n}" for n in val_names],
+    )
+    cond = F.col("_pid") == F.col("_off_pid")
+    for g in gcols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_off_g_{g}"))
+    out = out.join(F.broadcast(off_renamed), cond).drop(
+        "_off_pid", *[f"_off_g_{g}" for g in gcols]
+    )
     for n, _ in values:
         out = out.withColumn(n, F.col(f"_off_{n}") + F.col(f"_loc_{n}")).drop(
             f"_off_{n}", f"_loc_{n}"

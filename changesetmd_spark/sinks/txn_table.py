@@ -406,8 +406,27 @@ class TxnTable:
                         inc.withColumn("_src", F.lit(1)),
                         allowMissingColumns=merge_schema,
                     )
+                    # Final tie-break (ADVICE r8): two incoming rows sharing
+                    # key AND order_col would otherwise get an arbitrary
+                    # row_number winner — nondeterministic across replays.
+                    # A content hash over the hashable columns makes the
+                    # winner a pure function of the data (identical-content
+                    # duplicates tie harmlessly: either copy is the same
+                    # row).  Map-typed columns are excluded (Spark's hash
+                    # expressions reject MapType); key/order columns alone
+                    # already cover most schemas.
+                    hashable = [
+                        c
+                        for c, t in combined.dtypes
+                        if c != "_src" and not t.startswith("map<")
+                    ]
+                    tie = (
+                        [F.desc(F.xxhash64(*[F.col(c) for c in hashable]))]
+                        if hashable
+                        else []
+                    )
                     w = Window.partitionBy(*key_cols).orderBy(
-                        F.desc(order_col), F.desc("_src")
+                        F.desc(order_col), F.desc("_src"), *tie
                     )
                     new_state = (
                         combined.withColumn(

@@ -540,3 +540,29 @@ def test_merge_order_aware_partition_migration(spark, table):
     assert _rows(table.read().select("id", "payload")) == [(1, "newest-in-d1")]
     live = table._live_map(table._manifest(table.current_version()))
     assert "created_date=2024-01-02" not in live
+
+
+def test_merge_order_aware_same_sequence_duplicate_keys_deterministic(
+    spark, table
+):
+    """ADVICE r8: two incoming rows sharing (key, order_col) must produce
+    the SAME winner on every replay — the window adds a content-hash
+    tie-break, so the surviving row is a pure function of the data, not of
+    task scheduling."""
+    table.overwrite(_mk(spark, [(9, 1, D1, "seed")]))
+    dup_batch = _mk(
+        spark, [(1, 4, D1, "alpha"), (1, 4, D1, "beta"), (1, 4, D1, "gamma")]
+    )
+    table.merge(dup_batch, key="id", order_col="sequence", order_aware=True)
+    first = _rows(table.read().filter("id = 1").select("id", "payload"))
+    assert len(first) == 1
+    # replaying the identical batch (fresh shuffle, fresh task order) must
+    # keep the exact same winner, and repeating N times stays stable
+    for _ in range(3):
+        table.merge(
+            dup_batch, key="id", order_col="sequence", order_aware=True
+        )
+        assert (
+            _rows(table.read().filter("id = 1").select("id", "payload"))
+            == first
+        )
