@@ -85,6 +85,11 @@ HEADLINE = [
     "q_bloom_prefilter_join",
     "q_neardup_canonical",
     "q_embedding_random_projection",
+    # r9 operators
+    "q_semdedup_ivf",
+    "q_vocab_growth_sketched",
+    "q_fuzzy_name_pairs",
+    "q_table_profile",
 ]
 
 
@@ -350,6 +355,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Clip-proofing (VERDICT r8 #4): the driver stores only a tail of
+    # stdout, which truncated the r8 per-query map.  Persist the full
+    # payload in-repo so round-over-round diffs never depend on what
+    # survived the clip.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -588,6 +588,87 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_vocab_growth_sketched")
+def q_vocab_growth_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve estimated with HLL sketches —
+    the 100 TB production twin of q_vocab_growth (VERDICT r8 #8): the
+    exact curve's term-MIN aggregate carries the FULL vocabulary through
+    the shuffle (the suite's heaviest 100× ratio, 6.4×), while this path
+    reduces each checkpoint slice to one fixed-size DataSketches HLL
+    (~KB), so the per-checkpoint state is O(1) in corpus size and the
+    shuffle carries 10 sketches instead of 10⁸ distinct terms.
+
+    Shape: tokens → per-slice ``hll_sketch_agg`` (map-side partial
+    sketches merge associatively, exactly like a sum) → a 10×10 sketch
+    union for the cumulative curve (55 tiny rows) →
+    ``hll_sketch_estimate``.  Deliberately oracle-less: DuckDB's
+    ``approx_count_distinct`` is a different HLL implementation with
+    different register hashing, so cross-engine estimates cannot
+    hash-match; the referee is ``test_vocab_sketch_error_bound`` pinning
+    the estimate within the sketch's published error envelope of the
+    exact curve."""
+    ks = list(range(1, _VG_CHECKPOINTS + 1))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cuts = docs.agg(
+        *[
+            F.percentile("doc_id", F.lit(c / 10.0)).alias(f"q{c}")
+            for c in ks
+        ]
+    )
+
+    def bucket(col: Column) -> Column:
+        expr = F.when(col <= F.col("q1"), 1)
+        for c in ks[1:]:
+            expr = expr.when(col <= F.col(f"q{c}"), c)
+        return expr.cast("int")
+
+    toks = (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(
+            bucket(F.col("doc_id")).alias("checkpoint"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+    )
+    per_slice = toks.groupBy("checkpoint").agg(
+        F.hll_sketch_agg("term").alias("sk"),
+        F.count("*").alias("n_tokens"),
+    )
+    docs_b = (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(bucket(F.col("doc_id")).alias("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count("*").alias("nd"))
+    )
+    # Cumulative sketch union: 10×10/2 rows — a constant-size triangle
+    # join, never data-sized.
+    lhs = per_slice.select(F.col("checkpoint").alias("c"))
+    cum = (
+        lhs.join(per_slice, F.col("checkpoint") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.col("c").alias("checkpoint"),
+            F.hll_sketch_estimate("sk").cast("long").alias("vocab_size_est"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10 rows
+    nd_cum = docs_b.select(
+        "checkpoint", F.sum("nd").over(w).cast("long").alias("n_docs")
+    )
+    return (
+        cum.join(nd_cum, "checkpoint")
+        .filter(F.col("n_docs") > 0)
+        .select("checkpoint", "n_docs", "vocab_size_est")
+        .orderBy("checkpoint")
+    )
+
+
 @register(
     "q_quality_percentile_gate",
     oracle=r"""

@@ -270,6 +270,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_semdedup_clustered": "1c18ef47c4c3",
+    "q_semdedup_ivf": "628b91684a8b",
     "q_semi_join_active_customers": "887971e96ad2",
     "q_sequence_packing": "dcf8880efab6",
     "q_series_ewma": "35d891ee96e8",
@@ -312,6 +313,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_value_mad_outliers": "76767b7f944e",
     "q_value_percentiles_per_type": "db145439f0ba",
     "q_vocab_growth": "c14bed851f98",
+    "q_vocab_growth_sketched": "2ff52bb002e9",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "b9a862e5e873",
     "q_window_sliding": "1f71aa30c65f",

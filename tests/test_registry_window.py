@@ -153,7 +153,7 @@ def test_hash_failed_rows_are_not_witnessed():
 def test_oracleless_queries_are_the_designed_set():
     """Oracle-less (rows-only) queries are allowed in the window — an
     external rows check is still stronger than none — but the set must stay
-    exactly the designed engine-specific six (hashing fast paths, ANN
+    exactly the designed engine-specific seven (hashing fast paths, ANN
     recall paths, codec-less media decode, sketches)."""
     names = set(registry.queries())
     oracles = set(registry.oracles())
@@ -165,4 +165,5 @@ def test_oracleless_queries_are_the_designed_set():
         "q_embedding_ann_lsh",
         "q_embedding_ann_ivf",
         "q_sketch_cardinality_and_quantiles",
+        "q_vocab_growth_sketched",
     }

@@ -137,3 +137,34 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     # codebook measures 0.18-0.36 across SFs — gate at 5× random so only a
     # genuinely broken encode (constant codes, wrong LUT index) fails
     assert recall >= 0.1, f"pq-adc recall@10 = {recall:.2f}"
+
+
+def test_semdedup_ivf_finds_planted_twins_and_recall(spark, sf_dir):
+    """The IVF-assigned SemDeDup twin must (a) still pair every planted
+    twin with its base vector — a 2% perturbation cannot flip the probed
+    coarse cells — and (b) recover a high fraction of the exact variant's
+    near-dup pairs (the only loss channel is a vector routed to a
+    different seed than its true argmin when that seed hides outside the
+    probed coarse cells)."""
+    qs = registry.queries()
+    exact = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in qs["q_semdedup_clustered"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in qs["q_semdedup_ivf"](spark, sf_dir).collect()
+    }
+    from changesetmd_spark.operators.similarity import (
+        _ND_PLANT_MOD,
+        _ND_PLANT_OFFSET,
+    )
+
+    planted_expected = {
+        (a, b) for a, b in exact if b - a == _ND_PLANT_OFFSET and a % _ND_PLANT_MOD == 0
+    }
+    assert planted_expected, "exact twin must find planted pairs at test SF"
+    missed_planted = planted_expected - ivf
+    assert not missed_planted, f"IVF path lost planted twins: {missed_planted}"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"pair recall vs exact SemDeDup too low: {recall:.3f}"

@@ -89,3 +89,27 @@ def test_mg_merge_of_batch_counts_superset_guarantee():
         # undercount bound: counter >= true - n/(capacity+1)
         for t, true_c in heavy.items():
             assert counters[t] >= true_c - n / (capacity + 1), (batch_size, t)
+
+
+def test_vocab_sketch_error_bound(spark, sf_dir):
+    """q_vocab_growth_sketched must track the exact Heaps curve within the
+    HLL sketch's error envelope (default lgConfigK=12 ⇒ ~1.6% RSE; 5%
+    bound leaves 3σ headroom), with identical checkpoint/n_docs frames."""
+    from changesetmd_spark import registry
+
+    qs = registry.queries()
+    exact = {
+        r.checkpoint: (r.n_docs, r.vocab_size)
+        for r in qs["q_vocab_growth"](spark, sf_dir).collect()
+    }
+    sk = {
+        r.checkpoint: (r.n_docs, r.vocab_size_est)
+        for r in qs["q_vocab_growth_sketched"](spark, sf_dir).collect()
+    }
+    assert set(sk) == set(exact)
+    for c, (nd, vs) in exact.items():
+        nd2, est = sk[c]
+        assert nd2 == nd, f"checkpoint {c}: n_docs mismatch"
+        assert abs(est - vs) <= max(2, 0.05 * vs), (
+            f"checkpoint {c}: estimate {est} vs exact {vs}"
+        )

@@ -116,6 +116,12 @@ QUERIES = [
     "q_bloom_prefilter_join",
     "q_neardup_canonical",
     "q_embedding_random_projection",
+    # r9: production-path SemDeDup (IVF coarse quantizer, n·√K assignment)
+    # and the sketched Heaps curve (fixed-size HLL state per checkpoint)
+    "q_semdedup_ivf",
+    "q_vocab_growth_sketched",
+    "q_fuzzy_name_pairs",
+    "q_table_profile",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
@@ -127,8 +133,9 @@ SUBSET = [
 
 
 def build_scale_data(spark) -> None:
-    # v3: orders/lineitem fact up-sampling added — older dirs must rebuild
-    marker = os.path.join(SCALE_DIR, "_DONE_v3")
+    # v4: customer entity up-sampling added (fuzzy ER scale row) — older
+    # dirs must rebuild
+    marker = os.path.join(SCALE_DIR, "_DONE_v4")
     if os.path.exists(marker):
         return
     shutil.rmtree(SCALE_DIR, ignore_errors=True)
@@ -246,9 +253,30 @@ def build_scale_data(spark) -> None:
             out = out.unionByName(p)
         out.repartition(32).write.parquet(os.path.join(SCALE_DIR, fname))
 
+    # customer: the ER-join entity table — replica k shifts c_custkey into
+    # a disjoint range and PREFIX-salts c_name (prefix, not suffix: the
+    # fuzzy join blocks on the 16-char name prefix, so a prefix salt keeps
+    # replicas in DISJOINT blocks — per-block candidate density stays
+    # constant as the entity corpus grows, same design as the token-salted
+    # documents).  Replicated customers never join the base-range
+    # o_custkey, so q3/q5 results are unchanged; only their dim scan grows.
+    cust = spark.read.parquet(os.path.join(BASE, "customer.parquet"))
+    parts = [
+        cust
+        if k == 0
+        else cust.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000)
+        ).withColumn("c_name", F.concat(F.lit(f"R{k}~"), F.col("c_name")))
+        for k in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.parquet(os.path.join(SCALE_DIR, "customer.parquet"))
+
     # remaining tables: symlink the base versions (queries above only touch
-    # documents/embeddings/events/orders/lineitem, but registry builders may
-    # load others)
+    # documents/embeddings/events/orders/lineitem/customer, but registry
+    # builders may load others)
     for f in os.listdir(BASE):
         dst = os.path.join(SCALE_DIR, f)
         if not os.path.exists(dst):
