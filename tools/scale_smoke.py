@@ -132,11 +132,51 @@ SUBSET = [
 ]
 
 
+def _build_customer(spark) -> None:
+    """customer: the ER-join entity table — replica k shifts c_custkey into
+    a disjoint range and salts c_name with a LENGTH-PRESERVING replica tag
+    (``Customer#`` → ``Cust{k:04d}#``): the fuzzy join blocks on the
+    16-char name prefix, so the salt must land INSIDE the prefix (disjoint
+    blocks per replica) while keeping the same number of trailing digits
+    outside it (identical per-block candidate density as the base table —
+    a naive prepended salt shifts digits out of the window and inflates
+    blocks ~1000×, a quadratic blowup of the data generator, not the
+    engine).  Replicated customers never join the base-range o_custkey, so
+    q3/q5 results are unchanged; only their dim scan grows."""
+    cust = spark.read.parquet(os.path.join(BASE, "customer.parquet"))
+    parts = [
+        cust
+        if k == 0
+        else cust.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000)
+        ).withColumn(
+            "c_name",
+            F.concat(F.lit(f"Cust{k:04d}"), F.substring("c_name", 9, 64)),
+        )
+        for k in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dst = os.path.join(SCALE_DIR, "customer.parquet")
+    if os.path.islink(dst):
+        os.unlink(dst)
+    else:
+        shutil.rmtree(dst, ignore_errors=True)
+    out.repartition(8).write.parquet(dst)
+
+
 def build_scale_data(spark) -> None:
-    # v4: customer entity up-sampling added (fuzzy ER scale row) — older
-    # dirs must rebuild
-    marker = os.path.join(SCALE_DIR, "_DONE_v4")
+    # v5: length-preserving customer salt (v4's prepended salt coarsened
+    # the fuzzy blocks ~1000×).  v4 dirs migrate incrementally — only the
+    # customer table is rebuilt.
+    marker = os.path.join(SCALE_DIR, "_DONE_v5")
+    marker_v4 = os.path.join(SCALE_DIR, "_DONE_v4")
     if os.path.exists(marker):
+        return
+    if os.path.exists(marker_v4):
+        _build_customer(spark)
+        os.replace(marker_v4, marker)
         return
     shutil.rmtree(SCALE_DIR, ignore_errors=True)
     os.makedirs(SCALE_DIR, exist_ok=True)
@@ -253,26 +293,7 @@ def build_scale_data(spark) -> None:
             out = out.unionByName(p)
         out.repartition(32).write.parquet(os.path.join(SCALE_DIR, fname))
 
-    # customer: the ER-join entity table — replica k shifts c_custkey into
-    # a disjoint range and PREFIX-salts c_name (prefix, not suffix: the
-    # fuzzy join blocks on the 16-char name prefix, so a prefix salt keeps
-    # replicas in DISJOINT blocks — per-block candidate density stays
-    # constant as the entity corpus grows, same design as the token-salted
-    # documents).  Replicated customers never join the base-range
-    # o_custkey, so q3/q5 results are unchanged; only their dim scan grows.
-    cust = spark.read.parquet(os.path.join(BASE, "customer.parquet"))
-    parts = [
-        cust
-        if k == 0
-        else cust.withColumn(
-            "c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000)
-        ).withColumn("c_name", F.concat(F.lit(f"R{k}~"), F.col("c_name")))
-        for k in range(REPLICAS)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(8).write.parquet(os.path.join(SCALE_DIR, "customer.parquet"))
+    _build_customer(spark)
 
     # remaining tables: symlink the base versions (queries above only touch
     # documents/embeddings/events/orders/lineitem/customer, but registry
@@ -288,6 +309,14 @@ def build_scale_data(spark) -> None:
 def timed(qs, name: str, sf_dir: str, spark) -> tuple[float, int]:
     best, rows = None, -1
     for _ in range(2):
+        # The smoke measures COLD per-query scale behavior, so engine-level
+        # cross-query memoization (the shared near-dup CC labels) is reset
+        # before every run — otherwise the CC iteration's scale ratio would
+        # vanish from the suite entirely (bench.py keeps the warm pipeline
+        # view; this file keeps the cold one).
+        from changesetmd_spark.operators import corpus
+
+        corpus._LABELS_CACHE.clear()
         t0 = time.perf_counter()
         out = qs[name](spark, sf_dir).collect()
         dt = time.perf_counter() - t0
