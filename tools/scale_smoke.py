@@ -171,13 +171,17 @@ def build_scale_data(spark) -> None:
     # the fuzzy blocks ~1000×).  v4 dirs migrate incrementally — only the
     # customer table is rebuilt.
     marker = os.path.join(SCALE_DIR, "_DONE_v5")
-    marker_v4 = os.path.join(SCALE_DIR, "_DONE_v4")
     if os.path.exists(marker):
         return
-    if os.path.exists(marker_v4):
-        _build_customer(spark)
-        os.replace(marker_v4, marker)
-        return
+    # v3/v4 dirs differ from v5 only in the customer table (v4 added it,
+    # v5 fixed its salt) — migrate incrementally instead of rebuilding the
+    # 100×-replicated fact tables.
+    for old_tag in ("_DONE_v4", "_DONE_v3"):
+        old = os.path.join(SCALE_DIR, old_tag)
+        if os.path.exists(old):
+            _build_customer(spark)
+            os.replace(old, marker)
+            return
     shutil.rmtree(SCALE_DIR, ignore_errors=True)
     os.makedirs(SCALE_DIR, exist_ok=True)
 
