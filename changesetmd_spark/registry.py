@@ -207,6 +207,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bigram_lm_fluency": "6a3bbc058f88",
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
+    "q_bpe_train_step": "e061e5d6de58",
     "q_cdc_chunk_dedup": "54b08c6f158c",
     "q_changeset_comments_explode": "e28cdf81faff",
     "q_changeset_ingest_normalize": "91a73d69bd16",
@@ -225,6 +226,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_ann_ivf_checked": "822e4062996d",
     "q_embedding_ann_lsh": "2b316a9d38c5",
     "q_embedding_centroid_per_label": "db3e96ecfdb8",
+    "q_embedding_int8_quantize": "7d92a3890537",
     "q_embedding_neardup_cosine": "8f70d8cfb768",
     "q_embedding_pca_power": "a5c327894b93",
     "q_embedding_pq_adc": "ca3f851a4f55",
@@ -379,6 +381,7 @@ def _load_all() -> None:
         layout,
         multimodal,
         profile,
+        quantize,
         rangejoin,
         relational,
         similarity,
@@ -386,6 +389,7 @@ def _load_all() -> None:
         skew,
         tags_json,
         text,
+        tokenizer,
         txn,
         windows_batch,
     )
