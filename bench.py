@@ -90,6 +90,9 @@ HEADLINE = [
     "q_vocab_growth_sketched",
     "q_fuzzy_name_pairs",
     "q_table_profile",
+    "q_embedding_int8_quantize",
+    "q_bpe_train_step",
+    "q_bitext_margin_mining",
 ]
 
 

@@ -205,6 +205,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
     "q_bigram_lm_fluency": "6a3bbc058f88",
+    "q_bitext_margin_mining": "a77365ea7d21",
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "e061e5d6de58",
@@ -370,6 +371,7 @@ def _window_ordered(d: dict) -> dict:
 def _load_all() -> None:
     # import for registration side effects; keep cheap (no Spark work at import)
     from .operators import (  # noqa: F401
+        bitext,
         bloomjoin,
         changesets,
         cooccurrence,

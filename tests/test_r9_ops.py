@@ -62,6 +62,41 @@ def _python_bpe(texts: list[str], top: int):
     return topk(pc0), topk(pc1)
 
 
+def test_bitext_margin_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from changesetmd_spark.operators.bitext import _K, _X_CAP, q_bitext_margin_mining
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    xs = [(r.vec_id, np.array(r.embedding, dtype=np.float64))
+          for r in emb if r.label % 2 == 0 and r.vec_id < _X_CAP]
+    ys = [(r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb
+          if r.label % 2 == 1]
+    X = np.stack([v for _, v in xs]); Y = np.stack([v for _, v in ys])
+    cs = (X @ Y.T) / np.outer(
+        np.linalg.norm(X, axis=1), np.linalg.norm(Y, axis=1)
+    )
+    sx = np.sort(cs, axis=1)[:, -_K:].sum(axis=1)
+    sy = np.sort(cs, axis=0)[-_K:, :].sum(axis=0)
+    margin = cs / ((sx[:, None] + sy[None, :]) / (2.0 * _K))
+    want = {}
+    for i, (x_id, _) in enumerate(xs):
+        j = int(np.lexsort((
+            [y for y, _ in ys], -margin[i]
+        ))[0])
+        if margin[i, j] > 1.0:
+            want[x_id] = (ys[j][0], round(float(margin[i, j]), 4))
+    rows = q_bitext_margin_mining(spark, sf_dir).collect()
+    got = {r.x_id: (r.y_id, round(r.margin5, 4)) for r in rows}
+    assert set(got) == set(want)
+    for x_id, (y_id, m4) in want.items():
+        gy, gm = got[x_id]
+        assert gy == y_id, (x_id, gy, y_id)
+        assert abs(gm - m4) <= 2e-4, (x_id, gm, m4)
+
+
 def test_bpe_train_step_matches_python(spark, sf_dir):
     from changesetmd_spark.operators.tokenizer import _TOP, q_bpe_train_step
 

@@ -122,6 +122,12 @@ QUERIES = [
     "q_vocab_growth_sketched",
     "q_fuzzy_name_pairs",
     "q_table_profile",
+    # r9: vector compression (map-only over replicated embeddings), BPE
+    # (vocab grows linearly via token salting, so per-merge work scales),
+    # and margin mining (capped query side × replicated candidate side)
+    "q_embedding_int8_quantize",
+    "q_bpe_train_step",
+    "q_bitext_margin_mining",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
