@@ -53,6 +53,33 @@ def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:
     )
 
 
+def scored_pairs(spark: SparkSession, sf_dir: str, *, checkpoint: bool = True) -> DataFrame:
+    """Pairwise cosine between the capped even-label query side (broadcast)
+    and the full odd-label candidate side.  ``checkpoint=False`` exposes
+    the raw scoring plan for plan-shape tests (the production query hides
+    it behind a lazy localCheckpoint because three consumers reuse it)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    xs = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < _X_CAP)).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    ys = emb.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    scored = ys.crossJoin(F.broadcast(xs)).select(
+        "x_id",
+        "y_id",
+        cosine(F.col("xe"), F.col("ye"), F.col("xn"), F.col("yn")).alias("cs"),
+    )
+    return scored.localCheckpoint(eager=False) if checkpoint else scored
+
+
 @register(
     "q_bitext_margin_mining",
     oracle=f"""
@@ -115,31 +142,7 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs × 1) tiny aggregates keyed by x/y.  The scored frame is
     lazily checkpointed because three consumers (fwd, bwd, final pick)
     would otherwise recompute the fold-heavy cosine pass."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
-    )
-    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
-    xs = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < _X_CAP)).select(
-        F.col("vec_id").alias("x_id"),
-        F.col("e").alias("xe"),
-        F.col("nrm").alias("xn"),
-    )
-    ys = emb.filter(F.col("label") % 2 == 1).select(
-        F.col("vec_id").alias("y_id"),
-        F.col("e").alias("ye"),
-        F.col("nrm").alias("yn"),
-    )
-    scored = (
-        ys.crossJoin(F.broadcast(xs))
-        .select(
-            "x_id",
-            "y_id",
-            cosine(F.col("xe"), F.col("ye"), F.col("xn"), F.col("yn")).alias(
-                "cs"
-            ),
-        )
-        .localCheckpoint(eager=False)
-    )
+    scored = scored_pairs(spark, sf_dir)
     fwd = _knn_sum(scored, "x_id", "y_id", "sx")
     bwd = _knn_sum(scored, "y_id", "x_id", "sy")
     m = (

@@ -55,7 +55,6 @@ _DIM = 64
                     * (e[i] - qv[i] * amax / 127.0)),
              (p, c) -> p + c) / {_DIM}, 10) AS mse10
     FROM q
-    ORDER BY vec_id
     """,
 )
 def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,4 +107,4 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda p, c: F.when(p.isNull() | (c.cast("long") > p), c.cast("long")).otherwise(p),
         ).alias("q_max"),
         F.round(fold_sum(dequant_sq) / F.lit(float(_DIM)), 10).alias("mse10"),
-    ).orderBy("vec_id")
+    )

@@ -141,8 +141,20 @@ def q_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     pairs0 = _pair_counts(wsyms)
+
+    def top(df: DataFrame, it: int) -> DataFrame:
+        return (
+            df.orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(_TOP)
+            .select(F.lit(it).alias("iter"), "pair", "pair_count")
+        )
+
+    # the argmax merge is row 1 of the already-computed top-20 — deriving
+    # it from the (lazily checkpointed, 20-row) frame aggregates the
+    # iteration-0 pairs exactly once
+    top0 = top(pairs0, 0).localCheckpoint(eager=False)
     top1 = (
-        pairs0.orderBy(F.desc("pair_count"), F.asc("pair"))
+        top0.orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(1)
         .select(
             F.split(F.col("pair"), r"\+").getItem(0).alias("p1"),
@@ -154,12 +166,4 @@ def q_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
     )
     pairs1 = _pair_counts(merged)
-
-    def top(df: DataFrame, it: int) -> DataFrame:
-        return (
-            df.orderBy(F.desc("pair_count"), F.asc("pair"))
-            .limit(_TOP)
-            .select(F.lit(it).alias("iter"), "pair", "pair_count")
-        )
-
-    return top(pairs0, 0).unionByName(top(pairs1, 1))
+    return top0.unionByName(top(pairs1, 1))

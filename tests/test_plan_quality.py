@@ -426,3 +426,44 @@ def test_random_projection_is_map_only(spark, sf_dir):
     assert shuffle_count(df) == 0
     for cols in read_schema_columns(df):
         assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_int8_quantize_is_map_only(spark, sf_dir):
+    """Int8 quantization is the storage-compression pass of a 10⁹-vector
+    store: it must be a pure projection — zero exchanges, scan pruned to
+    (vec_id, embedding)."""
+    from changesetmd_spark.plans import read_schema_columns, shuffle_count
+
+    df = QS["q_embedding_int8_quantize"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    for cols in read_schema_columns(df):
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_bpe_iterations_run_on_vocab_not_corpus(spark, sf_dir):
+    """BPE's per-merge work must be vocab-sized: downstream of the (lazily
+    checkpointed) word-frequency table the plan may shuffle only for the
+    two vocab-sized pair aggregates, the top-k picks must compile to
+    TakeOrdered (no global sort exchange), and the argmax merge join must
+    stay a broadcast — never a real cartesian."""
+    from changesetmd_spark.plans import shuffle_count
+
+    df = QS["q_bpe_train_step"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_bitext_scoring_never_shuffles_candidates(spark, sf_dir):
+    """The pairwise scoring pass of margin mining must broadcast the capped
+    query side and keep the candidate side map-side: zero exchanges, no
+    sort-merge, no real cartesian — at 100 TB the candidate scan is the
+    whole cost and must stay embarrassingly parallel."""
+    from changesetmd_spark.operators.bitext import scored_pairs
+    from changesetmd_spark.plans import shuffle_count
+
+    df = scored_pairs(spark, sf_dir, checkpoint=False)
+    plan = _physical_plan(df)
+    assert shuffle_count(df) == 0
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
