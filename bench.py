@@ -93,6 +93,7 @@ HEADLINE = [
     "q_embedding_int8_quantize",
     "q_bpe_train_step",
     "q_bitext_margin_mining",
+    "q_pii_redaction_stats",
 ]
 
 

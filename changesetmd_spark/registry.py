@@ -382,6 +382,7 @@ def _load_all() -> None:
         geometry,
         layout,
         multimodal,
+        pii,
         profile,
         quantize,
         rangejoin,

@@ -128,6 +128,8 @@ QUERIES = [
     "q_embedding_int8_quantize",
     "q_bpe_train_step",
     "q_bitext_margin_mining",
+    # r9: PII scrub (map-only regex scan + low-cardinality audit agg)
+    "q_pii_redaction_stats",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
