@@ -94,6 +94,7 @@ HEADLINE = [
     "q_bpe_train_step",
     "q_bitext_margin_mining",
     "q_pii_redaction_stats",
+    "q_countmin_estimates",
 ]
 
 

@@ -237,3 +237,119 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_releasing(out, posts)
+
+
+# Count-min sketch geometry: d hash rows × w buckets.  Small on purpose so
+# the overestimate column is non-trivially exercised at test SF (a CMS wide
+# enough to be collision-free would make `overestimate` identically 0 and
+# the parity check vacuous).
+_CMS_D = 3
+_CMS_W = 16
+_CMS_TOPK = 15
+
+
+@register(
+    "q_countmin_estimates",
+    oracle=rf"""
+    WITH posts AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM posts GROUP BY term
+    ), hashed AS (
+      SELECT term, exact_cnt, t.i,
+             ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || term),
+                             1, 15))::BIGINT % {_CMS_W} AS bucket
+      FROM vocab, unnest([0, 1, 2]) AS t(i)
+    ), counters AS (
+      SELECT i, bucket, SUM(exact_cnt) AS counter
+      FROM hashed GROUP BY i, bucket
+    ), topk AS (
+      SELECT term, exact_cnt FROM vocab
+      ORDER BY exact_cnt DESC, term LIMIT {_CMS_TOPK}
+    )
+    SELECT t.term,
+           t.exact_cnt,
+           CAST(MIN(c.counter) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.counter) - t.exact_cnt AS BIGINT) AS overestimate
+    FROM topk t
+    JOIN hashed h ON h.term = t.term
+    JOIN counters c ON c.i = h.i AND c.bucket = h.bucket
+    GROUP BY t.term, t.exact_cnt
+    """,
+)
+def q_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates with an exact-error audit: build a
+    d×w (3×16) CMS over the corpus term stream (deterministic md5 bucket hashes —
+    the bloomjoin.py:35 integer fold — so both engines place every term in
+    the same cells), then report, for the top-k exact terms, the exact
+    count, the CMS estimate (min over the d cells), and the guaranteed
+    non-negative overestimate.
+
+    Linearity is what makes the *exact* twin cheap: a CMS is a linear
+    projection of the count vector, so aggregating exact per-term counts
+    first and then folding the vocab table into the d×w counters is
+    bit-identical to streaming every token occurrence into the sketch —
+    and the vocab table is needed anyway for the error report.  At 100 TB
+    the sketch-only path skips the vocab aggregate entirely: each executor
+    partially aggregates its token stream straight into (i, bucket) cells
+    (map-side combine onto d·w integers) and the final exchange carries
+    O(d·w·partitions) rows — constant in data size, the whole point of
+    the sketch.  Plan shape here: one token-explode scan → vocab hash
+    aggregate (the only data-sized shuffle) → ×d fan-out → d·w-cell
+    counter aggregate, broadcast back onto the top-k rows.
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .persist()
+    )
+    rows = F.array([F.lit(i) for i in range(_CMS_D)])
+    hashed = vocab.select(
+        "term",
+        "exact_cnt",
+        F.explode(rows).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("term"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    counters = hashed.groupBy("i", "bucket").agg(
+        F.sum("exact_cnt").alias("counter")
+    )
+    topk = vocab.orderBy(
+        F.col("exact_cnt").desc(), F.col("term")
+    ).limit(_CMS_TOPK)
+    out = (
+        topk.join(hashed.select("term", "i", "bucket"), "term")
+        .join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("counter").cast("long").alias("cms_estimate"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+    return materialize_releasing(out, vocab)

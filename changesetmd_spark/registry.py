@@ -215,6 +215,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_changeset_join_comments": "67e155a3df90",
     "q_cohort_retention": "0e48ae730a60",
     "q_contamination_ngram_overlap": "007fd8327408",
+    "q_countmin_estimates": "d55b926cfdc6",
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",
@@ -262,6 +263,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_orders_per_month": "2e7c84bb0ae9",
     "q_outer_join_order_counts": "149621fc6479",
     "q_pagerank_items": "508378ca5fb4",
+    "q_pii_redaction_stats": "f5899ceda80a",
     "q_pipeline_curate_end_to_end": "619268fad749",
     "q_pivot_status_by_priority": "8de452afe200",
     "q_quality_percentile_gate": "cff9f3163c44",

@@ -113,3 +113,50 @@ def test_vocab_sketch_error_bound(spark, sf_dir):
         assert abs(est - vs) <= max(2, 0.05 * vs), (
             f"checkpoint {c}: estimate {est} vs exact {vs}"
         )
+
+
+def test_countmin_matches_python(spark, sf_dir):
+    """Pure-Python CMS referee: same md5 bucket hashes, same d×w geometry;
+    estimates must match exactly, overestimate must be >= 0, and at the
+    chosen geometry some collision must actually be exercised."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    from changesetmd_spark.operators.sketches import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+        q_countmin_estimates,
+    )
+    from changesetmd_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter()
+    for r in docs:
+        counts.update(_re.split(r"\s+", r.text.strip().lower()))
+
+    def bucket(i: int, term: str) -> int:
+        h = hashlib.md5(f"{i}:{term}".encode()).hexdigest()
+        return int(h[:15], 16) % _CMS_W
+
+    cells = Counter()
+    for term, c in counts.items():
+        for i in range(_CMS_D):
+            cells[(i, bucket(i, term))] += c
+
+    topk = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOPK]
+    exp = {
+        t: (c, min(cells[(i, bucket(i, t))] for i in range(_CMS_D)))
+        for t, c in topk
+    }
+
+    got = {r.term: r for r in q_countmin_estimates(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    any_over = False
+    for t, (c, est) in exp.items():
+        g = got[t]
+        assert (g.exact_cnt, g.cms_estimate) == (c, est), (t, c, est, g)
+        assert g.overestimate == est - c >= 0
+        any_over = any_over or g.overestimate > 0
+    assert any_over, "CMS geometry too wide: overestimate never exercised"

@@ -130,6 +130,8 @@ QUERIES = [
     "q_bitext_margin_mining",
     # r9: PII scrub (map-only regex scan + low-cardinality audit agg)
     "q_pii_redaction_stats",
+    # r9: CMS counters are constant-size; scaling is the vocab aggregate
+    "q_countmin_estimates",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
