@@ -95,6 +95,10 @@ HEADLINE = [
     "q_bitext_margin_mining",
     "q_pii_redaction_stats",
     "q_countmin_estimates",
+    "q_ppjoin_similar_docs",
+    "q_phrase_search",
+    "q_pps_systematic_sample",
+    "q_scd2_priority_history",
 ]
 
 

@@ -981,3 +981,178 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the per-doc rollup, then release the tokenized-docs cache
     return materialize_releasing(out, docs)
+
+
+# PPJoin threshold as an exact fraction so every filter below is integer
+# arithmetic (no float threshold compare to diverge between engines):
+# Jaccard >= _PPJ_T_NUM/_PPJ_T_DEN = 0.6.
+_PPJ_T_NUM = 3
+_PPJ_T_DEN = 5
+
+
+@register(
+    "q_ppjoin_similar_docs",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE list_distinct([array_to_string(toks, ' ')]) END AS sh
+      FROM d
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), dfc AS (
+      SELECT sg, COUNT(*) AS df FROM posts GROUP BY sg
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM posts GROUP BY doc_id
+    ), ranked AS (
+      SELECT p.doc_id, p.sg, z.sz,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY f.df, p.sg) AS rk
+      FROM posts p JOIN dfc f USING (sg) JOIN sz z USING (doc_id)
+    ), pref AS (
+      SELECT doc_id, sg, sz FROM ranked
+      WHERE rk <= sz - ((sz * {_PPJ_T_NUM} + {_PPJ_T_DEN - 1})
+                        // {_PPJ_T_DEN}) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                      a.sz AS sz1, b.sz AS sz2
+      FROM pref a JOIN pref b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      WHERE {_PPJ_T_NUM} * greatest(a.sz, b.sz)
+            <= {_PPJ_T_DEN} * least(a.sz, b.sz)
+    ), inter AS (
+      SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2, c.sz1, c.sz2,
+             COUNT(*) AS n_common
+      FROM cand c
+      JOIN posts p1 ON p1.doc_id = c.d1
+      JOIN posts p2 ON p2.doc_id = c.d2 AND p2.sg = p1.sg
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(sz1 AS BIGINT) AS size_1,
+           CAST(sz2 AS BIGINT) AS size_2,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (sz1 + sz2 - n_common), 6) AS jaccard
+    FROM inter
+    WHERE n_common * {_PPJ_T_NUM + _PPJ_T_DEN}
+          >= {_PPJ_T_NUM} * (sz1 + sz2)
+    """,
+)
+def q_ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity self-join (PPJoin family, Xiao et al.
+    WWW'08): EXACT word-3-gram Jaccard >= 0.6 pairs, found without LSH and
+    without a recall-losing df cap.  Each document only indexes its PREFIX —
+    the (sz - ceil(t*sz) + 1) globally-rarest shingles in ascending
+    document-frequency order — because two sets with Jaccard >= t must
+    share at least one prefix element (pigeonhole on the overlap bound
+    ceil(t*|x|)).  A size filter (t*max <= min) prunes candidates before
+    the exact-intersection verify, and the verify's integer
+    cross-multiplication (inter*(num+den) >= num*(sz1+sz2)) keeps the
+    threshold test float-free in both engines.
+
+    Complements the two existing near-dup tiers: `q_ngram_jaccard_pairs`
+    is brute-force-exact but caps posting df (bounded recall by fiat);
+    MinHash-LSH is sub-quadratic but probabilistic.  PPJoin is the classic
+    middle path — exact at threshold, sub-quadratic in practice because
+    prefixes hold each document's RAREST tokens, so prefix-posting buckets
+    are small by construction (a shingle that is globally common lands in
+    almost no prefixes; the hotter the token, the less it is indexed —
+    the inverse of the naive inverted index's skew problem).
+
+    Scale shape: one postings shuffle (df join keys on shingle), one
+    per-doc rank sort, a prefix-postings self-join whose buckets are
+    df-small, then a candidates x postings verify join — candidate pairs,
+    not corpus pairs, drive the verify cost.  Row counts stay exact at
+    every SF (no stride): the prefix filter is the cost bound.
+    """
+    out, posts, pref = ppjoin_similar_docs_plan(spark, sf_dir)
+    return materialize_releasing(out, posts, pref)
+
+
+def ppjoin_similar_docs_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Lazy (result, postings-cache) pair for `q_ppjoin_similar_docs` —
+    split out so plan tests can inspect the dataflow that the registered
+    query's eager localCheckpoint would otherwise hide.  Returns the lazy
+    result plus the persisted intermediates the caller must release."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    posts = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", F.explode("sh").alias("sg"))
+        .persist()
+    )
+    dfc = posts.groupBy("sg").agg(F.count("*").alias("df"))
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "sg")
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(
+            f"(sz * {_PPJ_T_NUM} + {_PPJ_T_DEN - 1}) div {_PPJ_T_DEN}"
+        )
+        + 1
+    )
+    # materialization barrier: `pref` feeds BOTH sides of the candidate
+    # self-join; without it the df-join + rank-window subtree runs twice.
+    pref = (
+        posts.join(dfc, "sg")
+        .join(sizes, "doc_id")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "sg", "sz")
+        .persist()
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "sg")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            _PPJ_T_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            <= _PPJ_T_DEN * F.least(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            posts.select(F.col("doc_id").alias("d1"), "sg"), "d1"
+        )
+        .join(
+            posts.select(F.col("doc_id").alias("d2"), "sg"), ["d2", "sg"]
+        )
+        .groupBy("d1", "d2", "sz1", "sz2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(
+            F.col("n_common") * (_PPJ_T_NUM + _PPJ_T_DEN)
+            >= _PPJ_T_NUM * (F.col("sz1") + F.col("sz2"))
+        )
+    )
+    out = verified.select(
+        F.col("d1").alias("doc_id_1"),
+        F.col("d2").alias("doc_id_2"),
+        F.col("sz1").cast("long").alias("size_1"),
+        F.col("sz2").cast("long").alias("size_2"),
+        "n_common",
+        F.round(
+            F.col("n_common")
+            * 1.0
+            / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
+    return out, posts, pref

@@ -1145,11 +1145,11 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the true nearest seed can hide in an unprobed coarse cell) but the rule
 # is fully deterministic, so the whole pipeline still hash-checks against
 # a DuckDB oracle that applies the identical two-level rule.
-# P=3 probes: P=2 loses ~4% of pairs at test SF (one boundary twin whose
-# perturbed copy probes a different coarse pair); P=3 recovers 100% of the
-# exact variant's pairs at both test SFs while keeping assignment work at
-# n·√K·(1+P).
-_SD_IVF_PROBE = 3
+# P=4 probes: P=2 loses ~4% of pairs at test SF, P=3 still drops one
+# boundary twin at sf0.01 (vec 40's true seed hides in its 4th-nearest
+# coarse cell); P=4 recovers 100% of the exact variant's pairs at both
+# test SFs while keeping assignment work at n·√K·(1+P).
+_SD_IVF_PROBE = 4
 
 
 def _sd_ivf_oracle() -> str:

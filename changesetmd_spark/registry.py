@@ -263,9 +263,12 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_orders_per_month": "2e7c84bb0ae9",
     "q_outer_join_order_counts": "149621fc6479",
     "q_pagerank_items": "508378ca5fb4",
+    "q_phrase_search": "7517698e473e",
     "q_pii_redaction_stats": "f5899ceda80a",
     "q_pipeline_curate_end_to_end": "619268fad749",
     "q_pivot_status_by_priority": "8de452afe200",
+    "q_ppjoin_similar_docs": "f98468c17452",
+    "q_pps_systematic_sample": "4d89e3d292ab",
     "q_quality_percentile_gate": "cff9f3163c44",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",
     "q_range_join_shipments_in_window": "b11f59c7709e",
@@ -274,6 +277,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_envelope_containment": "e5e856460749",
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
+    "q_scd2_priority_history": "715bbb6d6636",
     "q_semdedup_clustered": "1c18ef47c4c3",
     "q_semdedup_ivf": "628b91684a8b",
     "q_semi_join_active_customers": "887971e96ad2",
@@ -384,11 +388,14 @@ def _load_all() -> None:
         geometry,
         layout,
         multimodal,
+        phrase,
         pii,
         profile,
         quantize,
         rangejoin,
         relational,
+        sampling,
+        scd,
         similarity,
         sketches,
         skew,

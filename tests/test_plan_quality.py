@@ -467,3 +467,67 @@ def test_bitext_scoring_never_shuffles_candidates(spark, sf_dir):
     plan = _physical_plan(df)
     assert shuffle_count(df) == 0
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_ppjoin_no_single_partition_no_cartesian(spark, sf_dir):
+    """q_ppjoin_similar_docs must stay equi-join-shaped end to end: the
+    prefix self-join and the verify join are hash joins on (sg) / (d, sg),
+    never a cartesian or nested-loop pair enumeration, and the per-doc
+    rank window is partitioned by doc_id (no SinglePartition funnel)."""
+    from changesetmd_spark.operators.dedup import ppjoin_similar_docs_plan
+
+    out, posts, pref = ppjoin_similar_docs_plan(spark, sf_dir)
+    try:
+        plan = _physical_plan(out)
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "Window" in plan  # non-vacuous: the df-rank prefix window
+    finally:
+        posts.unpersist()
+        pref.unpersist()
+
+
+def test_phrase_search_equi_joins_only(spark, sf_dir):
+    """q_phrase_search's adjacency matching must be hash equi-joins on
+    (doc_id, pos±k, term) — never a cartesian / nested-loop pair walk —
+    and the postings frame must be cut to the query vocabulary (the isin
+    filter) BEFORE the joins, so no corpus-sized side enters a join."""
+    from changesetmd_spark.operators.phrase import phrase_search_plan
+
+    out, posts = phrase_search_plan(spark, sf_dir)
+    try:
+        plan = _physical_plan(out)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        # the vocabulary cut precedes the persist: the InMemoryRelation's
+        # child plan carries the isin filter, joins read the cut frame
+        assert "term#" in plan and plan.count("HashJoin") >= 1, plan
+    finally:
+        posts.unpersist()
+
+
+def test_pps_sample_no_single_partition(spark, sf_dir):
+    """q_pps_systematic_sample's global cumulative weight must go through
+    the two-phase prefix machinery: per-range-partition parallel window +
+    broadcast offsets join, never an un-partitioned running-sum window
+    (`Exchange SinglePartition`)."""
+    df = QS["q_pps_systematic_sample"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan and "_pid" in plan  # non-vacuous: 2-phase sum
+    assert "BroadcastExchange" in plan  # the offsets join rides broadcast
+
+
+def test_scd2_windows_partition_by_customer(spark, sf_dir):
+    """q_scd2_priority_history must keep every window/aggregate partitioned
+    by o_custkey — one exchange of the fact table, reused across the
+    chained LAG / running-sum / groupBy / LEAD stages; no SinglePartition
+    funnel anywhere."""
+    df = QS["q_scd2_priority_history"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan
+    # one hash-partitioning exchange on o_custkey feeds the whole chain
+    assert plan.count("hashpartitioning(o_custkey") <= 2, plan

@@ -1311,3 +1311,129 @@ def test_random_projection_matches_python_referee(spark, sf_dir):
     ideal = 8.0  # D rows of unnormalized ±1 signs: E‖Pv‖² = D·‖v‖²
     assert ideal / 3 <= mean_ratio <= ideal * 3, mean_ratio
     assert math.isfinite(mean_ratio)
+
+
+def test_ppjoin_matches_bruteforce_referee(spark, sf_dir):
+    """PPJoin's claim is EXACTNESS at threshold: the prefix filter may not
+    lose a single qualifying pair.  The referee ignores the prefix/size
+    filters entirely and brute-forces every doc pair's shingle-set Jaccard
+    — the result sets must be identical (pairs, sizes, intersection)."""
+    docs = _docs(sf_dir)
+    T_NUM, T_DEN = 3, 5
+
+    def shingles(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = {d: shingles(t) for d, t in docs.items()}
+    ids = sorted(sets)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * T_DEN >= T_NUM * union:
+                exp[(a, b)] = (len(sets[a]), len(sets[b]), inter)
+
+    got = {
+        (r.doc_id_1, r.doc_id_2): (r.size_1, r.size_2, r.n_common)
+        for r in registry.queries()["q_ppjoin_similar_docs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    assert exp, "degenerate fixture: no qualifying pair exercised"
+
+
+def test_phrase_search_matches_python_referee(spark, sf_dir):
+    """Brute-force referee: slide a length-3 window over every document's
+    token list and count literal phrase occurrences — no index, no joins.
+    The operator's positional-postings intersection must agree exactly."""
+    from changesetmd_spark.operators.phrase import _PHRASES
+
+    docs = _docs(sf_dir)
+    exp = {}
+    for doc_id, toks in docs.items():
+        for ph in _PHRASES:
+            w = ph.split(" ")
+            hits = [
+                i + 1
+                for i in range(len(toks) - 2)
+                if toks[i : i + 3] == w
+            ]
+            if hits:
+                exp[(ph, doc_id)] = (len(hits), hits[0])
+
+    got = {
+        (r.phrase, r.doc_id): (r.n_matches, r.first_pos)
+        for r in registry.queries()["q_phrase_search"](spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert exp, "degenerate fixture: no phrase occurrence exercised"
+
+
+def test_pps_sample_matches_python_referee(spark, sf_dir):
+    """Referee recomputes the systematic-PPS pin rule with plain Python
+    ints; also pins the design invariants: total picks == n exactly (every
+    pin lands in exactly one weight segment) and every pick multiplicity
+    is positive."""
+    import duckdb as _dd
+
+    from changesetmd_spark.operators.sampling import _PPS_N
+
+    rows = _dd.sql(
+        "SELECT doc_id, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    w = sum(n for _, n in rows)
+    exp = {}
+    cum = 0
+    for doc_id, n in rows:
+        lo = cum * _PPS_N // w
+        cum += n
+        hi = cum * _PPS_N // w
+        if hi > lo:
+            exp[doc_id] = (hi - lo, lo + 1)
+
+    got = {
+        r.doc_id: (r.n_picks, r.first_pin)
+        for r in registry.queries()["q_pps_systematic_sample"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    assert sum(p for p, _ in got.values()) == _PPS_N
+    assert all(p >= 1 for p, _ in got.values())
+
+
+def test_scd2_intervals_are_consistent(spark, sf_dir):
+    """SCD2 structural invariants no single-row hash can express: per
+    customer the runs tile the history (valid_to of run k == valid_from of
+    run k+1, no gaps/overlaps), exactly ONE open (is_current) interval per
+    customer, and n_orders sums to the customer's order count."""
+    import duckdb as _dd
+
+    out = (
+        registry.queries()["q_scd2_priority_history"](spark, sf_dir)
+        .orderBy("o_custkey", "run_id")
+        .collect()
+    )
+    counts = dict(
+        _dd.sql(
+            "SELECT o_custkey, COUNT(*) FROM "
+            f"read_parquet('{sf_dir}/orders.parquet') GROUP BY o_custkey"
+        ).fetchall()
+    )
+    by_cust = {}
+    for r in out:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert set(by_cust) == set(counts)
+    for cust, runs in by_cust.items():
+        assert [r.run_id for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to == b.valid_from  # tiling, no gaps
+            assert a.is_current == 0
+            assert a.priority != b.priority  # runs are maximal
+        assert runs[-1].is_current == 1 and runs[-1].valid_to is None
+        assert sum(r.n_orders for r in runs) == counts[cust]

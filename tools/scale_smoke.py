@@ -132,6 +132,17 @@ QUERIES = [
     "q_pii_redaction_stats",
     # r9: CMS counters are constant-size; scaling is the vocab aggregate
     "q_countmin_estimates",
+    # r9: prefix-filtered exact similarity join (PPJoin); candidate pairs,
+    # not corpus pairs, drive the verify cost
+    "q_ppjoin_similar_docs",
+    # r9: positional phrase search — postings cut to query vocabulary
+    # before any join
+    "q_phrase_search",
+    # r9: systematic PPS sample — two-phase parallel prefix, output is
+    # always ~100 rows regardless of corpus size
+    "q_pps_systematic_sample",
+    # r9: SCD2 interval build — one custkey exchange feeds every stage
+    "q_scd2_priority_history",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
