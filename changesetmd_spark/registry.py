@@ -57,77 +57,88 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8),
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8),
-    "q_ann_verify_rerank": (6,),
+    "q_ann_verify_rerank": (6, 9),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8),
-    "q_asof_purchase_last_view": (1, 2, 3, 4, 6),
+    "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9),
     "q_bbox_area_filter": (2, 3, 4, 5, 8),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8),
     "q_bigram_lm_fluency": (7,),
+    "q_bitext_margin_mining": (9,),
     "q_bloom_prefilter_join": (8,),
     "q_bm25_keyword_search": (2, 3, 4, 5, 8),
+    "q_bpe_train_step": (9,),
     "q_cdc_chunk_dedup": (7,),
     "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8),
     "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8),
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8),
     "q_cohort_retention": (7,),
     "q_contamination_ngram_overlap": (5, 8),
+    "q_countmin_estimates": (9,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8),
     "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8),
     "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7),
-    "q_dedup_groups": (2, 3, 4, 5, 6, 8),
+    "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8),
     "q_dsir_importance_weights": (7,),
     "q_duplicate_substring_spans": (7,),
-    "q_embedding_ann_checked": (6,),
-    "q_embedding_ann_ivf": (1, 7),
+    "q_embedding_ann_checked": (6, 9),
+    "q_embedding_ann_ivf": (1, 7, 9),
     "q_embedding_ann_ivf_checked": (8,),
-    "q_embedding_ann_lsh": (1, 7),
-    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7),
-    "q_embedding_neardup_cosine": (1, 7),
-    "q_embedding_pca_power": (7,),
+    "q_embedding_ann_lsh": (1, 7, 9),
+    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9),
+    "q_embedding_int8_quantize": (9,),
+    "q_embedding_neardup_cosine": (1, 7, 9),
+    "q_embedding_pca_power": (7, 9),
     "q_embedding_pq_adc": (8,),
     "q_embedding_random_projection": (8,),
-    "q_embedding_topk_cosine": (1, 2, 3, 4, 7),
+    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9),
     "q_funnel_conversion": (7,),
-    "q_grouping_sets_order_stats": (1, 2, 3, 4, 6),
+    "q_fuzzy_name_pairs": (9,),
+    "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9),
     "q_hard_negative_mining": (8,),
     "q_heavy_hitter_terms": (7,),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8),
     "q_item_cooccurrence": (7,),
-    "q_json_typed_extract": (6,),
+    "q_json_typed_extract": (6, 9),
     "q_kcore_items": (8,),
-    "q_kmeans_assign_update": (7,),
+    "q_kmeans_assign_update": (7, 9),
     "q_label_propagation": (8,),
     "q_like_part_types": (2, 3, 4, 7),
     "q_line_dedup_c4": (7,),
-    "q_map_explode_tag_histogram": (6,),
-    "q_map_key_existence": (1, 6),
-    "q_map_value_extract": (6,),
-    "q_map_value_like": (6,),
-    "q_media_shard_manifest": (7,),
+    "q_map_explode_tag_histogram": (6, 9),
+    "q_map_key_existence": (1, 6, 9),
+    "q_map_value_extract": (6, 9),
+    "q_map_value_like": (6, 9),
+    "q_media_shard_manifest": (7, 9),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7),
     "q_minhash_lsh_checked": (5, 6, 8),
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8),
     "q_multimodal_decode": (1, 2, 3, 4, 5, 8),
-    "q_neardup_canonical": (8,),
+    "q_neardup_canonical": (8, 9),
     "q_neardup_verify_jaccard": (2, 3, 4, 5, 7),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7),
     "q_ngram_novelty": (7,),
     "q_orders_per_month": (1, 2, 3, 4, 7),
     "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8),
     "q_pagerank_items": (7,),
+    "q_phrase_search": (9,),
+    "q_pii_redaction_stats": (9,),
     "q_pipeline_curate_end_to_end": (5, 6, 8),
-    "q_pivot_status_by_priority": (1, 2, 3, 4, 6),
+    "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9),
+    "q_ppjoin_similar_docs": (9,),
+    "q_pps_systematic_sample": (9,),
     "q_quality_percentile_gate": (8,),
     "q_rag_chunk_overlap": (7,),
     "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8),
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8),
-    "q_readme_count_created_by_josm": (2, 3, 4, 5, 7),
+    "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8),
     "q_salted_join_skewed_types": (1, 7),
-    "q_semdedup_clustered": (7,),
+    "q_scd2_priority_history": (9,),
+    "q_semdedup_clustered": (7, 9),
+    "q_semdedup_ivf": (9,),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8),
     "q_sequence_packing": (7,),
     "q_series_ewma": (7,),
@@ -138,13 +149,14 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_sketch_cardinality_and_quantiles": (1, 7),
     "q_source_mixture_weights": (5, 8),
     "q_source_quota_sample": (2, 3, 4, 5, 8),
-    "q_stream_dedup_first_seen": (6,),
-    "q_stream_purchase_attribution": (6,),
-    "q_stream_rollup_hourly": (6,),
-    "q_stream_session_windows": (6,),
-    "q_stream_sliding_2h_1h": (6,),
-    "q_stream_stateful_user_totals": (6,),
-    "q_stream_tumbling_hourly": (6,),
+    "q_stream_dedup_first_seen": (6, 9),
+    "q_stream_purchase_attribution": (6, 9),
+    "q_stream_rollup_hourly": (6, 9),
+    "q_stream_session_windows": (6, 9),
+    "q_stream_sliding_2h_1h": (6, 9),
+    "q_stream_stateful_user_totals": (6, 9),
+    "q_stream_tumbling_hourly": (6, 9),
+    "q_table_profile": (9,),
     "q_temperature_mixture": (7,),
     "q_text_blocklist_scrub": (5, 8),
     "q_text_fingerprint": (1, 2, 3, 4, 5, 7),
@@ -160,21 +172,22 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_token_len_histogram": (7,),
     "q_train_test_split": (2, 3, 4, 5, 8),
     "q_triangle_count": (7,),
-    "q_txn_merge_snapshot": (6,),
+    "q_txn_merge_snapshot": (6, 9),
     "q_type_transition_matrix": (7,),
     "q_unigram_prob_mass": (7,),
     "q_unpivot_quantity_price": (1, 2, 3, 4, 7),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8),
-    "q_user_value_deciles": (7,),
+    "q_user_value_deciles": (7, 9),
     "q_value_mad_outliers": (7,),
-    "q_value_percentiles_per_type": (1, 6),
-    "q_vocab_growth": (8,),
+    "q_value_percentiles_per_type": (1, 6, 9),
+    "q_vocab_growth": (8, 9),
+    "q_vocab_growth_sketched": (9,),
     "q_window_running_total": (1, 2, 3, 4, 5, 6, 8),
-    "q_window_session_per_user": (6,),
-    "q_window_sliding": (6,),
+    "q_window_session_per_user": (6, 9),
+    "q_window_sliding": (6, 9),
     "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8),
-    "q_window_trailing_hour_sum": (6,),
-    "q_window_tumbling_hourly": (6,),
+    "q_window_trailing_hour_sum": (6, 9),
+    "q_window_tumbling_hourly": (6, 9),
     "q_winnowed_fingerprints": (7,),
     "q_zorder_layout": (8,),
 }
@@ -205,10 +218,10 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
     "q_bigram_lm_fluency": "6a3bbc058f88",
-    "q_bitext_margin_mining": "a77365ea7d21",
+    "q_bitext_margin_mining": "efa8bcfa39a3",
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
-    "q_bpe_train_step": "e061e5d6de58",
+    "q_bpe_train_step": "c04762ebe930",
     "q_cdc_chunk_dedup": "54b08c6f158c",
     "q_changeset_comments_explode": "e28cdf81faff",
     "q_changeset_ingest_normalize": "91a73d69bd16",
@@ -219,7 +232,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",
-    "q_dedup_groups": "6850c082e3d6",
+    "q_dedup_groups": "178c907f8716",
     "q_distinct_counts": "b7644aa98416",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_duplicate_substring_spans": "d1f2a8dafa33",
@@ -228,7 +241,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_ann_ivf_checked": "822e4062996d",
     "q_embedding_ann_lsh": "2b316a9d38c5",
     "q_embedding_centroid_per_label": "db3e96ecfdb8",
-    "q_embedding_int8_quantize": "7d92a3890537",
+    "q_embedding_int8_quantize": "7e2ee87b3d9e",
     "q_embedding_neardup_cosine": "8f70d8cfb768",
     "q_embedding_pca_power": "a5c327894b93",
     "q_embedding_pq_adc": "ca3f851a4f55",
@@ -251,12 +264,12 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_key_existence": "8c8f6be9009b",
     "q_map_value_extract": "ff6e348356a3",
     "q_map_value_like": "e0dfef91f1e6",
-    "q_media_shard_manifest": "r7-stamp-r8-rework",
+    "q_media_shard_manifest": "75af061d14f8",
     "q_minhash_lsh_candidates": "c0b664190cc7",
     "q_minhash_lsh_checked": "f5ee6e0464de",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "70e6af535d73",
-    "q_neardup_canonical": "5e9c7e9bf00d",
+    "q_neardup_canonical": "e2cad7f30322",
     "q_neardup_verify_jaccard": "46fe093eb244",
     "q_ngram_jaccard_pairs": "3e965c94242e",
     "q_ngram_novelty": "42306be3766f",
@@ -279,7 +292,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",
     "q_semdedup_clustered": "1c18ef47c4c3",
-    "q_semdedup_ivf": "628b91684a8b",
+    "q_semdedup_ivf": "8d8d8438d07d",
     "q_semi_join_active_customers": "887971e96ad2",
     "q_sequence_packing": "dcf8880efab6",
     "q_series_ewma": "35d891ee96e8",
@@ -318,10 +331,10 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_unigram_prob_mass": "956bc7deacf6",
     "q_unpivot_quantity_price": "019a7ec3945b",
     "q_upsert_last_write_wins": "f4f914c525c2",
-    "q_user_value_deciles": "r7-stamp-r8-rework",
+    "q_user_value_deciles": "08499d201391",
     "q_value_mad_outliers": "76767b7f944e",
     "q_value_percentiles_per_type": "db145439f0ba",
-    "q_vocab_growth": "c14bed851f98",
+    "q_vocab_growth": "731c61efd545",
     "q_vocab_growth_sketched": "2ff52bb002e9",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "b9a862e5e873",
