@@ -408,19 +408,43 @@ def connected_components(edges: DataFrame, width: int = 8) -> DataFrame:
     return children.union(roots)
 
 
-# Memoized (node, component) labels per (application, sf_dir):
+# Memoized (node, component) labels per (application, sf_dir, data-version):
 # q_dedup_groups and q_neardup_canonical run the IDENTICAL candidate-edge
 # generation + large-star/small-star closure, so within one session the
 # second caller reuses the materialized (localCheckpoint'ed, tiny) label
 # frame instead of re-iterating (VERDICT r8 #6 — the rerun was the #3
 # bench line).  Keyed by applicationId so a restarted session (whose
 # checkpoint blocks are gone) recomputes; standalone behavior unchanged.
-_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# The data-version token (max mtime + file count of the documents parquet,
+# ADVICE r9) invalidates the entry if the parquet under sf_dir is rebuilt
+# within the same Spark application — scale_smoke rebuilds replicas
+# in-session, and any future tool doing the same must not read stale labels.
+_LABELS_CACHE: dict[tuple[str, str, tuple[int, int]], DataFrame] = {}
+
+
+def _documents_version(sf_dir: str) -> tuple[int, int]:
+    """Cheap data-version token: (max mtime ns, file count) of the
+    documents parquet path — changes whenever the data is rewritten."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path)
+        ]
+    else:
+        files = [path]
+    mtimes = [os.stat(f).st_mtime_ns for f in files if os.path.exists(f)]
+    return (max(mtimes, default=0), len(mtimes))
 
 
 def neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized connected-component labels of the near-dup graph."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _documents_version(sf_dir),
+    )
     got = _LABELS_CACHE.get(key)
     if got is not None:
         return got

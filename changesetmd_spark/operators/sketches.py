@@ -261,7 +261,7 @@ _CMS_TOPK = 15
       SELECT term, exact_cnt, t.i,
              ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || term),
                              1, 15))::BIGINT % {_CMS_W} AS bucket
-      FROM vocab, unnest([0, 1, 2]) AS t(i)
+      FROM vocab, unnest([{', '.join(map(str, range(_CMS_D)))}]) AS t(i)
     ), counters AS (
       SELECT i, bucket, SUM(exact_cnt) AS counter
       FROM hashed GROUP BY i, bucket

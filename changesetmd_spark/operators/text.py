@@ -477,7 +477,7 @@ def _vocab_growth_oracle() -> str:
     cut values over doc_id."""
     ks = range(1, _VG_CHECKPOINTS + 1)
     q_cols = ", ".join(
-        f"quantile_cont(doc_id, {c / 10.0!r}) AS q{c}" for c in ks
+        f"quantile_cont(doc_id, {c / _VG_CHECKPOINTS!r}) AS q{c}" for c in ks
     )
     cut_union = "\n      UNION ALL ".join(
         f"SELECT {c} AS c, q{c} AS cutoff FROM q" for c in ks
@@ -530,7 +530,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cuts = docs.agg(
         *[
-            F.percentile("doc_id", F.lit(c / 10.0)).alias(f"q{c}")
+            F.percentile("doc_id", F.lit(c / _VG_CHECKPOINTS)).alias(f"q{c}")
             for c in ks
         ]
     )
@@ -611,7 +611,7 @@ def q_vocab_growth_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cuts = docs.agg(
         *[
-            F.percentile("doc_id", F.lit(c / 10.0)).alias(f"q{c}")
+            F.percentile("doc_id", F.lit(c / _VG_CHECKPOINTS)).alias(f"q{c}")
             for c in ks
         ]
     )

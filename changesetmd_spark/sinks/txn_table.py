@@ -63,9 +63,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    DateType,
+    MapType,
+    StructField,
+    StructType,
+)
 
 from .upsert import latest_per_key
+
+
+def _contains_map_type(dt: DataType) -> bool:
+    """True if ``dt`` is or nests a MapType (struct fields, array elements,
+    map keys/values) — Spark's hash expressions reject MapType at any
+    depth, so the deterministic tie-break hash must skip such columns."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map_type(f.dataType) for f in dt.fields)
+    return False
+
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _LOG_DIR = "_txnlog"
@@ -413,12 +434,15 @@ class TxnTable:
                     # winner a pure function of the data (identical-content
                     # duplicates tie harmlessly: either copy is the same
                     # row).  Map-typed columns are excluded (Spark's hash
-                    # expressions reject MapType); key/order columns alone
-                    # already cover most schemas.
+                    # expressions reject MapType anywhere in the type tree,
+                    # including a map nested inside a struct/array — ADVICE
+                    # r9); key/order columns alone already cover most
+                    # schemas.
                     hashable = [
-                        c
-                        for c, t in combined.dtypes
-                        if c != "_src" and not t.startswith("map<")
+                        f.name
+                        for f in combined.schema.fields
+                        if f.name != "_src"
+                        and not _contains_map_type(f.dataType)
                     ]
                     tie = (
                         [F.desc(F.xxhash64(*[F.col(c) for c in hashable]))]
