@@ -1346,6 +1346,70 @@ def test_ppjoin_matches_bruteforce_referee(spark, sf_dir):
     assert exp, "degenerate fixture: no qualifying pair exercised"
 
 
+def test_ppjoin_positional_filter_funnel(spark, sf_dir):
+    """Candidates → verified funnel referee for the positional filter: a
+    pure-Python rebuild of the prefix pipeline shows (a) the positional
+    bound prunes strictly more than prefix+size alone, and (b) every
+    truly-qualifying pair still passes it (no false negatives) — the
+    pigeonhole argument the operator's docstring makes, checked on data."""
+    docs = _docs(sf_dir)
+    T_NUM, T_DEN = 3, 5
+
+    def shingles(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = {d: shingles(t) for d, t in docs.items()}
+    df = {}
+    for sh in sets.values():
+        for g in sh:
+            df[g] = df.get(g, 0) + 1
+    # global (df, token) order; per-doc ranked token list and prefix
+    order = {g: i for i, g in enumerate(sorted(df, key=lambda g: (df[g], g)))}
+    ranked = {
+        d: sorted(sh, key=order.__getitem__) for d, sh in sets.items()
+    }
+    pref = {}
+    for d, toks in ranked.items():
+        sz = len(toks)
+        plen = sz - -(-sz * T_NUM // T_DEN) + 1
+        pref[d] = {g: i + 1 for i, g in enumerate(toks[:plen])}
+
+    inv = {}
+    for d, pg in pref.items():
+        for g in pg:
+            inv.setdefault(g, []).append(d)
+    prefix_size_cands, positional_cands = set(), set()
+    for g, ds in inv.items():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                a2, b2 = min(a, b), max(a, b)
+                sz1, sz2 = len(sets[a2]), len(sets[b2])
+                if T_NUM * max(sz1, sz2) > T_DEN * min(sz1, sz2):
+                    continue
+                prefix_size_cands.add((a2, b2))
+                bound = (
+                    min(sz1 - pref[a2][g], sz2 - pref[b2][g]) + 1
+                )
+                if bound * (T_NUM + T_DEN) >= T_NUM * (sz1 + sz2):
+                    positional_cands.add((a2, b2))
+
+    truth = set()
+    for a, b in prefix_size_cands:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - inter
+        if inter * T_DEN >= T_NUM * union:
+            truth.add((a, b))
+
+    assert positional_cands <= prefix_size_cands
+    assert truth <= positional_cands, sorted(truth - positional_cands)
+    assert len(positional_cands) < len(prefix_size_cands), (
+        "positional filter pruned nothing on this fixture — "
+        f"{len(prefix_size_cands)} candidates"
+    )
+
+
 def test_phrase_search_matches_python_referee(spark, sf_dir):
     """Brute-force referee: slide a length-3 window over every document's
     token list and count literal phrase occurrences — no index, no joins.
