@@ -9,15 +9,21 @@ a raw cosine threshold over-selects hubs, so each pair is rescored by the
 averages.  Pairs whose margin clears 1.0 and win their source row's
 argmax are the mined bitext.
 
-Scale shape: the exact variant below caps the query side (the referee /
-oracle tier); the production path at 100 TB composes the IVF cell
-blocking already built in similarity.py (candidates = same/adjacent
-cells) with this exact margin rescoring, so nothing does corpus×corpus.
-All float reductions are sequential left folds (``F.aggregate`` == DuckDB
-``list_reduce``) and the k-NN sums fold over an explicitly sorted list,
-so the oracle matches bit-for-bit before rounding.  Reference parity:
-the reference has no vector tier; this extends it per the mandated
-LLM-pipeline surface.
+Two tiers: `q_bitext_margin_mining` caps the query side (the exact
+referee / oracle tier), and `q_bitext_margin_mining_ivf` is the uncapped
+production path — a ⌊√n⌋-sized coarse centroid level blocks both halves
+(candidate assigned to 1 cell, query probes P cells) and both the cosine
+scoring and the margin's k-NN denominators run within the blocked pairs
+only, the CCMatrix construction, so nothing does corpus×corpus.  On
+clusterable real text embeddings the blocking keeps true translations
+(near-dups in embedding space, cosine ≫ background) in shared cells; the
+planted-twin referee pins exactly that property, because this synthetic
+corpus's noise-argmax pairs are inherently unrecoverable by any sublinear
+blocking.  All float reductions are sequential left folds (``F.aggregate``
+== DuckDB ``list_reduce``) and the k-NN sums fold over an explicitly
+sorted list, so both tiers hash-check bit-for-bit before rounding.
+Reference parity: the reference has no vector tier; this extends it per
+the mandated LLM-pipeline surface.
 """
 
 from __future__ import annotations
@@ -27,11 +33,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import cosine, l2_norm, to_double_vec
+from .similarity import _l2sq, cosine, l2_norm, to_double_vec
 
 _DIM = 64
 _K = 4  # neighborhood size for the margin denominators
 _X_CAP = 200  # exact-tier query-side cap (production tier = IVF blocking)
+_BT_IVF_PROBE = 4  # coarse cells each query-side vector probes
 
 
 def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:
@@ -142,7 +149,169 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs × 1) tiny aggregates keyed by x/y.  The scored frame is
     lazily checkpointed because three consumers (fwd, bwd, final pick)
     would otherwise recompute the fold-heavy cosine pass."""
-    scored = scored_pairs(spark, sf_dir)
+    return mine_margin_pairs(scored_pairs(spark, sf_dir))
+
+
+def _bt_ivf_oracle() -> str:
+    l2 = (
+        "list_reduce(list_transform(generate_series(1, {d}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), sstep AS (
+      SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS s FROM n
+    ), cents AS (
+      SELECT vec_id AS coarse_id, e AS cc FROM n, sstep
+      WHERE vec_id % s = 0
+    ), xs AS (
+      SELECT vec_id AS x_id, e AS xe, nrm AS xn FROM n WHERE label % 2 = 0
+    ), ys AS (
+      SELECT vec_id AS y_id, e AS ye, nrm AS yn FROM n WHERE label % 2 = 1
+    ), y_assign AS (
+      SELECT y_id, ye, yn, coarse_id FROM (
+        SELECT y.y_id, y.ye, y.yn, c.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY y.y_id
+                 ORDER BY {l2.format(d=_DIM, a="y.ye", b="c.cc")},
+                          c.coarse_id) AS rn
+        FROM ys y CROSS JOIN cents c)
+      WHERE rn = 1
+    ), x_probe AS (
+      SELECT x_id, xe, xn, coarse_id FROM (
+        SELECT x.x_id, x.xe, x.xn, c.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY x.x_id
+                 ORDER BY {l2.format(d=_DIM, a="x.xe", b="c.cc")},
+                          c.coarse_id) AS rn
+        FROM xs x CROSS JOIN cents c)
+      WHERE rn <= {_BT_IVF_PROBE}
+    ), scored AS (
+      SELECT x.x_id, y.y_id,
+             list_reduce(list_transform(generate_series(1, {_DIM}),
+                                        i -> x.xe[i] * y.ye[i]),
+                         (a, b) -> a + b) / (x.xn * y.yn) AS cs
+      FROM x_probe x JOIN y_assign y ON x.coarse_id = y.coarse_id
+    ), fwd AS (
+      SELECT x_id, list_reduce(list(cs ORDER BY cs, y_id), (a, b) -> a + b)
+               AS sx
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                                         ORDER BY cs DESC, y_id) AS rn
+            FROM scored)
+      WHERE rn <= {_K} GROUP BY x_id
+    ), bwd AS (
+      SELECT y_id, list_reduce(list(cs ORDER BY cs, x_id), (a, b) -> a + b)
+               AS sy
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id
+                                         ORDER BY cs DESC, x_id) AS rn
+            FROM scored)
+      WHERE rn <= {_K} GROUP BY y_id
+    ), m AS (
+      SELECT s.x_id, s.y_id, s.cs,
+             s.cs / ((f.sx + b.sy) / (2.0 * {_K})) AS margin
+      FROM scored s
+      JOIN fwd f ON s.x_id = f.x_id
+      JOIN bwd b ON s.y_id = b.y_id
+    )
+    SELECT x_id, y_id, ROUND(cs, 5) AS cosine5, ROUND(margin, 5) AS margin5
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                                       ORDER BY margin DESC, y_id) AS rn
+          FROM m)
+    WHERE rn = 1 AND margin > 1.0
+    """
+
+
+def bitext_ivf_scored(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
+    """IVF-blocked pairwise scoring: route BOTH language halves through a
+    √n-sized coarse centroid level (deterministic vec_id-stride centroids,
+    rule shared with the oracle), assign each candidate to its 1 nearest
+    cell, probe each query's {_BT_IVF_PROBE} nearest cells, and score
+    cosine only within matched cells — Σ_cell |x_cell|·|y_cell| work
+    instead of |X|·|Y|, and no query-side cap."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+        )
+        .withColumn("nrm", l2_norm(F.col("e")))
+    )
+    return ivf_scored_from(emb, checkpoint=checkpoint)
+
+
+def ivf_scored_from(
+    emb: DataFrame, *, checkpoint: bool = True
+) -> DataFrame:
+    """Core of the IVF blocking over an arbitrary (vec_id, label, e, nrm)
+    frame — split out so the planted-pair referee can feed a corpus with
+    known cross-half twins through the exact production dataflow."""
+    import math
+
+    n = emb.count()  # one tiny aggregate job
+    stride = max(1, math.isqrt(n))
+    cents = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("coarse_id"), F.col("e").alias("cc")
+    )
+    xs = emb.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    ys = emb.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    d_yc = _l2sq(F.col("ye"), F.col("cc"))
+    y_assign = (
+        ys.crossJoin(F.broadcast(cents))
+        .select(
+            "y_id",
+            F.struct(
+                d_yc.alias("d"), F.col("coarse_id"), F.col("ye"), F.col("yn")
+            ).alias("s"),
+        )
+        .groupBy("y_id")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "y_id",
+            F.col("s.coarse_id").alias("coarse_id"),
+            F.col("s.ye").alias("ye"),
+            F.col("s.yn").alias("yn"),
+        )
+    )
+    d_xc = _l2sq(F.col("xe"), F.col("cc"))
+    x_probe = (
+        xs.crossJoin(F.broadcast(cents))
+        .select("x_id", "xe", "xn", "coarse_id", d_xc.alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("x_id").orderBy("d", "coarse_id")
+            ),
+        )
+        .filter(F.col("rn") <= _BT_IVF_PROBE)
+        .select("x_id", "xe", "xn", "coarse_id")
+    )
+    scored = x_probe.join(y_assign, "coarse_id").select(
+        "x_id",
+        "y_id",
+        cosine(F.col("xe"), F.col("ye"), F.col("xn"), F.col("yn")).alias("cs"),
+    )
+    return scored.localCheckpoint(eager=False) if checkpoint else scored
+
+
+def mine_margin_pairs(scored: DataFrame) -> DataFrame:
+    """Margin rescoring + per-source argmax over a (x_id, y_id, cs) scored
+    frame — shared by the exact and IVF tiers (identical criterion; only
+    the candidate generation differs)."""
     fwd = _knn_sum(scored, "x_id", "y_id", "sx")
     bwd = _knn_sum(scored, "y_id", "x_id", "sy")
     m = (
@@ -164,3 +333,28 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("margin", 5).alias("margin5"),
         )
     )
+
+
+@register("q_bitext_margin_mining_ivf", oracle=_bt_ivf_oracle())
+def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-tier bitext mining — the IVF-blocked path the exact
+    twin's docstring promises (VERDICT r9 #3; the `q_semdedup_ivf`
+    playbook).  Same margin criterion as `q_bitext_margin_mining`, but the
+    query side is UNCAPPED: a ⌊√n⌋-sized coarse centroid level (vec_id %
+    ⌊√n⌋ == 0 — data-derived via one tiny count, rule shared with the
+    oracle) blocks both halves; each candidate lives in its 1 nearest
+    cell, each query probes its {_BT_IVF_PROBE} nearest cells, and both
+    the cosine scoring and the k-NN margin denominators run within the
+    blocked pairs only — the CCMatrix construction, where the margin's
+    k-NN averages are computed over the FAISS-retrieved neighborhood, not
+    the full corpus.
+
+    Scale shape: centroids (√n rows) broadcast to two map-side routing
+    passes (n·√n distance folds, no shuffle of either half); the blocked
+    scoring is an equi-join on coarse_id (Σ_cell |x_cell|·|y_cell| pairs,
+    never |X|·|Y|); the k-NN sums and argmax shuffle only per-key
+    aggregates of the blocked pairs.  Every argmin/argmax tie-breaks on
+    id and every float reduction is a sequential left fold, so the
+    blocked pipeline stays value-deterministic and hash-checks against
+    the DuckDB oracle applying the identical routing rule."""
+    return mine_margin_pairs(bitext_ivf_scored(spark, sf_dir))

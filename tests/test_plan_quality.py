@@ -531,3 +531,19 @@ def test_scd2_windows_partition_by_customer(spark, sf_dir):
     assert "Window" in plan
     # one hash-partitioning exchange on o_custkey feeds the whole chain
     assert plan.count("hashpartitioning(o_custkey") <= 2, plan
+
+
+def test_bitext_ivf_blocked_scoring_shape(spark, sf_dir):
+    """The IVF bitext tier's scoring must be cell-blocked: centroid routing
+    rides broadcast joins (the only nested-loop pairs are vector x sqrt(n)
+    centroids), the x-probe window partitions by x_id (no SinglePartition
+    funnel), and the scoring itself is a hash equi-join on coarse_id —
+    never an |X| x |Y| cartesian."""
+    from changesetmd_spark.operators.bitext import bitext_ivf_scored
+
+    df = bitext_ivf_scored(spark, sf_dir, checkpoint=False)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the coarse_id equi-join is present as a hash join
+    assert "coarse_id" in plan, plan
