@@ -353,3 +353,67 @@ def q_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_releasing(out, vocab)
+
+
+@register(
+    "q_countmin_sketch_only",
+    oracle=rf"""
+    WITH posts AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), cells AS (
+      SELECT t.i,
+             ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || term),
+                             1, 15))::BIGINT % {_CMS_W} AS bucket
+      FROM posts, unnest([{', '.join(map(str, range(_CMS_D)))}]) AS t(i)
+    )
+    SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+    FROM cells GROUP BY i, bucket
+    """,
+)
+def q_countmin_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB count-min path promised by `q_countmin_estimates`'s
+    docstring (VERDICT r9 #6): stream every token occurrence straight into
+    the d×w cells with NO vocab aggregate.  Each executor partially
+    aggregates its token stream onto at most d·w = {_CMS_D}·{_CMS_W}
+    distinct (i, bucket) keys map-side, so the one exchange carries
+    O(d·w·partitions) rows — CONSTANT in corpus size, which is the entire
+    point of a sketch: at 100 TB the exact twin's vocab table is itself a
+    data-sized shuffle, while this plan's shuffle payload does not grow at
+    all.  By CMS linearity the resulting counters are bit-identical to
+    folding the exact vocab counts (the twin's construction), so the cell
+    table hash-checks against a DuckDB oracle that streams the same
+    deterministic md5 bucket hash over the raw token stream.
+
+    Plan shape: one documents scan → explode tokens → ×d fan-out (map) →
+    single hash aggregate keyed by (i, bucket).  No join, no window, no
+    second shuffle."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    rows = F.array([F.lit(i) for i in range(_CMS_D)])
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("term"))
+        .select("term", F.explode(rows).alias("i"))
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("term"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W,
+        )
+    )
+    return cells.groupBy("i", "bucket").agg(
+        F.count("*").cast("long").alias("counter")
+    )

@@ -547,3 +547,19 @@ def test_bitext_ivf_blocked_scoring_shape(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
     # the coarse_id equi-join is present as a hash join
     assert "coarse_id" in plan, plan
+
+
+def test_countmin_sketch_only_single_constant_exchange(spark, sf_dir):
+    """The sketch-only CMS path must be scan -> explode -> ONE hash
+    aggregate keyed by (i, bucket): no join, no window, no second
+    exchange.  Map-side partial aggregation onto <= d*w keys is what makes
+    the shuffle payload constant in corpus size — the plan shape IS the
+    100 TB claim."""
+    from changesetmd_spark.plans import shuffle_count
+
+    df = QS["q_countmin_sketch_only"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
