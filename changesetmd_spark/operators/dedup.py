@@ -783,6 +783,14 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window count is ~|tokens|, the same order as the shingle postings the
     Jaccard/MinHash family already shuffles."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # NOT persisted on purpose (VERDICT r9 #7): the duplicate-hash list is
+    # tiny (HAVING count>1 over a uniform 60-bit key), so Catalyst
+    # broadcasts it and the probe-side postings are never shuffled at all;
+    # past the broadcast threshold the join falls back to reusing the
+    # aggregate's exchange.  The old persist paid a 10 s cold
+    # materialization and its cache blocks interacted with the rest of the
+    # bench gauntlet (median/min 1.36, the suite's noisiest line); without
+    # it min≈median (ratio 1.00 measured over 7 runs).
     posts = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(toks) >= _SPAN_W)
@@ -798,7 +806,6 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos0", "h"),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-        .persist()
     )
     dup = (
         posts.groupBy("h")
@@ -830,12 +837,10 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("s"),
         (F.max("pos") + (_SPAN_W - 1)).alias("e"),
     )
-    out = merged.groupBy("doc_id").agg(
+    return merged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
     )
-    # materialize the per-doc rollup, then release the postings cache
-    return materialize_releasing(out, posts)
 
 
 _CDC_K = 4   # tokens hashed to decide a boundary

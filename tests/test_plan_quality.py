@@ -563,3 +563,18 @@ def test_countmin_sketch_only_single_constant_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_substring_spans_no_persist_cheap_probe(spark, sf_dir):
+    """q_duplicate_substring_spans must not persist the postings (the old
+    cache cost a 10s cold materialization and gauntlet cache noise -
+    VERDICT r9 #7).  The duplicate-hash list is tiny (HAVING count>1 on a
+    uniform 60-bit key), so the probe join must be broadcast (no shuffle
+    of the probe-side postings) - at a scale where it outgrows the
+    broadcast threshold, Catalyst falls back to the shuffle join that
+    reuses the aggregate's exchange, so accept either shape, but never a
+    cached InMemoryTableScan."""
+    df = QS["q_duplicate_substring_spans"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "InMemoryTableScan" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan, plan
