@@ -209,12 +209,108 @@ def sample_frames(df: DataFrame, every_k: int = 10, frame_bytes: int = 256) -> D
     return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
-def real_decode_stub(payload: bytes, mime_type: str) -> None:
-    """Where a real codec would plug in.  Deliberately unimplemented."""
+def codec_capabilities() -> dict[str, bool]:
+    """Probe which optional codec libraries this environment provides
+    (VERDICT r9 #8).  Import-try only — nothing here is a hard dependency,
+    and the probe result gates both `real_decode` and the conditional
+    registration of `q_multimodal_decode_real` below, so the operator
+    graduates from the deterministic fake the moment the environment
+    allows without any code change."""
+    caps: dict[str, bool] = {}
+    try:
+        from PIL import Image  # noqa: F401
+
+        caps["image"] = True
+    except Exception:
+        caps["image"] = False
+    try:
+        import av  # noqa: F401
+
+        caps["video"] = True
+    except Exception:
+        caps["video"] = False
+    return caps
+
+
+def real_decode(payload: bytes, mime_type: str) -> tuple[int, int, int, int]:
+    """Real codec plug-point: decode ``payload`` to (width, height,
+    n_frames, feature_hash).  Implemented for images when PIL is present;
+    raises NotImplementedError otherwise (this container ships no codec
+    libraries — the deterministic fake in decode_media() covers tests)."""
+    caps = codec_capabilities()
+    if mime_type.startswith("image/") and caps["image"]:
+        import io
+        import zlib
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            feature = zlib.crc32(im.convert("RGB").tobytes())
+        return (w, h, 1, feature)
     raise NotImplementedError(
-        "media decoding requires codec libraries (PIL/pyav) not present in "
-        "this container; use decode_media()'s deterministic fake for tests"
+        f"no codec available for {mime_type!r} "
+        f"(capabilities: {caps}); use decode_media()'s deterministic fake"
     )
+
+
+# Backwards-compatible alias for the documented r8/r9 plug-point name.
+def real_decode_stub(payload: bytes, mime_type: str) -> None:
+    """Where a real codec plugs in — see `real_decode` (raises unless the
+    capability probe finds a matching codec library)."""
+    real_decode(payload, mime_type)
+
+
+def _register_real_decode_if_capable() -> None:
+    """Conditionally register the real-codec decode query: present in
+    `queries()` only where the capability probe finds PIL, so the driver
+    contract never advertises an operator the environment cannot run."""
+    if not codec_capabilities()["image"]:
+        return
+
+    @register("q_multimodal_decode_real")  # no oracle: codec output
+    def q_multimodal_decode_real(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Same plumbing as q_multimodal_decode but with PIL decoding
+        1x1 PNG payloads synthesized in-flight (the environment has no
+        real media table; the point is the codec path end-to-end)."""
+        import base64
+
+        # smallest valid PNG (1x1 white pixel), generated with PIL
+        png_b64 = (
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6"
+            "DwABBQECz6AuzQAAAABJRU5ErkJggg=="
+        )
+        png = base64.b64decode(png_b64)
+
+        def decode_batches(
+            batches: Iterator["pd.DataFrame"],
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            for pdf in batches:
+                decoded = [real_decode(png, "image/png") for _ in pdf.index]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": "image",
+                        "width": [d[0] for d in decoded],
+                        "height": [d[1] for d in decoded],
+                        "n_frames": [d[2] for d in decoded],
+                        "feature_hash": [d[3] for d in decoded],
+                    }
+                )
+
+        media = synthesize_media(spark, sf_dir).limit(64)
+        decoded = media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+        return decoded.groupBy("modality").agg(
+            F.count("*").alias("n_items"),
+            F.max("width").alias("max_width"),
+        )
+
+
+_register_real_decode_if_capable()
 
 
 @register(

@@ -40,3 +40,39 @@ def test_sample_frames_expands_rows(spark, sf_dir):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"x", "image/png")
+
+
+def test_codec_capability_probe_and_gating(spark, sf_dir):
+    """The capability probe must gate both the real_decode plug-point and
+    the conditional q_multimodal_decode_real registration: in an
+    environment without PIL the query is absent and real_decode raises the
+    documented NotImplementedError; with PIL it decodes a real PNG and the
+    registered query runs end-to-end."""
+    import pytest
+
+    from changesetmd_spark import registry
+    from changesetmd_spark.operators.multimodal import (
+        codec_capabilities,
+        real_decode,
+    )
+
+    caps = codec_capabilities()
+    assert set(caps) == {"image", "video"}
+    if not caps["image"]:
+        assert "q_multimodal_decode_real" not in registry.queries()
+        with pytest.raises(NotImplementedError):
+            real_decode(b"\x89PNG", "image/png")
+        pytest.skip("PIL not installed here: gated path verified, "
+                    "decode path exercised where the environment allows")
+    import base64
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6"
+        "DwABBQECz6AuzQAAAABJRU5ErkJggg=="
+    )
+    w, h, n_frames, feature = real_decode(png, "image/png")
+    assert (w, h, n_frames) == (1, 1, 1)
+    rows = registry.queries()["q_multimodal_decode_real"](
+        spark, sf_dir
+    ).collect()
+    assert rows and all(r.max_width == 1 for r in rows)
