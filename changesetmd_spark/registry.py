@@ -219,6 +219,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bbox_containment": "2b389e133bd7",
     "q_bigram_lm_fluency": "6a3bbc058f88",
     "q_bitext_margin_mining": "efa8bcfa39a3",
+    "q_bitext_margin_mining_ivf": "d913b4652529",
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "c04762ebe930",
@@ -229,6 +230,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_cohort_retention": "0e48ae730a60",
     "q_contamination_ngram_overlap": "007fd8327408",
     "q_countmin_estimates": "d55b926cfdc6",
+    "q_countmin_sketch_only": "fb8a34413f0a",
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",

@@ -143,6 +143,12 @@ QUERIES = [
     "q_pps_systematic_sample",
     # r9: SCD2 interval build — one custkey exchange feeds every stage
     "q_scd2_priority_history",
+    # r10: IVF-blocked bitext production tier — uncapped query side, both
+    # language halves routed through ⌊√n⌋ coarse cells before any pairing
+    "q_bitext_margin_mining_ivf",
+    # r10: sketch-only CMS build — tokens partial-aggregate straight into
+    # the d×w cells, so the exchange stays constant-size as the corpus grows
+    "q_countmin_sketch_only",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
