@@ -99,6 +99,9 @@ HEADLINE = [
     "q_phrase_search",
     "q_pps_systematic_sample",
     "q_scd2_priority_history",
+    # r10 production tiers
+    "q_bitext_margin_mining_ivf",
+    "q_countmin_sketch_only",
 ]
 
 

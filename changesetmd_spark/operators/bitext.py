@@ -11,7 +11,8 @@ argmax are the mined bitext.
 
 Two tiers: `q_bitext_margin_mining` caps the query side (the exact
 referee / oracle tier), and `q_bitext_margin_mining_ivf` is the uncapped
-production path — a ⌊√n⌋-sized coarse centroid level blocks both halves
+production path — a two-level IVF quantizer (n/256 constant-size fine
+cells routed through a √K coarse level) blocks both halves
 (candidate assigned to 1 cell, query probes P cells) and both the cosine
 scoring and the margin's k-NN denominators run within the blocked pairs
 only, the CCMatrix construction, so nothing does corpus×corpus.  On
@@ -38,7 +39,14 @@ from .similarity import _l2sq, cosine, l2_norm, to_double_vec
 _DIM = 64
 _K = 4  # neighborhood size for the margin denominators
 _X_CAP = 200  # exact-tier query-side cap (production tier = IVF blocking)
-_BT_IVF_PROBE = 4  # coarse cells each query-side vector probes
+_BT_IVF_PROBE = 4  # cells probed on the query side (and coarse routing)
+# One fine cell per _BT_SEED_STRIDE vectors: K ∝ n keeps the expected cell
+# SIZE constant, so the blocked pair count Σ|x_cell|·|y_cell| grows
+# linearly with the corpus instead of the O(n^1.5) a √n-cell layout gives
+# (cells of size √n ⇒ √n pairs per probe per query).  Routing through the
+# √K coarse level costs n·√K·(1+P) distance folds — the q_semdedup_ivf
+# two-level scheme.
+_BT_SEED_STRIDE = 256
 
 
 def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:
@@ -167,37 +175,65 @@ def _bt_ivf_oracle() -> str:
              sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
                AS nrm
       FROM v
+    ), seeds AS (
+      SELECT vec_id AS cell_id, e AS ce FROM n
+      WHERE vec_id % {_BT_SEED_STRIDE} = 0
     ), sstep AS (
-      SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS s FROM n
-    ), cents AS (
-      SELECT vec_id AS coarse_id, e AS cc FROM n, sstep
-      WHERE vec_id % s = 0
+      SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS s
+      FROM seeds
+    ), coarse AS (
+      SELECT cell_id AS coarse_id, ce AS cc FROM seeds, sstep
+      WHERE cell_id % ({_BT_SEED_STRIDE} * s) = 0
+    ), seed_assign AS (
+      SELECT cell_id, ce, coarse_id FROM (
+        SELECT sd.cell_id, sd.ce, c.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY sd.cell_id
+                 ORDER BY {l2.format(d=_DIM, a="sd.ce", b="c.cc")},
+                          c.coarse_id) AS rn
+        FROM seeds sd CROSS JOIN coarse c)
+      WHERE rn = 1
     ), xs AS (
       SELECT vec_id AS x_id, e AS xe, nrm AS xn FROM n WHERE label % 2 = 0
     ), ys AS (
       SELECT vec_id AS y_id, e AS ye, nrm AS yn FROM n WHERE label % 2 = 1
-    ), y_assign AS (
+    ), y_coarse AS (
       SELECT y_id, ye, yn, coarse_id FROM (
         SELECT y.y_id, y.ye, y.yn, c.coarse_id,
                ROW_NUMBER() OVER (PARTITION BY y.y_id
                  ORDER BY {l2.format(d=_DIM, a="y.ye", b="c.cc")},
                           c.coarse_id) AS rn
-        FROM ys y CROSS JOIN cents c)
+        FROM ys y CROSS JOIN coarse c)
+      WHERE rn <= {_BT_IVF_PROBE}
+    ), y_assign AS (
+      SELECT y_id, ye, yn, cell_id FROM (
+        SELECT y.y_id, y.ye, y.yn, sa.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY y.y_id
+                 ORDER BY {l2.format(d=_DIM, a="y.ye", b="sa.ce")},
+                          sa.cell_id) AS rn
+        FROM y_coarse y JOIN seed_assign sa ON sa.coarse_id = y.coarse_id)
       WHERE rn = 1
-    ), x_probe AS (
+    ), x_coarse AS (
       SELECT x_id, xe, xn, coarse_id FROM (
         SELECT x.x_id, x.xe, x.xn, c.coarse_id,
                ROW_NUMBER() OVER (PARTITION BY x.x_id
                  ORDER BY {l2.format(d=_DIM, a="x.xe", b="c.cc")},
                           c.coarse_id) AS rn
-        FROM xs x CROSS JOIN cents c)
+        FROM xs x CROSS JOIN coarse c)
+      WHERE rn <= {_BT_IVF_PROBE}
+    ), x_probe AS (
+      SELECT x_id, xe, xn, cell_id FROM (
+        SELECT x.x_id, x.xe, x.xn, sa.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY x.x_id
+                 ORDER BY {l2.format(d=_DIM, a="x.xe", b="sa.ce")},
+                          sa.cell_id) AS rn
+        FROM x_coarse x JOIN seed_assign sa ON sa.coarse_id = x.coarse_id)
       WHERE rn <= {_BT_IVF_PROBE}
     ), scored AS (
       SELECT x.x_id, y.y_id,
              list_reduce(list_transform(generate_series(1, {_DIM}),
                                         i -> x.xe[i] * y.ye[i]),
                          (a, b) -> a + b) / (x.xn * y.yn) AS cs
-      FROM x_probe x JOIN y_assign y ON x.coarse_id = y.coarse_id
+      FROM x_probe x JOIN y_assign y ON x.cell_id = y.cell_id
     ), fwd AS (
       SELECT x_id, list_reduce(list(cs ORDER BY cs, y_id), (a, b) -> a + b)
                AS sx
@@ -231,11 +267,12 @@ def bitext_ivf_scored(
     spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
 ) -> DataFrame:
     """IVF-blocked pairwise scoring: route BOTH language halves through a
-    √n-sized coarse centroid level (deterministic vec_id-stride centroids,
-    rule shared with the oracle), assign each candidate to its 1 nearest
-    cell, probe each query's {_BT_IVF_PROBE} nearest cells, and score
-    cosine only within matched cells — Σ_cell |x_cell|·|y_cell| work
-    instead of |X|·|Y|, and no query-side cap."""
+    two-level quantizer (K = n/256 fine cells, √K coarse routing level —
+    deterministic vec_id-stride rules shared with the oracle), assign each
+    candidate to its 1 nearest fine cell, probe each query's
+    ``_BT_IVF_PROBE`` nearest fine cells, and score cosine only within
+    matched cells — Σ_cell |x_cell|·|y_cell| work instead of |X|·|Y|, and
+    no query-side cap."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -247,18 +284,86 @@ def bitext_ivf_scored(
 
 
 def ivf_scored_from(
-    emb: DataFrame, *, checkpoint: bool = True
+    emb: DataFrame, *, checkpoint: bool = True, stride: int = _BT_SEED_STRIDE
 ) -> DataFrame:
     """Core of the IVF blocking over an arbitrary (vec_id, label, e, nrm)
     frame — split out so the planted-pair referee can feed a corpus with
-    known cross-half twins through the exact production dataflow."""
+    known cross-half twins through the exact production dataflow.
+
+    Two-level routing (the q_semdedup_ivf scheme): K = n/256 fine cells
+    (``_BT_SEED_STRIDE`` vec_id-stride seeds — constant expected cell
+    SIZE, so blocked pairs grow linearly with the corpus) and C = √K
+    coarse centroids (every s-th seed, s = ⌊√K⌋, expressed as a modulus so
+    no global row_number / SinglePartition is ever needed).  Every fine
+    seed hangs off its nearest coarse cell; each vector scores the C
+    coarse centroids, then only the fine seeds routed to its
+    ``_BT_IVF_PROBE`` nearest coarse cells — n·√K·(1+P) distance folds
+    instead of n·K.  Candidates (odd labels) take their single nearest
+    fine cell; queries (even labels) probe their ``_BT_IVF_PROBE`` nearest
+    fine cells.  Every argmin tie-breaks on id, so the routing is
+    value-deterministic and the DuckDB oracle applies the identical rule.
+    """
     import math
 
-    n = emb.count()  # one tiny aggregate job
-    stride = max(1, math.isqrt(n))
-    cents = emb.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("coarse_id"), F.col("e").alias("cc")
+    seeds = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
     )
+    k = seeds.count()  # one tiny job over an n/stride-row frame
+    s = max(1, math.isqrt(k))
+    coarse = seeds.filter(
+        F.col("cell_id") % (stride * s) == 0
+    ).select(F.col("cell_id").alias("coarse_id"), F.col("ce").alias("cc"))
+
+    # fine seed → nearest coarse cell (K·C folds, both tiny + broadcast)
+    d_sc = _l2sq(F.col("ce"), F.col("cc"))
+    seed_assign = (
+        seeds.crossJoin(F.broadcast(coarse))
+        .select(
+            "cell_id",
+            F.struct(d_sc.alias("d"), F.col("coarse_id"), F.col("ce")).alias(
+                "s"
+            ),
+        )
+        .groupBy("cell_id")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "cell_id",
+            F.col("s.coarse_id").alias("coarse_id"),
+            F.col("s.ce").alias("ce"),
+        )
+    )
+
+    def _route(side: DataFrame, id_col: str, e_col: str, keep: int) -> DataFrame:
+        """Two-level route: P nearest coarse cells (n·C folds, broadcast),
+        then the ``keep`` nearest fine seeds among those cells' seeds
+        (n·P·(K/C) folds, broadcast equi-join on coarse_id)."""
+        d_vc = _l2sq(F.col(e_col), F.col("cc"))
+        probed = (
+            side.crossJoin(F.broadcast(coarse))
+            .withColumn("d", d_vc)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("d", "coarse_id")
+                ),
+            )
+            .filter(F.col("rn") <= _BT_IVF_PROBE)
+            .drop("d", "rn", "cc")
+        )
+        d_vs = _l2sq(F.col(e_col), F.col("ce"))
+        return (
+            probed.join(F.broadcast(seed_assign), "coarse_id")
+            .withColumn("d", d_vs)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("d", "cell_id")
+                ),
+            )
+            .filter(F.col("rn") <= keep)
+            .drop("d", "rn", "ce", "coarse_id")
+        )
+
     xs = emb.filter(F.col("label") % 2 == 0).select(
         F.col("vec_id").alias("x_id"),
         F.col("e").alias("xe"),
@@ -269,38 +374,9 @@ def ivf_scored_from(
         F.col("e").alias("ye"),
         F.col("nrm").alias("yn"),
     )
-    d_yc = _l2sq(F.col("ye"), F.col("cc"))
-    y_assign = (
-        ys.crossJoin(F.broadcast(cents))
-        .select(
-            "y_id",
-            F.struct(
-                d_yc.alias("d"), F.col("coarse_id"), F.col("ye"), F.col("yn")
-            ).alias("s"),
-        )
-        .groupBy("y_id")
-        .agg(F.min("s").alias("s"))
-        .select(
-            "y_id",
-            F.col("s.coarse_id").alias("coarse_id"),
-            F.col("s.ye").alias("ye"),
-            F.col("s.yn").alias("yn"),
-        )
-    )
-    d_xc = _l2sq(F.col("xe"), F.col("cc"))
-    x_probe = (
-        xs.crossJoin(F.broadcast(cents))
-        .select("x_id", "xe", "xn", "coarse_id", d_xc.alias("d"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("x_id").orderBy("d", "coarse_id")
-            ),
-        )
-        .filter(F.col("rn") <= _BT_IVF_PROBE)
-        .select("x_id", "xe", "xn", "coarse_id")
-    )
-    scored = x_probe.join(y_assign, "coarse_id").select(
+    x_probe = _route(xs, "x_id", "xe", _BT_IVF_PROBE)
+    y_assign = _route(ys, "y_id", "ye", 1)
+    scored = x_probe.join(y_assign, "cell_id").select(
         "x_id",
         "y_id",
         cosine(F.col("xe"), F.col("ye"), F.col("xn"), F.col("yn")).alias("cs"),
@@ -340,19 +416,22 @@ def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-tier bitext mining — the IVF-blocked path the exact
     twin's docstring promises (VERDICT r9 #3; the `q_semdedup_ivf`
     playbook).  Same margin criterion as `q_bitext_margin_mining`, but the
-    query side is UNCAPPED: a ⌊√n⌋-sized coarse centroid level (vec_id %
-    ⌊√n⌋ == 0 — data-derived via one tiny count, rule shared with the
-    oracle) blocks both halves; each candidate lives in its 1 nearest
-    cell, each query probes its {_BT_IVF_PROBE} nearest cells, and both
+    query side is UNCAPPED: a two-level IVF quantizer — K = n/256 fine
+    cells (vec_id % 256 == 0 seeds) routed through a C = ⌊√K⌋ coarse
+    level (one tiny count derives s; rules shared with the oracle) —
+    blocks both halves; each candidate lives in its 1 nearest fine cell,
+    each query probes its {_BT_IVF_PROBE} nearest fine cells, and both
     the cosine scoring and the k-NN margin denominators run within the
     blocked pairs only — the CCMatrix construction, where the margin's
     k-NN averages are computed over the FAISS-retrieved neighborhood, not
     the full corpus.
 
-    Scale shape: centroids (√n rows) broadcast to two map-side routing
-    passes (n·√n distance folds, no shuffle of either half); the blocked
-    scoring is an equi-join on coarse_id (Σ_cell |x_cell|·|y_cell| pairs,
-    never |X|·|Y|); the k-NN sums and argmax shuffle only per-key
+    Scale shape: coarse centroids (√K rows) and the seed routing table
+    (K rows) broadcast to two map-side routing passes (n·√K·(1+P)
+    distance folds, no shuffle of either half); constant fine-cell size
+    keeps the blocked scoring equi-join (Σ_cell |x_cell|·|y_cell| pairs,
+    never |X|·|Y|) LINEAR in the corpus — a √n-cell single level would
+    make it O(n^1.5); the k-NN sums and argmax shuffle only per-key
     aggregates of the blocked pairs.  Every argmin/argmax tie-breaks on
     id and every float reduction is a sequential left fold, so the
     blocked pipeline stays value-deterministic and hash-checks against

@@ -147,7 +147,11 @@ def test_bitext_ivf_planted_twin_recall(spark, sf_dir):
         ).alias("e"),
     )
     corpus = emb.unionAll(planted).withColumn("nrm", l2_norm(F.col("e")))
-    scored = ivf_scored_from(corpus)
+    # stride 16 keeps the fixture-corpus-to-cell-size ratio comparable to
+    # the production stride 256 at real n (a ~500-vector fixture is smaller
+    # than ONE production cell, which would degenerate to all-pairs and
+    # test nothing); the routing dataflow under test is stride-independent
+    scored = ivf_scored_from(corpus, stride=16)
     # sublinearity evidence: the blocked pair count must stay well below
     # the |X| x |Y| cross product the exact tier would score
     n_x = corpus.filter(F.col("label") % 2 == 0).count()
