@@ -102,6 +102,8 @@ HEADLINE = [
     # r10 production tiers
     "q_bitext_margin_mining_ivf",
     "q_countmin_sketch_only",
+    "q_minhash_estimate_error_audit",
+    "q_stratified_sample_neyman",
 ]
 
 

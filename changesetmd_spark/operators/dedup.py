@@ -445,6 +445,16 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode → K min-aggregates, one shuffle on doc_id; bucket self-join,
     one shuffle on bucket) with an engine-portable hash so DuckDB
     reproduces every intermediate value."""
+    _, _, cand = _checked_minhash_pipeline(spark, sf_dir)
+    return cand
+
+
+def _checked_minhash_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingled docs, 16-column md5 minhash signatures, distinct LSH
+    candidate pairs) — the engine-portable pipeline shared by
+    `q_minhash_lsh_checked` and `q_minhash_estimate_error_audit`."""
     docs = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
@@ -469,7 +479,7 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         buckets.append(F.md5(F.concat_ws(":", F.lit(str(b)), band)))
     bk = sig.select("doc_id", F.explode(F.array(*buckets)).alias("bucket"))
-    return (
+    cand = (
         bk.alias("a")
         .join(bk.alias("b"), "bucket")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -479,6 +489,7 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return docs, sig, cand
 
 
 @register(
@@ -1190,3 +1201,119 @@ def ppjoin_similar_docs_plan(
         ).alias("jaccard"),
     )
     return out, dsh, pref
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit ([extension], the q_countmin_estimates
+# pattern applied to similarity sketching): for every LSH candidate pair,
+# report the MinHash-estimated Jaccard (agreeing components / K) NEXT TO the
+# exact shingle-set Jaccard and their signed error — the audit a pipeline
+# team runs before trusting a sketch threshold at 100 TB, where the exact
+# join is only affordable on the candidate subset the sketch itself surfaces.
+def _mh_audit_oracle() -> str:
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), idx AS (
+      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
+    ), mh AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg), 1, 15))
+                 ::BIGINT) AS m
+      FROM posts, idx GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id,
+             md5(CAST(i // {_MH_CHECK_ROWS} AS VARCHAR) || ':' ||
+                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {_MH_CHECK_ROWS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), agree AS (
+      SELECT c.id1, c.id2,
+             SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS agr
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id1
+      JOIN mh y ON y.doc_id = c.id2 AND y.i = x.i
+      GROUP BY c.id1, c.id2
+    )
+    SELECT g.id1 AS doc_id_1, g.id2 AS doc_id_2,
+           ROUND(g.agr / {_MH_CHECK_HASHES}.0, 5) AS jaccard_est5,
+           ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 5) AS jaccard5,
+           ROUND(g.agr / {_MH_CHECK_HASHES}.0
+                 - len(list_intersect(sa.sh, sb.sh)) * 1.0
+                   / (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh))), 5) AS err5
+    FROM agree g
+    JOIN s sa ON sa.doc_id = g.id1
+    JOIN s sb ON sb.doc_id = g.id2
+    """
+
+
+@register("q_minhash_estimate_error_audit", oracle=_mh_audit_oracle())
+def q_minhash_estimate_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-candidate-pair MinHash-vs-exact Jaccard audit: estimate =
+    agreeing md5-minhash components / {K}, exact = |∩|/|∪| over the shingle
+    sets, plus the signed error — every value engine-portable (md5-derived
+    hashes, integer set sizes, one IEEE-double expression tree), so the
+    whole audit hash-checks against DuckDB.
+
+    Scale shape (100 TB): the signature build is the checked-LSH pipeline
+    (one exchange on doc_id for the K min-aggregates, one on bucket for
+    the banding self-join); the agreement count is a WIDE-column compare
+    (16 equality flags summed in one projection — never an explode to
+    K rows per pair); the exact-Jaccard join touches only LSH candidate
+    pairs, the same only-verify-candidates discipline as
+    `q_neardup_verify_jaccard`.  Output rows = candidate pairs (sketch-
+    bounded), not corpus pairs.""".replace("{K}", str(_MH_CHECK_HASHES))
+    docs, sig, cand = _checked_minhash_pipeline(spark, sf_dir)
+    a_sig = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(_MH_CHECK_HASHES)],
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(_MH_CHECK_HASHES)],
+    )
+    agr = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
+        for i in range(_MH_CHECK_HASHES)
+    )
+    paired = (
+        cand.join(a_sig, "doc_id_1")
+        .join(b_sig, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", agr.alias("agr"))
+    )
+    a_sh = docs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh_a")
+    )
+    b_sh = docs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    est = F.col("agr") / F.lit(float(_MH_CHECK_HASHES))
+    exact = inter * F.lit(1.0) / union
+    return (
+        paired.join(a_sh, "doc_id_1")
+        .join(b_sh, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(est, 5).alias("jaccard_est5"),
+            F.round(exact, 5).alias("jaccard5"),
+            F.round(est - exact, 5).alias("err5"),
+        )
+    )

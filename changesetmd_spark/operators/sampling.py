@@ -79,3 +79,128 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_picks") > 0)
         .select("doc_id", "source", "n_chars", "n_picks", "first_pin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling ([extension]): fixed total budget
+# split across strata (source) proportionally to N_h * S_h (stratum size x
+# stratum std-dev of the weight metric) — the classic variance-minimizing
+# allocation for estimating a corpus mean from a fixed-size sample, i.e.
+# "spend eval-set slots where the data varies".  Selection within a stratum
+# is the deterministic evenly-spaced-rank rule (no RNG, reproducible).
+_NEYMAN_BUDGET = 1000
+
+
+def _neyman_oracle() -> str:
+    return f"""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS n_h,
+             SUM(CAST(n_chars AS BIGINT)) AS sx,
+             SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+      FROM documents GROUP BY source
+    ), wh AS (
+      SELECT source, n_h,
+             CASE WHEN n_h > 1 THEN
+               CAST(n_h AS DOUBLE) * sqrt(
+                 (CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+             ELSE 0.0 END AS w_h
+      FROM stats
+    ), tot AS (
+      SELECT list_reduce(list(w_h ORDER BY source), (a, b) -> a + b) AS w,
+             SUM(n_h) AS n_tot
+      FROM wh
+    ), alloc AS (
+      SELECT source, n_h,
+             LEAST(n_h, GREATEST(1, CASE WHEN t.w > 0 THEN
+               CAST(floor({_NEYMAN_BUDGET} * w_h / t.w) AS BIGINT)
+             ELSE
+               CAST(({_NEYMAN_BUDGET} * n_h) // t.n_tot AS BIGINT)
+             END)) AS n_alloc
+      FROM wh, tot t
+    ), ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars, a.n_alloc, a.n_h,
+             ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS r
+      FROM documents d JOIN alloc a ON a.source = d.source
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(r AS BIGINT) AS stratum_rank,
+           n_alloc AS stratum_alloc
+    FROM ranked
+    WHERE (r * n_alloc) // n_h > ((r - 1) * n_alloc) // n_h
+    """
+
+
+@register("q_stratified_sample_neyman", oracle=_neyman_oracle())
+def q_stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample: budget {B} slots split across
+    ``source`` strata proportionally to N_h·S_h (S_h from the exact integer
+    sums n·Σx²−(Σx)², evaluated in IEEE doubles so DuckDB reproduces every
+    allocation bit-for-bit), then the evenly-spaced-rank systematic rule
+    ``(r·n_alloc) div N_h > ((r−1)·n_alloc) div N_h`` picks exactly
+    ``n_alloc`` of the stratum's N_h documents — fully deterministic, no
+    engine RNG.  The cross-stratum weight total folds in sorted-stratum
+    order (sequential left fold == DuckDB list_reduce), never a float SUM
+    whose addend order the engine picks.
+
+    Scale shape (100 TB): one hash exchange on ``source`` for the moment
+    sums (map-side partial agg), a bounded O(#sources) driver collect for
+    the fold (the two-phase-prefix idiom, twophase.py:78), the per-stratum
+    rank window partitioned by ``source``, and a broadcast of the tiny
+    allocation table — no SinglePartition stage, output ≈ budget rows
+    regardless of corpus size.""".replace("{B}", str(_NEYMAN_BUDGET))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    nd = F.col("n_h").cast("double")
+    w_h = F.when(
+        F.col("n_h") > 1,
+        nd
+        * F.sqrt(
+            (nd * F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx").cast("double"))
+            / (nd * (nd - F.lit(1.0)))
+        ),
+    ).otherwise(F.lit(0.0))
+    wh = stats.select("source", "n_h", w_h.alias("w_h"))
+    # bounded driver fold (O(#sources) rows) in sorted-stratum order: the
+    # SAME sequential left fold the oracle's list_reduce(.. ORDER BY source)
+    # performs, so the double total is bit-identical across engines
+    rows = sorted(wh.collect(), key=lambda r: r["source"])
+    w_tot = 0.0
+    n_tot = 0
+    for r in rows:
+        w_tot = w_tot + r["w_h"]
+        n_tot += r["n_h"]
+    if w_tot > 0:
+        raw = F.floor(F.lit(float(_NEYMAN_BUDGET)) * F.col("w_h") / F.lit(w_tot))
+    else:
+        raw = F.expr(f"({_NEYMAN_BUDGET} * n_h) div {n_tot}")
+    alloc = wh.select(
+        "source",
+        F.col("n_h"),
+        F.least(
+            F.col("n_h"), F.greatest(F.lit(1).cast("long"), raw.cast("long"))
+        ).alias("n_alloc"),
+    )
+    from pyspark.sql import Window
+
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    )
+    ranked = docs.join(F.broadcast(alloc), "source").withColumn("r", r)
+    keep = F.expr("(r * n_alloc) div n_h") > F.expr("((r - 1) * n_alloc) div n_h")
+    return ranked.filter(keep).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("r").cast("long").alias("stratum_rank"),
+        F.col("n_alloc").alias("stratum_alloc"),
+    )

@@ -267,6 +267,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_value_extract": "ff6e348356a3",
     "q_map_value_like": "e0dfef91f1e6",
     "q_media_shard_manifest": "75af061d14f8",
+    "q_minhash_estimate_error_audit": "9b03f697398a",
     "q_minhash_lsh_candidates": "c0b664190cc7",
     "q_minhash_lsh_checked": "f5ee6e0464de",
     "q_multimodal_byte_stats": "696c11b57902",
@@ -305,6 +306,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_sketch_cardinality_and_quantiles": "cee511b11934",
     "q_source_mixture_weights": "b86df1b022e7",
     "q_source_quota_sample": "1f58f856167f",
+    "q_stratified_sample_neyman": "55bc092384a9",
     "q_stream_dedup_first_seen": "76cbd611d070",
     "q_stream_purchase_attribution": "b4c25510793c",
     "q_stream_rollup_hourly": "91bb1034b91c",

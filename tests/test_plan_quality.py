@@ -578,3 +578,29 @@ def test_substring_spans_no_persist_cheap_probe(spark, sf_dir):
     plan = _physical_plan(df)
     assert "InMemoryTableScan" not in plan, plan
     assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan, plan
+
+
+def test_neyman_sample_window_partitioned_no_single_partition(spark, sf_dir):
+    """q_stratified_sample_neyman: the per-stratum rank window must be
+    partitioned by source (never a global SinglePartition window), the
+    allocation table must ride a broadcast join, and the moment sums must
+    partial-aggregate (map-side combine) before their one source exchange."""
+    df = QS["q_stratified_sample_neyman"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_audit_wide_agreement_no_explode(spark, sf_dir):
+    """q_minhash_estimate_error_audit: the 16-component agreement count must
+    be a WIDE-column compare inside one projection — the plan must carry the
+    16 signature min-aggregates (hash-partitioned by doc_id) and must never
+    cartesian; the exact-Jaccard stage joins candidate pairs only."""
+    df = QS["q_minhash_estimate_error_audit"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the signature build is the checked-LSH pipeline: 16 min() aggregates
+    assert plan.count("min(") >= 16 or plan.count("partial_min") >= 16, plan

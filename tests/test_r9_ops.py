@@ -164,3 +164,56 @@ def test_bitext_ivf_planted_twin_recall(spark, sf_dir):
     assert planted_ids, "degenerate fixture: nothing planted"
     missed = [x for x in planted_ids if got.get(x) != x + off]
     assert not missed, missed
+
+
+def test_minhash_audit_properties(spark, sf_dir):
+    """Estimator-audit referee: estimates live on the k-grid [0, 1/16, ...,
+    1], exact Jaccard in [0, 1], and a pair with exact == 1.0 (identical
+    shingle sets) must estimate exactly 1.0 — identical sets give identical
+    minhash components, the MinHash identity the audit exists to check."""
+    from changesetmd_spark.operators.dedup import (
+        _MH_CHECK_HASHES,
+        q_minhash_estimate_error_audit,
+    )
+
+    rows = q_minhash_estimate_error_audit(spark, sf_dir).collect()
+    assert rows, "no candidate pairs audited"
+    for r in rows:
+        grid = r.jaccard_est5 * _MH_CHECK_HASHES
+        assert abs(grid - round(grid)) < 1e-6, r
+        assert 0.0 <= r.jaccard5 <= 1.0, r
+        assert abs(r.err5 - round(r.jaccard_est5 - r.jaccard5, 5)) <= 1e-9, r
+        if r.jaccard5 == 1.0:
+            assert r.jaccard_est5 == 1.0, r
+
+
+def test_neyman_allocation_properties(spark, sf_dir):
+    """Stratified-sample referee: within every stratum the evenly-spaced
+    rule must select EXACTLY the allocated count, allocations respect
+    1 <= n_alloc <= N_h, and the total allocation never exceeds budget +
+    one floor-rounding slot per stratum."""
+    from collections import defaultdict
+
+    from changesetmd_spark.operators.sampling import (
+        _NEYMAN_BUDGET,
+        q_stratified_sample_neyman,
+    )
+
+    rows = q_stratified_sample_neyman(spark, sf_dir).collect()
+    assert rows, "empty sample"
+    per = defaultdict(list)
+    for r in rows:
+        per[r.source].append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    total_alloc = 0
+    for src, rs in per.items():
+        alloc = rs[0].stratum_alloc
+        assert all(r.stratum_alloc == alloc for r in rs)
+        assert len(rs) == alloc, (src, len(rs), alloc)
+        assert 1 <= alloc <= n_by_src[src], (src, alloc)
+        total_alloc += alloc
+    assert total_alloc <= _NEYMAN_BUDGET + len(per), total_alloc

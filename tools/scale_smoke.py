@@ -149,6 +149,12 @@ QUERIES = [
     # r10: sketch-only CMS build — tokens partial-aggregate straight into
     # the d×w cells, so the exchange stays constant-size as the corpus grows
     "q_countmin_sketch_only",
+    # r10: sketch-vs-exact audit over LSH candidates (md5 signature build
+    # dominates, linear in postings; exact verify touches candidates only)
+    "q_minhash_estimate_error_audit",
+    # r10: Neyman stratified sample — constant ~budget-row output, one
+    # source exchange + source-partitioned rank window
+    "q_stratified_sample_neyman",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
