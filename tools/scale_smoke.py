@@ -155,6 +155,33 @@ QUERIES = [
     # r10: Neyman stratified sample — constant ~budget-row output, one
     # source exchange + source-partitioned rank window
     "q_stratified_sample_neyman",
+    # r10 coverage sweep: the linear curation/text family over the
+    # replicated documents table and the relational/events family over the
+    # replicated fact tables — none previously had scale rows
+    "q_text_blocklist_scrub",
+    "q_contamination_ngram_overlap",
+    "q_train_test_split",
+    "q_source_mixture_weights",
+    "q_tfidf_top_terms",
+    "q_bm25_keyword_search",
+    "q_text_quality_by_source",
+    "q_line_dedup_c4",
+    "q_text_repetition_quality",
+    "q_unigram_prob_mass",
+    "q_text_fingerprint",
+    "q_text_lang_id_confusion",
+    "q_asof_purchase_last_view",
+    # q_range_join_shipments_in_window is deliberately NOT here: replicas
+    # offset o_orderkey but share the base date span, so R× replication
+    # grows BOTH the interval count and the per-day shipment density —
+    # matched pairs (the OUTPUT) grow R², a generator artifact, not engine
+    # overhead (measured: 318× time for 10 000× output rows at R=100, i.e.
+    # ~31× FASTER per output row).  Offsetting dates per replica would fix
+    # the density but break every date-filtered query's scale semantics
+    # (q1/q3/q5 would scan only replica 0 past their fixed cutoffs).
+    "q_salted_join_skewed_types",
+    "q_value_percentiles_per_type",
+    "q_json_typed_extract",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
