@@ -104,6 +104,7 @@ HEADLINE = [
     "q_countmin_sketch_only",
     "q_minhash_estimate_error_audit",
     "q_stratified_sample_neyman",
+    "q_ann_recall_audit",
 ]
 
 

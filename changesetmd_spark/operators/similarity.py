@@ -48,9 +48,8 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot(a, b) / (norm_a * norm_b)
 
 
-@register(
-    "q_embedding_topk_cosine",
-    oracle=f"""
+def _topk_oracle() -> str:
+    return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
@@ -72,8 +71,10 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
                                        ORDER BY cosine_sim DESC, neighbor_id) AS rn
           FROM scored)
     WHERE rn <= {_TOP_K}
-    """,
-)
+    """
+
+
+@register("q_embedding_topk_cosine", oracle=_topk_oracle())
 def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_vec(F.col("embedding")).alias("e")
@@ -1614,3 +1615,69 @@ def q_embedding_random_projection(
             ).alias(f"p{j}")
         )
     return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit ([extension]) — the third leg of the approx-vs-exact audit
+# family (count-min exact-error audit, MinHash estimate-error audit): per
+# query, recall@k of the hash-checked hyperplane-LSH ANN against the
+# brute-force exact top-k.  Both sides are deterministic, engine-portable
+# pipelines, so the recall numbers themselves hash-check against DuckDB.
+def _ann_recall_oracle() -> str:
+    return f"""
+    WITH exact AS ({_topk_oracle()}),
+    ann AS ({_ann_checked_oracle()}),
+    hit AS (
+      SELECT e.query_id, COUNT(*) AS n_hit
+      FROM exact e JOIN ann a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ), base AS (
+      SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id
+    )
+    SELECT b.query_id, b.n_exact,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) * 1.0 / b.n_exact, 5) AS recall5
+    FROM base b LEFT JOIN hit h ON h.query_id = b.query_id
+    """
+
+
+@register("q_ann_recall_audit", oracle=_ann_recall_oracle())
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{k} of the hash-checked LSH ANN
+    (`q_embedding_ann_checked`) against the brute-force exact top-{k}
+    (`q_embedding_topk_cosine`) — the eval a pipeline team runs before
+    trusting an ANN index at 100 TB, where only the sketch-surfaced tier is
+    affordable corpus-wide and the exact tier exists for a query sample.
+
+    Scale shape: both sides broadcast the fixed query set against one
+    candidate scan (embarrassingly parallel, no candidate shuffle); the
+    recall join touches two k-row-per-query frames.  Every number is
+    deterministic (shared plane constants, ordered folds, id tie-breaks),
+    so even the recall of an APPROXIMATE index hash-checks.""".replace(
+        "{k}", str(_TOP_K)
+    )
+    exact = q_embedding_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = q_embedding_ann_checked(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return (
+        base.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            n_hit.alias("n_hit"),
+            F.round(n_hit * F.lit(1.0) / F.col("n_exact"), 5).alias(
+                "recall5"
+            ),
+        )
+    )

@@ -211,6 +211,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q1_pricing_summary": "924990a78492",
     "q3_top_revenue_orders": "5c4ef681d492",
     "q5_revenue_by_nation": "04cb5b299f24",
+    "q_ann_recall_audit": "d352919eb19d",
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
     "q_asof_purchase_last_view": "2d40773351c1",

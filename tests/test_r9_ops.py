@@ -217,3 +217,21 @@ def test_neyman_allocation_properties(spark, sf_dir):
         assert 1 <= alloc <= n_by_src[src], (src, alloc)
         total_alloc += alloc
     assert total_alloc <= _NEYMAN_BUDGET + len(per), total_alloc
+
+
+def test_ann_recall_audit_grid(spark, sf_dir):
+    """Recall-audit referee: per-query recall lives on the k-grid
+    [0, 1/k, ..., 1], n_hit <= n_exact <= k, and every query vector gets a
+    row (totality — a query with zero ANN hits must still report 0.0)."""
+    from changesetmd_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        q_ann_recall_audit,
+    )
+
+    rows = q_ann_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_exact <= _TOP_K, r
+        grid = r.recall5 * r.n_exact
+        assert abs(grid - round(grid)) < 1e-6, r

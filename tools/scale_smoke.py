@@ -155,6 +155,8 @@ QUERIES = [
     # r10: Neyman stratified sample — constant ~budget-row output, one
     # source exchange + source-partitioned rank window
     "q_stratified_sample_neyman",
+    # r10: ANN recall audit — two broadcast-query linear scans + k-row joins
+    "q_ann_recall_audit",
     # r10 coverage sweep: the linear curation/text family over the
     # replicated documents table and the relational/events family over the
     # replicated fact tables — none previously had scale rows
