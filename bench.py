@@ -105,6 +105,7 @@ HEADLINE = [
     "q_minhash_estimate_error_audit",
     "q_stratified_sample_neyman",
     "q_ann_recall_audit",
+    "q_priority_sample_topk",
 ]
 
 

@@ -204,3 +204,95 @@ def q_stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("stratum_rank"),
         F.col("n_alloc").alias("stratum_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup) ([extension]): weighted sampling
+# WITHOUT replacement with an unbiased subset-sum estimator — the third
+# sampling design next to systematic PPS (with replacement) and Neyman
+# stratified allocation.  Each row gets priority w/u for a deterministic
+# uniform u; the top-k priorities are the sample and the (k+1)-th priority
+# is the estimator threshold tau, with w_hat = max(w, tau) unbiased for
+# subset sums.  u derives from an md5 prefix, and the priority uses ONLY
+# IEEE basic ops (cast/multiply/divide — no libm pow/log whose last-ulp
+# behavior differs across engines), so selection and estimators hash-check.
+_PRI_K = 100
+_PRI_SCALE = float(1 << 60)  # 2^60 is dyadic: exact as a double
+
+
+def _priority_oracle() -> str:
+    return f"""
+    WITH pri AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             (CAST(n_chars AS DOUBLE) * {_PRI_SCALE!r})
+               / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT + 1 AS DOUBLE) AS pri
+      FROM documents
+    ), top AS (
+      SELECT * FROM pri ORDER BY pri DESC, doc_id LIMIT {_PRI_K + 1}
+    ), tau AS (
+      SELECT MIN(pri) AS t FROM top
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, pri,
+             ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
+      FROM top
+    )
+    SELECT doc_id, source, n_chars,
+           ROUND(pri, 5) AS priority5,
+           ROUND(GREATEST(CAST(n_chars AS DOUBLE), t.t), 5) AS w_hat5
+    FROM ranked, tau t
+    WHERE rn <= {_PRI_K}
+    """
+
+
+@register("q_priority_sample_topk", oracle=_priority_oracle())
+def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sample of k = {K} documents weighted by ``n_chars``:
+    priority = w·2⁶⁰/(h+1) with h the 60-bit md5 prefix of the doc_id — a
+    deterministic uniform, so the whole design is reproducible and every
+    arithmetic step is an IEEE basic op both engines round identically
+    (2⁶⁰ is dyadic, hence exact; no pow/log).  The (k+1)-th priority is
+    the DLT threshold τ and ``w_hat = max(w, τ)`` is the unbiased
+    subset-sum estimator the paper constructs.
+
+    Scale shape (100 TB): the priority is computed map-side; the global
+    top-(k+1) is Spark's TakeOrdered (per-partition heads, no
+    SinglePartition shuffle of the corpus); τ and the final rank touch
+    only the (k+1)-row frame.  Output is k rows at any corpus
+    size.""".replace("{K}", str(_PRI_K))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pri = (F.col("n_chars").cast("double") * F.lit(_PRI_SCALE)) / (
+        h + F.lit(1)
+    ).cast("double")
+    top = (
+        docs.withColumn("pri", pri)
+        .orderBy(F.desc("pri"), F.asc("doc_id"))
+        .limit(_PRI_K + 1)
+    )
+    tau = top.agg(F.min("pri").alias("t"))
+    from pyspark.sql import Window
+
+    # the rank window spans only the (k+1)-row TakeOrdered result — a
+    # bounded frame, same class as the 10-checkpoint vocab windows
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("pri"), F.asc("doc_id"))
+    )
+    return (
+        top.crossJoin(F.broadcast(tau))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _PRI_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("pri", 5).alias("priority5"),
+            F.round(
+                F.greatest(F.col("n_chars").cast("double"), F.col("t")), 5
+            ).alias("w_hat5"),
+        )
+    )

@@ -286,6 +286,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_pivot_status_by_priority": "8de452afe200",
     "q_ppjoin_similar_docs": "f98468c17452",
     "q_pps_systematic_sample": "4d89e3d292ab",
+    "q_priority_sample_topk": "bd8536623ce3",
     "q_quality_percentile_gate": "cff9f3163c44",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",
     "q_range_join_shipments_in_window": "b11f59c7709e",

@@ -235,3 +235,25 @@ def test_ann_recall_audit_grid(spark, sf_dir):
         assert 0 <= r.n_hit <= r.n_exact <= _TOP_K, r
         grid = r.recall5 * r.n_exact
         assert abs(grid - round(grid)) < 1e-6, r
+
+
+def test_priority_sample_properties(spark, sf_dir):
+    """DLT priority-sample referee: exactly k rows, every estimator
+    w_hat >= its weight (w_hat = max(w, tau)), and every sampled priority
+    strictly clears the threshold implied by the smallest w_hat seen for a
+    row whose weight did not dominate (tau consistency)."""
+    from changesetmd_spark.operators.sampling import (
+        _PRI_K,
+        q_priority_sample_topk,
+    )
+
+    rows = q_priority_sample_topk(spark, sf_dir).collect()
+    assert len(rows) == _PRI_K
+    taus = {r.w_hat5 for r in rows if r.w_hat5 != float(r.n_chars)}
+    for r in rows:
+        assert r.w_hat5 >= float(r.n_chars) or abs(
+            r.w_hat5 - r.n_chars
+        ) < 1e-6, r
+        assert r.priority5 > 0, r
+    # all non-dominated rows share ONE tau value
+    assert len(taus) <= 1, taus

@@ -157,6 +157,9 @@ QUERIES = [
     "q_stratified_sample_neyman",
     # r10: ANN recall audit — two broadcast-query linear scans + k-row joins
     "q_ann_recall_audit",
+    # r10: DLT priority sample — map-side priorities + TakeOrdered top-k;
+    # output is k rows at any corpus size
+    "q_priority_sample_topk",
     # r10 coverage sweep: the linear curation/text family over the
     # replicated documents table and the relational/events family over the
     # replicated fact tables — none previously had scale rows
