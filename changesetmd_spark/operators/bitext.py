@@ -47,6 +47,12 @@ _BT_IVF_PROBE = 4  # cells probed on the query side (and coarse routing)
 # √K coarse level costs n·√K·(1+P) distance folds — the q_semdedup_ivf
 # two-level scheme.
 _BT_SEED_STRIDE = 256
+# The fine-routing join broadcasts seed_assign (K rows × _DIM doubles).
+# K = n/256 grows linearly with the corpus, so above this many seeds
+# (~128 MB at 64 dims) the route falls back to a shuffle equi-join on
+# coarse_id — same plan shape minus the broadcast, still no corpus
+# cross-product.  Keeps the 100 TB claim honest past n ≈ 6·10^7 vectors.
+_BT_SEED_BCAST_MAX = 250_000
 
 
 def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:
@@ -351,8 +357,13 @@ def ivf_scored_from(
             .drop("d", "rn", "cc")
         )
         d_vs = _l2sq(F.col(e_col), F.col("ce"))
+        fine = (
+            F.broadcast(seed_assign)
+            if k <= _BT_SEED_BCAST_MAX
+            else seed_assign
+        )
         return (
-            probed.join(F.broadcast(seed_assign), "coarse_id")
+            probed.join(fine, "coarse_id")
             .withColumn("d", d_vs)
             .withColumn(
                 "rn",

@@ -445,8 +445,8 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode → K min-aggregates, one shuffle on doc_id; bucket self-join,
     one shuffle on bucket) with an engine-portable hash so DuckDB
     reproduces every intermediate value."""
-    _, _, cand = _checked_minhash_pipeline(spark, sf_dir)
-    return cand
+    docs, sig, cand = _checked_minhash_pipeline(spark, sf_dir)
+    return materialize_releasing(cand, sig, docs)
 
 
 def _checked_minhash_pipeline(
@@ -459,6 +459,10 @@ def _checked_minhash_pipeline(
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
         .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        # consumed by the signature build AND both exact-Jaccard re-attach
+        # sides of the audit; without persist each branch recomputes the
+        # tokenize+shingle scan (same rationale as the xxhash64 variant)
+        .persist()
     )
     posts = docs.select("doc_id", F.explode("sh").alias("sg"))
     aggs = [
@@ -467,7 +471,10 @@ def _checked_minhash_pipeline(
         ).alias(f"_m{i}")
         for i in range(_MH_CHECK_HASHES)
     ]
-    sig = posts.groupBy("doc_id").agg(*aggs)
+    # both sides of the bucket self-join below AND the audit's two
+    # signature re-attaches read sig — persist so the 16 min-aggregates
+    # run once.  Callers release via materialize_releasing(out, sig, docs).
+    sig = posts.groupBy("doc_id").agg(*aggs).persist()
     buckets = []
     for b in range(_MH_CHECK_BANDS):
         band = F.concat_ws(
@@ -1306,7 +1313,7 @@ def q_minhash_estimate_error_audit(
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     est = F.col("agr") / F.lit(float(_MH_CHECK_HASHES))
     exact = inter * F.lit(1.0) / union
-    return (
+    out = (
         paired.join(a_sh, "doc_id_1")
         .join(b_sh, "doc_id_2")
         .select(
@@ -1317,3 +1324,4 @@ def q_minhash_estimate_error_audit(
             F.round(est - exact, 5).alias("err5"),
         )
     )
+    return materialize_releasing(out, sig, docs)

@@ -231,7 +231,12 @@ def _priority_oracle() -> str:
     ), top AS (
       SELECT * FROM pri ORDER BY pri DESC, doc_id LIMIT {_PRI_K + 1}
     ), tau AS (
-      SELECT MIN(pri) AS t FROM top
+      -- DLT defines tau = 0 when the corpus has <= k rows (everything is
+      -- sampled and w_hat = w); only a full (k+1)-row frame yields a
+      -- threshold.  Mirrored exactly in the Spark side.
+      SELECT CASE WHEN COUNT(*) >= {_PRI_K + 1} THEN MIN(pri)
+                  ELSE 0.0 END AS t
+      FROM top
     ), ranked AS (
       SELECT doc_id, source, n_chars, pri,
              ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
@@ -274,7 +279,14 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pri"), F.asc("doc_id"))
         .limit(_PRI_K + 1)
     )
-    tau = top.agg(F.min("pri").alias("t"))
+    # DLT degenerate case: with n <= k rows there is no (k+1)-th priority
+    # and the paper defines tau = 0 (w_hat = w).  Without the guard tau
+    # would equal the smallest SAMPLED priority, biasing w_hat upward.
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) >= _PRI_K + 1, F.min("pri"))
+        .otherwise(F.lit(0.0))
+        .alias("t")
+    )
     from pyspark.sql import Window
 
     # the rank window spans only the (k+1)-row TakeOrdered result — a

@@ -257,3 +257,25 @@ def test_priority_sample_properties(spark, sf_dir):
         assert r.priority5 > 0, r
     # all non-dominated rows share ONE tau value
     assert len(taus) <= 1, taus
+
+
+def test_priority_sample_degenerate_tau_is_zero(spark, tmp_path):
+    """DLT degenerate case (ADVICE r10): with n <= k rows there is no
+    (k+1)-th priority and the paper defines tau = 0, so w_hat == w for
+    every sampled row.  Before the guard, tau equalled the smallest
+    SAMPLED priority and biased w_hat upward."""
+    from changesetmd_spark.operators.sampling import (
+        _PRI_K,
+        q_priority_sample_topk,
+    )
+
+    n = 5
+    assert n <= _PRI_K
+    spark.createDataFrame(
+        [(i, "s", 100 + i, "t") for i in range(n)],
+        "doc_id long, source string, n_chars long, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_priority_sample_topk(spark, str(tmp_path)).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r.w_hat5 == float(r.n_chars), r
