@@ -57,31 +57,34 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8),
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8),
+    "q_ann_recall_audit": (10,),
     "q_ann_verify_rerank": (6, 9),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9),
     "q_bbox_area_filter": (2, 3, 4, 5, 8),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8),
-    "q_bigram_lm_fluency": (7,),
-    "q_bitext_margin_mining": (9,),
+    "q_bigram_lm_fluency": (7, 10),
+    "q_bitext_margin_mining": (9, 10),
+    "q_bitext_margin_mining_ivf": (10,),
     "q_bloom_prefilter_join": (8,),
     "q_bm25_keyword_search": (2, 3, 4, 5, 8),
     "q_bpe_train_step": (9,),
-    "q_cdc_chunk_dedup": (7,),
+    "q_cdc_chunk_dedup": (7, 10),
     "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8),
     "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8),
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8),
     "q_cohort_retention": (7,),
     "q_contamination_ngram_overlap": (5, 8),
-    "q_countmin_estimates": (9,),
+    "q_countmin_estimates": (9, 10),
+    "q_countmin_sketch_only": (10,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8),
     "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8),
-    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7),
+    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10),
     "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8),
-    "q_dsir_importance_weights": (7,),
-    "q_duplicate_substring_spans": (7,),
+    "q_dsir_importance_weights": (7, 10),
+    "q_duplicate_substring_spans": (7, 10),
     "q_embedding_ann_checked": (6, 9),
     "q_embedding_ann_ivf": (1, 7, 9),
     "q_embedding_ann_ivf_checked": (8,),
@@ -92,63 +95,66 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_embedding_pca_power": (7, 9),
     "q_embedding_pq_adc": (8,),
     "q_embedding_random_projection": (8,),
-    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9),
-    "q_funnel_conversion": (7,),
+    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10),
+    "q_funnel_conversion": (7, 10),
     "q_fuzzy_name_pairs": (9,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9),
     "q_hard_negative_mining": (8,),
-    "q_heavy_hitter_terms": (7,),
+    "q_heavy_hitter_terms": (7, 10),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8),
-    "q_item_cooccurrence": (7,),
+    "q_item_cooccurrence": (7, 10),
     "q_json_typed_extract": (6, 9),
     "q_kcore_items": (8,),
     "q_kmeans_assign_update": (7, 9),
     "q_label_propagation": (8,),
-    "q_like_part_types": (2, 3, 4, 7),
-    "q_line_dedup_c4": (7,),
+    "q_like_part_types": (2, 3, 4, 7, 10),
+    "q_line_dedup_c4": (7, 10),
     "q_map_explode_tag_histogram": (6, 9),
     "q_map_key_existence": (1, 6, 9),
     "q_map_value_extract": (6, 9),
     "q_map_value_like": (6, 9),
     "q_media_shard_manifest": (7, 9),
-    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7),
-    "q_minhash_lsh_checked": (5, 6, 8),
+    "q_minhash_estimate_error_audit": (10,),
+    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10),
+    "q_minhash_lsh_checked": (5, 6, 8, 10),
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8),
     "q_multimodal_decode": (1, 2, 3, 4, 5, 8),
     "q_neardup_canonical": (8, 9),
-    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7),
-    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7),
-    "q_ngram_novelty": (7,),
-    "q_orders_per_month": (1, 2, 3, 4, 7),
+    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10),
+    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10),
+    "q_ngram_novelty": (7, 10),
+    "q_orders_per_month": (1, 2, 3, 4, 7, 10),
     "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8),
-    "q_pagerank_items": (7,),
+    "q_pagerank_items": (7, 10),
     "q_phrase_search": (9,),
     "q_pii_redaction_stats": (9,),
     "q_pipeline_curate_end_to_end": (5, 6, 8),
     "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9),
-    "q_ppjoin_similar_docs": (9,),
+    "q_ppjoin_similar_docs": (9, 10),
     "q_pps_systematic_sample": (9,),
+    "q_priority_sample_topk": (10,),
     "q_quality_percentile_gate": (8,),
-    "q_rag_chunk_overlap": (7,),
+    "q_rag_chunk_overlap": (7, 10),
     "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8),
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8),
-    "q_salted_join_skewed_types": (1, 7),
+    "q_salted_join_skewed_types": (1, 7, 10),
     "q_scd2_priority_history": (9,),
     "q_semdedup_clustered": (7, 9),
     "q_semdedup_ivf": (9,),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8),
-    "q_sequence_packing": (7,),
-    "q_series_ewma": (7,),
-    "q_series_linear_trend": (7,),
+    "q_sequence_packing": (7, 10),
+    "q_series_ewma": (7, 10),
+    "q_series_linear_trend": (7, 10),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8),
     "q_simhash_checked": (5, 6, 8),
-    "q_simhash_near_dup": (1, 2, 3, 4, 5, 7),
-    "q_sketch_cardinality_and_quantiles": (1, 7),
+    "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10),
+    "q_sketch_cardinality_and_quantiles": (1, 7, 10),
     "q_source_mixture_weights": (5, 8),
     "q_source_quota_sample": (2, 3, 4, 5, 8),
+    "q_stratified_sample_neyman": (10,),
     "q_stream_dedup_first_seen": (6, 9),
     "q_stream_purchase_attribution": (6, 9),
     "q_stream_rollup_hourly": (6, 9),
@@ -157,38 +163,38 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_stream_stateful_user_totals": (6, 9),
     "q_stream_tumbling_hourly": (6, 9),
     "q_table_profile": (9,),
-    "q_temperature_mixture": (7,),
+    "q_temperature_mixture": (7, 10),
     "q_text_blocklist_scrub": (5, 8),
-    "q_text_fingerprint": (1, 2, 3, 4, 5, 7),
-    "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7),
+    "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10),
+    "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10),
     "q_text_quality": (1, 2, 3, 4, 5, 6, 8),
-    "q_text_quality_by_source": (1, 2, 3, 4, 5, 7),
+    "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10),
     "q_text_repetition_quality": (5, 8),
-    "q_text_token_budget_by_source": (5, 7),
-    "q_text_token_stats": (2, 3, 4, 5, 7),
+    "q_text_token_budget_by_source": (5, 7, 10),
+    "q_text_token_stats": (2, 3, 4, 5, 7, 10),
     "q_tfidf_top_terms": (2, 3, 4, 5, 8),
-    "q_time_gapfill_interpolate": (7,),
-    "q_time_gapfill_locf": (7,),
-    "q_token_len_histogram": (7,),
+    "q_time_gapfill_interpolate": (7, 10),
+    "q_time_gapfill_locf": (7, 10),
+    "q_token_len_histogram": (7, 10),
     "q_train_test_split": (2, 3, 4, 5, 8),
-    "q_triangle_count": (7,),
+    "q_triangle_count": (7, 10),
     "q_txn_merge_snapshot": (6, 9),
     "q_type_transition_matrix": (7,),
-    "q_unigram_prob_mass": (7,),
-    "q_unpivot_quantity_price": (1, 2, 3, 4, 7),
+    "q_unigram_prob_mass": (7, 10),
+    "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8),
     "q_user_value_deciles": (7, 9),
-    "q_value_mad_outliers": (7,),
+    "q_value_mad_outliers": (7, 10),
     "q_value_percentiles_per_type": (1, 6, 9),
-    "q_vocab_growth": (8, 9),
-    "q_vocab_growth_sketched": (9,),
+    "q_vocab_growth": (8, 9, 10),
+    "q_vocab_growth_sketched": (9, 10),
     "q_window_running_total": (1, 2, 3, 4, 5, 6, 8),
     "q_window_session_per_user": (6, 9),
     "q_window_sliding": (6, 9),
     "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8),
     "q_window_trailing_hour_sum": (6, 9),
     "q_window_tumbling_hourly": (6, 9),
-    "q_winnowed_fingerprints": (7,),
+    "q_winnowed_fingerprints": (7, 10),
     "q_zorder_layout": (8,),
 }
 
@@ -219,8 +225,8 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
     "q_bigram_lm_fluency": "6a3bbc058f88",
-    "q_bitext_margin_mining": "efa8bcfa39a3",
-    "q_bitext_margin_mining_ivf": "d913b4652529",
+    "q_bitext_margin_mining": "0b40129ff8a2",
+    "q_bitext_margin_mining_ivf": "838aa2186673",
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "c04762ebe930",
@@ -230,7 +236,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_changeset_join_comments": "67e155a3df90",
     "q_cohort_retention": "0e48ae730a60",
     "q_contamination_ngram_overlap": "007fd8327408",
-    "q_countmin_estimates": "d55b926cfdc6",
+    "q_countmin_estimates": "8797ed161fdc",
     "q_countmin_sketch_only": "fb8a34413f0a",
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_dedup_exact": "694e16905ec0",
@@ -238,7 +244,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dedup_groups": "178c907f8716",
     "q_distinct_counts": "b7644aa98416",
     "q_dsir_importance_weights": "e894c9ce8d97",
-    "q_duplicate_substring_spans": "d1f2a8dafa33",
+    "q_duplicate_substring_spans": "924f03a2e00c",
     "q_embedding_ann_checked": "4702c5d0fb1f",
     "q_embedding_ann_ivf": "77f3261e726c",
     "q_embedding_ann_ivf_checked": "822e4062996d",
@@ -249,7 +255,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_pca_power": "a5c327894b93",
     "q_embedding_pq_adc": "ca3f851a4f55",
     "q_embedding_random_projection": "cbb1337a04df",
-    "q_embedding_topk_cosine": "551df2606fac",
+    "q_embedding_topk_cosine": "934645d48971",
     "q_funnel_conversion": "4937330f3d66",
     "q_fuzzy_name_pairs": "d7792924e350",
     "q_grouping_sets_order_stats": "9a27415adf92",
@@ -268,9 +274,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_value_extract": "ff6e348356a3",
     "q_map_value_like": "e0dfef91f1e6",
     "q_media_shard_manifest": "75af061d14f8",
-    "q_minhash_estimate_error_audit": "9b03f697398a",
+    "q_minhash_estimate_error_audit": "48a3536a5a97",
     "q_minhash_lsh_candidates": "c0b664190cc7",
-    "q_minhash_lsh_checked": "f5ee6e0464de",
+    "q_minhash_lsh_checked": "c7023bf67cf3",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "70e6af535d73",
     "q_neardup_canonical": "e2cad7f30322",
@@ -284,9 +290,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_pii_redaction_stats": "f5899ceda80a",
     "q_pipeline_curate_end_to_end": "619268fad749",
     "q_pivot_status_by_priority": "8de452afe200",
-    "q_ppjoin_similar_docs": "f98468c17452",
+    "q_ppjoin_similar_docs": "71cf21bce319",
     "q_pps_systematic_sample": "4d89e3d292ab",
-    "q_priority_sample_topk": "bd8536623ce3",
+    "q_priority_sample_topk": "99c7ac328f46",
     "q_quality_percentile_gate": "cff9f3163c44",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",
     "q_range_join_shipments_in_window": "b11f59c7709e",
@@ -340,8 +346,8 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_user_value_deciles": "08499d201391",
     "q_value_mad_outliers": "76767b7f944e",
     "q_value_percentiles_per_type": "db145439f0ba",
-    "q_vocab_growth": "731c61efd545",
-    "q_vocab_growth_sketched": "2ff52bb002e9",
+    "q_vocab_growth": "4702706bc4a5",
+    "q_vocab_growth_sketched": "cb7d63b54367",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "b9a862e5e873",
     "q_window_sliding": "1f71aa30c65f",
