@@ -1,0 +1,169 @@
+"""Classifier-calibration audit (SURVEY §2.11 E4/E5 extension — the
+quality-classifier reliability check a training-data pipeline runs before
+trusting model scores to gate documents).
+
+A fastText-style quality classifier emits a confidence per document; data
+curation then thresholds on it (CCNet, DCLM).  Before the threshold is
+trusted, the scores are audited for CALIBRATION: bucket the corpus into
+confidence bins and compare each bin's mean confidence against its
+empirical positive rate — the reliability diagram whose weighted gap sum
+is the Expected Calibration Error (Naeini et al. 2015's binned ECE).
+
+Here the "classifier" is a deterministic linear probe over ``embeddings``
+(cosine against a pinned md5-derived probe vector, mapped to [0, 1]) and
+the label is ``label % 2``, so both engines reproduce every score
+bit-for-bit.  Determinism discipline: the per-row score is a sequential
+left fold; the per-BIN aggregates are pinned by summing the score as a
+round-half-up INTEGER (1e5 grid) — integer sums are exact and
+order-independent, so the bin means never depend on Spark's partial-agg
+order the way a double SUM would.
+
+Reference parity: the reference has no classifier tier; this extends it
+per the mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .similarity import dot, l2_norm, to_double_vec
+
+_DIM = 64
+_N_BINS = 10
+_GRID = 100_000  # score quantization grid (1e-5), matching the 5-dp round
+# logit temperature: raw probe cosines on this corpus live in ~[-0.3, 0.3];
+# the x4 gain (clamped to [-1, 1]) spreads scores across the deciles so
+# the reliability diagram exercises more than the middle bins.  Pure
+# multiply + clamp: IEEE-identical across engines.
+_TEMP = 4.0
+
+
+def _probe_sql() -> str:
+    """The pinned probe vector as a DuckDB ordered list: component j is an
+    md5-derived integer in [-1000, 1000] scaled to [-1, 1] — the same
+    pinned-row trick as the PQ codebook."""
+    return f"""
+      SELECT list(p ORDER BY i) AS pr,
+             sqrt(list_reduce(list_transform(list(p ORDER BY i),
+                                             x -> x * x),
+                              (a, b) -> a + b)) AS pn
+      FROM (
+        SELECT i,
+               ((('0x' || substr(md5('probe:' || CAST(i - 1 AS VARCHAR)),
+                                 1, 15))::BIGINT % 2001) - 1000) / 1000.0
+                 AS p
+        FROM generate_series(1, {_DIM}) s(i)
+      )
+    """
+
+
+def _ece_oracle() -> str:
+    return f"""
+    WITH probe AS ({_probe_sql()}),
+    v AS (
+      SELECT vec_id, label % 2 AS y,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, y, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM v
+      WHERE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) > 0
+    ), scored AS (
+      SELECT y,
+             CAST(floor(
+               (1.0 + GREATEST(-1.0, LEAST(1.0,
+                  {_TEMP!r} * list_reduce(
+                    list_transform(generate_series(1, {_DIM}),
+                                   i -> e[i] * pr[i]), (a, b) -> a + b)
+                    / (nrm * pn)))) / 2.0 * {_GRID} + 0.5
+             ) AS BIGINT) AS s_int
+      FROM n, probe
+    ), binned AS (
+      SELECT LEAST(s_int // {_GRID // _N_BINS}, {_N_BINS - 1}) AS bin,
+             y, s_int
+      FROM scored
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(s_int) / (COUNT(*) * {_GRID}.0), 5) AS conf5,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 5) AS acc5,
+           ROUND(abs(SUM(s_int) / (COUNT(*) * {_GRID}.0)
+                     - SUM(y) * 1.0 / COUNT(*)), 5) AS gap5
+    FROM binned GROUP BY bin
+    """
+
+
+def probe_vector():
+    """The pinned probe as a constant Spark array expression (Catalyst
+    constant-folds the md5-of-literal components at plan time)."""
+    comps = [
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.lit(f"probe:{j}")), 1, 15), 16, 10
+                ).cast("long")
+                % 2001
+            )
+            - 1000
+        )
+        / F.lit(1000.0)
+        for j in range(_DIM)
+    ]
+    return F.array(*comps)
+
+
+@register("q_calibration_ece_bins", oracle=_ece_oracle())
+def q_calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a deterministic linear-probe quality
+    classifier over ``embeddings``: per confidence decile, the row count,
+    positive count, mean confidence, empirical accuracy, and |gap| — the
+    inputs to binned ECE (the referee test assembles the weighted sum and
+    pins totality).
+
+    Scale shape (100 TB): the score is a map-side fold against a pinned
+    constant probe (no data-derived broadcast at all); the only exchange
+    is the {B}-group partial aggregate, whose reduce side carries {B} rows
+    per task regardless of corpus size.  Bin means are integer-pinned
+    (round-half-up 1e-5 grid, summed as BIGINT) so the aggregation is
+    exact and order-independent — a double SUM's partial-order would not
+    hash-check.""".replace("{B}", str(_N_BINS))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        to_double_vec(F.col("embedding")).alias("e"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    emb = emb.filter(sq > 0).withColumn("nrm", F.sqrt(sq))
+    pr = probe_vector()
+    cs = dot(F.col("e"), pr) / (F.col("nrm") * l2_norm(pr))
+    sharp = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.lit(_TEMP) * cs))
+    s_int = F.floor(
+        (F.lit(1.0) + sharp) / F.lit(2.0) * _GRID + F.lit(0.5)
+    ).cast("long")
+    scored = emb.select("y", s_int.alias("s_int"))
+    # integer floor-division — never a double divide feeding a cast
+    bin_col = F.least(
+        F.expr(f"s_int div {_GRID // _N_BINS}"),
+        F.lit(_N_BINS - 1).cast("long"),
+    ).cast("int")
+    conf = F.sum("s_int") / (F.count(F.lit(1)) * F.lit(float(_GRID)))
+    acc = F.sum("y") * F.lit(1.0) / F.count(F.lit(1))
+    return (
+        scored.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(conf, 5).alias("conf5"),
+            F.round(acc, 5).alias("acc5"),
+            F.round(F.abs(conf - acc), 5).alias("gap5"),
+        )
+    )

@@ -1267,6 +1267,15 @@ def _mh_audit_oracle() -> str:
     """
 
 
+def minhash_audit_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(audit frame, persisted sig, persisted docs) — un-materialized, so
+    plan tests can inspect the physical plan before the localCheckpoint
+    erases it; callers must unpersist sig/docs."""
+    return _minhash_audit_build(spark, sf_dir)
+
+
 @register("q_minhash_estimate_error_audit", oracle=_mh_audit_oracle())
 def q_minhash_estimate_error_audit(
     spark: SparkSession, sf_dir: str
@@ -1285,6 +1294,13 @@ def q_minhash_estimate_error_audit(
     pairs, the same only-verify-candidates discipline as
     `q_neardup_verify_jaccard`.  Output rows = candidate pairs (sketch-
     bounded), not corpus pairs.""".replace("{K}", str(_MH_CHECK_HASHES))
+    out, sig, docs = _minhash_audit_build(spark, sf_dir)
+    return materialize_releasing(out, sig, docs)
+
+
+def _minhash_audit_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     docs, sig, cand = _checked_minhash_pipeline(spark, sf_dir)
     a_sig = sig.select(
         F.col("doc_id").alias("doc_id_1"),
@@ -1324,4 +1340,68 @@ def q_minhash_estimate_error_audit(
             F.round(est - exact, 5).alias("err5"),
         )
     )
-    return materialize_releasing(out, sig, docs)
+    return out, sig, docs
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot exact dedup ([extension]): the ingest-time
+# pass every continuously-crawled 100 TB corpus runs — dedup the INCOMING
+# batch against itself, then anti-join its content hashes against the
+# already-ingested base so only genuinely new documents land.  Snapshot
+# split here: even doc_ids are the base corpus, odd doc_ids the incoming
+# batch (deterministic, so the whole pass hash-checks).
+
+
+@register(
+    "q_incremental_hash_dedup",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS content_hash
+      FROM documents
+    ), batch AS (
+      SELECT content_hash,
+             MIN(doc_id) AS keep_doc_id,
+             arg_min(source, doc_id) AS source,
+             COUNT(*) AS n_batch_dups
+      FROM keyed WHERE doc_id % 2 = 1
+      GROUP BY content_hash
+    )
+    SELECT b.content_hash, b.keep_doc_id, b.source, b.n_batch_dups
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM keyed k
+      WHERE k.doc_id % 2 = 0 AND k.content_hash = b.content_hash
+    )
+    """,
+)
+def q_incremental_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: normalize text (lower+trim), content-hash
+    it, first-seen-wins dedup WITHIN the incoming batch (min doc_id per
+    hash), then LEFT ANTI join against the base snapshot's hashes — the
+    surviving rows are the only documents the ingest appends.
+
+    Scale shape (100 TB): hashes are computed map-side (md5 in
+    whole-stage codegen); the batch self-dedup is one hash-partitioned
+    aggregate on content_hash with map-side combine, and the anti-join
+    reuses the SAME key, so Spark's EnsureRequirements inserts no second
+    exchange on the deduped side.  Shuffle payload is (hash, id, source)
+    — never the document text.  The base side ships only its hash column
+    (column pruning reaches the scan)."""
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    batch = (
+        keyed.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.count(F.lit(1)).alias("n_batch_dups"),
+        )
+    )
+    base = keyed.filter(F.col("doc_id") % 2 == 0).select("content_hash")
+    return batch.join(base, "content_hash", "left_anti").select(
+        "content_hash", "keep_doc_id", "source", "n_batch_dups"
+    )

@@ -108,3 +108,107 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_max"),
         F.round(fold_sum(dequant_sq) / F.lit(float(_DIM)), 10).alias("mse10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit ([extension]): MRL-style embeddings serve
+# truncated prefixes (d/2, d/4) to cut ANN memory 2-4x; before switching a
+# retrieval tier to a prefix, you audit how well truncated cosine tracks
+# full cosine and whether dedup decisions (cos >= threshold) flip.  Same
+# deterministic-pair discipline as q_neardup_verify_jaccard: candidates
+# are consecutive vec_ids so the audit itself is hash-checkable.
+_MRL_THRESH = 0.8
+
+
+def _matryoshka_oracle() -> str:
+    def cos(d: int) -> str:
+        # unrounded: the agree flag must compare the SAME doubles Spark
+        # compares, never the display-rounded values
+        return f"""(
+          list_reduce(list_transform(generate_series(1, {d}),
+                                     i -> a.e[i] * b.e[i]), (p, c) -> p + c)
+          / (sqrt(list_reduce(list_transform(generate_series(1, {d}),
+                                             i -> a.e[i] * a.e[i]),
+                              (p, c) -> p + c))
+             * sqrt(list_reduce(list_transform(generate_series(1, {d}),
+                                               i -> b.e[i] * b.e[i]),
+                                (p, c) -> p + c))))"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), nz AS (
+      SELECT vec_id, e FROM v
+      WHERE list_reduce(list_transform(list_slice(e, 1, {_DIM // 4}),
+                                       x -> x * x), (p, c) -> p + c) > 0
+    ), pairs AS (
+      SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+             {cos(_DIM)} AS cf, {cos(_DIM // 2)} AS ch,
+             {cos(_DIM // 4)} AS cq
+      FROM nz a JOIN nz b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT vec_id_1, vec_id_2,
+           ROUND(cf, 5) AS cos_full5,
+           ROUND(ch, 5) AS cos_half5,
+           ROUND(cq, 5) AS cos_quarter5,
+           (ch >= {_MRL_THRESH}) = (cf >= {_MRL_THRESH}) AS half_agree
+    FROM pairs
+    """
+
+
+@register("q_matryoshka_truncation_audit", oracle=_matryoshka_oracle())
+def q_matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: cosine over the full {D} dims vs
+    the {D2}-dim and {D4}-dim prefixes for deterministic consecutive-id
+    pairs, plus whether the d/2 prefix AGREES with the full vector on the
+    cos >= {T} dedup decision.  Every reduction is a sequential left fold
+    over the sliced prefix, so all three cosines hash-check against DuckDB
+    bit-for-bit before rounding.
+
+    Scale shape (100 TB): two map-side projections and ONE shuffle
+    equi-join on vec_id — identical plan class to
+    `q_neardup_verify_jaccard`; no corpus cross-product, output rows =
+    input rows - 1.  The d/4-prefix-norm > 0 filter drops degenerate
+    vectors identically on both engines (a zero prefix makes the
+    truncated cosine undefined).""".replace("{D}", str(_DIM)).replace(
+        "{D2}", str(_DIM // 2)
+    ).replace("{D4}", str(_DIM // 4)).replace("{T}", str(_MRL_THRESH))
+    from .similarity import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    q = _DIM // 4
+    emb = emb.filter(
+        F.aggregate(
+            F.transform(F.slice(F.col("e"), 1, q), lambda x: x * x),
+            F.lit(0.0),
+            lambda p, c: p + c,
+        )
+        > 0
+    )
+
+    def cos_d(d: int):
+        ea = F.slice(F.col("ea"), 1, d)
+        eb = F.slice(F.col("eb"), 1, d)
+        return dot(ea, eb) / (l2_norm(ea) * l2_norm(eb))
+
+    a = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("e").alias("eb"))
+    t = F.lit(_MRL_THRESH)
+    return (
+        a.join(b, F.col("vec_id_2") == F.col("vec_id_1") + 1)
+        .select(
+            "vec_id_1",
+            "vec_id_2",
+            F.round(cos_d(_DIM), 5).alias("cos_full5"),
+            F.round(cos_d(_DIM // 2), 5).alias("cos_half5"),
+            F.round(cos_d(_DIM // 4), 5).alias("cos_quarter5"),
+            ((cos_d(_DIM // 2) >= t) == (cos_d(_DIM) >= t)).alias(
+                "half_agree"
+            ),
+        )
+    )

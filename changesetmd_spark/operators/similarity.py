@@ -1681,3 +1681,90 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-threshold sensitivity sweep ([extension]): before committing a
+# SemDeDup/near-dup pass to a cosine threshold, sweep the candidate-pair
+# duplicate rate across thresholds in ONE scan — the curve that picks the
+# operating point.  Thresholds are integer basis points so the grouping
+# key is never a float; each pair's cosine is the usual sequential fold,
+# so the >= comparisons agree bit-for-bit across engines.
+# 0.05 .. 0.50 brackets this synthetic corpus's cosine support (pairs are
+# near-orthogonal, max ~0.51); production would center the sweep on the
+# dedup operating point — the operator is range-agnostic.
+_SWEEP_BP = tuple(range(500, 5500, 500))
+
+
+def _sweep_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (p, c) -> p + c)) AS nrm
+      FROM v
+      WHERE list_reduce(list_transform(e, x -> x * x), (p, c) -> p + c) > 0
+    ), pairs AS (
+      SELECT list_reduce(list_transform(generate_series(1, {_DIM}),
+                                        i -> a.e[i] * b.e[i]),
+                         (p, c) -> p + c) / (a.nrm * b.nrm) AS cs
+      FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT t_bp,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cs >= t_bp / 10000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN cs >= t_bp / 10000.0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 5) AS dup_rate5
+    FROM pairs, (SELECT unnest({list(_SWEEP_BP)}) AS t_bp)
+    GROUP BY t_bp
+    """
+
+
+@register("q_dedup_threshold_sweep", oracle=_sweep_oracle())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity curve: for each cosine threshold in
+    {BP} basis points, the fraction of deterministic consecutive-id
+    candidate pairs at or above it — one scan, ten numbers, the evidence
+    a SemDeDup rollout uses to pick its operating threshold.
+
+    Scale shape (100 TB): cosines are map-side after ONE equi-join shuffle
+    on vec_id (the q_neardup_verify_jaccard plan class); the threshold
+    explode multiplies rows by a CONSTANT {K} before a 10-group partial
+    aggregate, so the exchange after it carries {K} rows per task no
+    matter the corpus size.  Integer basis-point keys keep the groupBy off
+    doubles.""".replace("{BP}", f"{_SWEEP_BP[0]}-{_SWEEP_BP[-1]}").replace(
+        "{K}", str(len(_SWEEP_BP))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda p, c: p + c
+    )
+    emb = emb.filter(sq > 0).withColumn("nrm", F.sqrt(sq))
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("v2") == F.col("v1") + 1).select(
+        (
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        ).alias("cs")
+    )
+    swept = pairs.withColumn(
+        "t_bp", F.explode(F.array(*[F.lit(bp) for bp in _SWEEP_BP]))
+    )
+    hit = (F.col("cs") >= F.col("t_bp") / F.lit(10000.0)).cast("long")
+    return swept.groupBy("t_bp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(hit).alias("n_dup"),
+        F.round(F.sum(hit) * F.lit(1.0) / F.count(F.lit(1)), 5).alias(
+            "dup_rate5"
+        ),
+    )

@@ -230,6 +230,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "c04762ebe930",
+    "q_calibration_ece_bins": "a2603cce774a",
     "q_cdc_chunk_dedup": "54b08c6f158c",
     "q_changeset_comments_explode": "e28cdf81faff",
     "q_changeset_ingest_normalize": "91a73d69bd16",
@@ -242,6 +243,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",
     "q_dedup_groups": "178c907f8716",
+    "q_dedup_threshold_sweep": "33a9886b4b20",
     "q_distinct_counts": "b7644aa98416",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_duplicate_substring_spans": "924f03a2e00c",
@@ -261,6 +263,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
+    "q_incremental_hash_dedup": "2950e32a06da",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
     "q_json_typed_extract": "c88841a31644",
@@ -273,6 +276,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_key_existence": "8c8f6be9009b",
     "q_map_value_extract": "ff6e348356a3",
     "q_map_value_like": "e0dfef91f1e6",
+    "q_matryoshka_truncation_audit": "a7836b0b556b",
     "q_media_shard_manifest": "75af061d14f8",
     "q_minhash_estimate_error_audit": "48a3536a5a97",
     "q_minhash_lsh_candidates": "c0b664190cc7",
@@ -404,6 +408,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         bitext,
         bloomjoin,
+        calibration,
         changesets,
         cooccurrence,
         corpus,

@@ -598,9 +598,15 @@ def test_minhash_audit_wide_agreement_no_explode(spark, sf_dir):
     be a WIDE-column compare inside one projection — the plan must carry the
     16 signature min-aggregates (hash-partitioned by doc_id) and must never
     cartesian; the exact-Jaccard stage joins candidate pairs only."""
-    df = QS["q_minhash_estimate_error_audit"](spark, sf_dir)
-    plan = _physical_plan(df)
-    assert "CartesianProduct" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
-    # the signature build is the checked-LSH pipeline: 16 min() aggregates
-    assert plan.count("min(") >= 16 or plan.count("partial_min") >= 16, plan
+    from changesetmd_spark.operators.dedup import minhash_audit_plan
+
+    df, sig, docs = minhash_audit_plan(spark, sf_dir)
+    try:
+        plan = _physical_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        # the signature build is the checked-LSH pipeline: 16 min() aggregates
+        assert plan.count("min(") >= 16 or plan.count("partial_min") >= 16, plan
+    finally:
+        sig.unpersist()
+        docs.unpersist()

@@ -1,0 +1,149 @@
+"""Referee tests for the round-11 operators: Matryoshka truncation audit,
+dedup-threshold sweep, calibration ECE bins, incremental hash dedup.
+Each pins a property the DuckDB hash-check cannot see (cross-engine
+agreement proves both engines compute the same thing, not that the thing
+is right)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import TEST_SF_DIR as _  # noqa: F401  (fixture reuse)
+
+
+def test_matryoshka_cosines_bounded_and_self_consistent(spark, sf_dir):
+    """Every truncated/full cosine lies in [-1, 1]; half_agree recomputes
+    from the rounded columns wherever the rounded values are not boundary-
+    ambiguous; a numpy referee reproduces full-dim cosine."""
+    import numpy as np
+
+    from changesetmd_spark.operators.quantize import (
+        _MRL_THRESH,
+        q_matryoshka_truncation_audit,
+    )
+
+    rows = q_matryoshka_truncation_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for c in (r.cos_full5, r.cos_half5, r.cos_quarter5):
+            assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9, r
+        # away from the threshold the rounded columns decide agreement
+        if (
+            abs(r.cos_half5 - _MRL_THRESH) > 1e-4
+            and abs(r.cos_full5 - _MRL_THRESH) > 1e-4
+        ):
+            assert r.half_agree == (
+                (r.cos_half5 >= _MRL_THRESH) == (r.cos_full5 >= _MRL_THRESH)
+            ), r
+
+    # numpy referee on a handful of pairs
+    emb = {
+        x.vec_id: np.array(x.embedding, dtype=np.float64)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for r in rows[:20]:
+        a, b = emb[r.vec_id_1], emb[r.vec_id_2]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(want - r.cos_full5) < 1e-4, (r, want)
+
+
+def test_threshold_sweep_monotone_and_total(spark, sf_dir):
+    """n_dup is non-increasing in the threshold, n_pairs is constant across
+    rows, dup_rate5 == n_dup/n_pairs, and every configured threshold is
+    present exactly once."""
+    from changesetmd_spark.operators.similarity import (
+        _SWEEP_BP,
+        q_dedup_threshold_sweep,
+    )
+
+    rows = sorted(
+        q_dedup_threshold_sweep(spark, sf_dir).collect(), key=lambda r: r.t_bp
+    )
+    assert [r.t_bp for r in rows] == sorted(_SWEEP_BP)
+    totals = {r.n_pairs for r in rows}
+    assert len(totals) == 1
+    last = None
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_pairs, r
+        assert abs(r.dup_rate5 - r.n_dup / r.n_pairs) < 1e-5, r
+        if last is not None:
+            assert r.n_dup <= last, rows
+        last = r.n_dup
+
+
+def test_calibration_bins_total_and_ece(spark, sf_dir):
+    """Bin totality (sum n == corpus rows with nonzero norm), bin ids in
+    range, gap5 == |conf5 - acc5| up to rounding, and the weighted ECE
+    assembled from the bins is finite and in [0, 1]."""
+    from changesetmd_spark.operators.calibration import (
+        _N_BINS,
+        q_calibration_ece_bins,
+    )
+
+    rows = q_calibration_ece_bins(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n for r in rows)
+    n_vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert n_total == n_vecs  # synthetic vectors are never all-zero
+    for r in rows:
+        assert 0 <= r.bin < _N_BINS, r
+        assert 0 <= r.n_pos <= r.n, r
+        assert abs(r.gap5 - abs(r.conf5 - r.acc5)) <= 2e-5, r
+    ece = sum(r.n * r.gap5 for r in rows) / n_total
+    assert 0.0 <= ece <= 1.0 and math.isfinite(ece)
+
+
+def test_incremental_hash_dedup_semantics(spark, tmp_path):
+    """Constructed-corpus referee: base = {A}, incoming = {A, B, B, C} →
+    survivors are B (kept once, n_batch_dups 2, min doc_id wins) and C;
+    A is suppressed by the base anti-join.  Normalization (lower+trim)
+    must unify case/whitespace variants."""
+    from changesetmd_spark.operators.dedup import q_incremental_hash_dedup
+
+    rows_in = [
+        (0, "s0", "Alpha text", "en", 10),   # base: A
+        (2, "s0", "unrelated base", "en", 14),
+        (1, "s1", "  alpha TEXT ", "en", 13),  # incoming: A (normalizes to base)
+        (3, "s2", "bravo", "en", 5),           # incoming: B
+        (5, "s3", "BRAVO  ", "en", 7),         # incoming: B dup? (trim+lower → "bravo  "→"bravo"? trailing spaces trimmed)
+        (7, "s4", "charlie", "en", 7),         # incoming: C
+    ]
+    spark.createDataFrame(
+        rows_in, "doc_id long, source string, text string, lang string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.keep_doc_id: r
+        for r in q_incremental_hash_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {3, 7}, out
+    assert out[3].n_batch_dups == 2 and out[3].source == "s2"
+    assert out[7].n_batch_dups == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_matryoshka_truncation_audit",
+        "q_dedup_threshold_sweep",
+        "q_calibration_ece_bins",
+        "q_incremental_hash_dedup",
+    ],
+)
+def test_r11_plan_shapes(spark, sf_dir, name):
+    """None of the round-11 operators may plan a cartesian / nested-loop
+    pair enumeration or a SinglePartition funnel."""
+    from changesetmd_spark import registry
+
+    plan = (
+        registry.queries()[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "Exchange SinglePartition" not in plan, name
