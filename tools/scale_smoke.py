@@ -187,6 +187,15 @@ QUERIES = [
     "q_salted_join_skewed_types",
     "q_value_percentiles_per_type",
     "q_json_typed_extract",
+    # r11: incremental ingest dedup — hash-key-aligned aggregate + anti-join
+    "q_incremental_hash_dedup",
+    # r11: MRL truncation audit — one vec_id equi-join, map-side folds
+    "q_matryoshka_truncation_audit",
+    # r11: calibration deciles — pinned-probe map-side score, 10-group agg
+    "q_calibration_ece_bins",
+    # r11: threshold sensitivity curve — constant ×10 explode into a
+    # 10-group partial aggregate after the pair join
+    "q_dedup_threshold_sweep",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
