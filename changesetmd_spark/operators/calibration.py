@@ -41,10 +41,11 @@ _GRID = 100_000  # score quantization grid (1e-5), matching the 5-dp round
 _TEMP = 4.0
 
 
-def _probe_sql() -> str:
-    """The pinned probe vector as a DuckDB ordered list: component j is an
+def _probe_sql(salt: str = "probe") -> str:
+    """A pinned vector as a DuckDB ordered list: component j is an
     md5-derived integer in [-1000, 1000] scaled to [-1, 1] — the same
-    pinned-row trick as the PQ codebook."""
+    pinned-row trick as the PQ codebook.  ``salt`` derives independent
+    vectors (calibration probe, hybrid-search query, ...)."""
     return f"""
       SELECT list(p ORDER BY i) AS pr,
              sqrt(list_reduce(list_transform(list(p ORDER BY i),
@@ -52,7 +53,7 @@ def _probe_sql() -> str:
                               (a, b) -> a + b)) AS pn
       FROM (
         SELECT i,
-               ((('0x' || substr(md5('probe:' || CAST(i - 1 AS VARCHAR)),
+               ((('0x' || substr(md5('{salt}:' || CAST(i - 1 AS VARCHAR)),
                                  1, 15))::BIGINT % 2001) - 1000) / 1000.0
                  AS p
         FROM generate_series(1, {_DIM}) s(i)
@@ -99,14 +100,15 @@ def _ece_oracle() -> str:
     """
 
 
-def probe_vector():
-    """The pinned probe as a constant Spark array expression (Catalyst
-    constant-folds the md5-of-literal components at plan time)."""
+def probe_vector(salt: str = "probe"):
+    """A pinned vector as a constant Spark array expression (Catalyst
+    constant-folds the md5-of-literal components at plan time).  Mirrors
+    ``_probe_sql``: same salt → same vector in both engines."""
     comps = [
         (
             (
                 F.conv(
-                    F.substring(F.md5(F.lit(f"probe:{j}")), 1, 15), 16, 10
+                    F.substring(F.md5(F.lit(f"{salt}:{j}")), 1, 15), 16, 10
                 ).cast("long")
                 % 2001
             )

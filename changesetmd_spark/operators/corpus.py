@@ -587,3 +587,207 @@ def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("canonical_doc")).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion ([extension]): the serving
+# pattern of a RAG / retrieval pipeline — a lexical arm (BM25 over the
+# fixed keyword query) and a vector arm (cosine against a pinned query
+# embedding) each nominate a top-pool, and the two rank lists fuse by
+# RRF(d) = sum over arms of 1/(k + rank_arm(d)) (Cormack et al. 2009,
+# k = 60).  Documents and vectors are identified by the shared id space
+# (vec_id == doc_id in the synthetic corpus).
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_TOP = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .calibration import _probe_sql
+
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    score = " + ".join(
+        f"(ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({_BM25_K1} + 1) / (tf_{i} + {norm}))"
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d
+    ), g AS (
+      SELECT {df_cols} FROM t
+    ), lexpool AS (
+      SELECT doc_id, ROUND({score}, 4) AS s_lex
+      FROM t CROSS JOIN s CROSS JOIN g
+      WHERE {matched} > 0
+      ORDER BY s_lex DESC, doc_id LIMIT {_RRF_POOL}
+    ), lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s_lex DESC, doc_id) AS lex_rank
+      FROM lexpool
+    ), qv AS ({_probe_sql("hq")}),
+    ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), en AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM ev
+      WHERE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) > 0
+    ), vecpool AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_reduce(
+                     list_transform(generate_series(1, 64),
+                                    i -> e[i] * pr[i]), (a, b) -> a + b)
+                   / (nrm * pn), 5) AS s_vec
+      FROM en, qv
+      ORDER BY s_vec DESC, doc_id LIMIT {_RRF_POOL}
+    ), vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s_vec DESC, doc_id) AS vec_rank
+      FROM vecpool
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank,
+           CAST(COALESCE(vec_rank, 0) AS INT) AS vec_rank,
+           ROUND(rrf, 5) AS rrf5
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """
+
+
+@register("q_hybrid_rrf_search", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal rank: BM25
+    (fixed {T}-term query) and pinned-query-embedding cosine each nominate
+    their top-{P}; ranks fuse as 1/({K}+r_lex) + 1/({K}+r_vec); top-{N}
+    fused results with both arm ranks (0 = not nominated by that arm).
+
+    Scale shape (100 TB): each arm is one corpus scan ending in a
+    TakeOrdered top-{P} (per-partition heads, no global sort, no
+    SinglePartition over the corpus); the rank windows and the full-outer
+    fusion join run on two {P}-row frames — bounded, the priority-sample
+    window class.  Ranks fuse from ROUNDED arm scores with doc_id
+    tie-breaks, so rank assignment is engine-exact.""".replace(
+        "{T}", str(len(_BM25_TERMS))
+    ).replace("{P}", str(_RRF_POOL)).replace("{K}", str(_RRF_K)).replace(
+        "{N}", str(_RRF_TOP)
+    )
+    from .calibration import probe_vector
+    from .similarity import dot, to_double_vec
+
+    # lexical arm — same fixed-order per-term expression sum as
+    # q_bm25_keyword_search (kept self-contained so the witnessed BM25
+    # query's fingerprint is untouched)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        *[
+            F.size(F.filter(tokens(F.col("text")), _eq(term))).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    nrm = _BM25_K1 * (1 - _BM25_B) + F.lit(_BM25_B * _BM25_K1) * F.col(
+        "dl"
+    ) / F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        part = idf * F.col(f"tf_{i}") * (_BM25_K1 + 1) / (F.col(f"tf_{i}") + nrm)
+        score = part if score is None else score + part
+    matched = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    lexpool = (
+        t.crossJoin(F.broadcast(stats))
+        .filter(matched > 0)
+        .select("doc_id", F.round(score, 4).alias("s_lex"))
+        .orderBy(F.desc("s_lex"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    # the rank window spans only the pool-row TakeOrdered result
+    lex = lexpool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s_lex"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+
+    # vector arm — pinned query embedding, map-side cosine fold
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_vec(F.col("embedding")).alias("e"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    qv = probe_vector("hq")
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(qv, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    cs = dot(F.col("e"), qv) / (F.sqrt(sq) * qn)
+    vecpool = (
+        emb.filter(sq > 0)
+        .select("doc_id", F.round(cs, 5).alias("s_vec"))
+        .orderBy(F.desc("s_vec"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    vec = vecpool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s_vec"), F.asc("doc_id")))
+        .alias("vec_rank"),
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn("rrf", rrf)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("int").alias("vec_rank"),
+            F.round("rrf", 5).alias("rrf5"),
+        )
+    )

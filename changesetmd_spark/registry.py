@@ -263,6 +263,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
+    "q_hybrid_rrf_search": "d3d84d25b602",
     "q_incremental_hash_dedup": "2950e32a06da",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",

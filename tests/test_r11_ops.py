@@ -109,7 +109,7 @@ def test_incremental_hash_dedup_semantics(spark, tmp_path):
         (2, "s0", "unrelated base", "en", 14),
         (1, "s1", "  alpha TEXT ", "en", 13),  # incoming: A (normalizes to base)
         (3, "s2", "bravo", "en", 5),           # incoming: B
-        (5, "s3", "BRAVO  ", "en", 7),         # incoming: B dup? (trim+lower → "bravo  "→"bravo"? trailing spaces trimmed)
+        (5, "s3", "BRAVO  ", "en", 7),         # incoming: B (trim+lower → "bravo")
         (7, "s4", "charlie", "en", 7),         # incoming: C
     ]
     spark.createDataFrame(
@@ -147,3 +147,30 @@ def test_r11_plan_shapes(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "Exchange SinglePartition" not in plan, name
+
+
+def test_hybrid_rrf_fusion_math(spark, sf_dir):
+    """RRF referee: every returned rrf5 equals 1/(K+lex_rank) +
+    1/(K+vec_rank) with 0 contribution for a 0 (absent) rank; ranks stay
+    within the pool; a doc nominated by BOTH arms at equal ranks always
+    beats a doc nominated by one arm at the same rank."""
+    from changesetmd_spark.operators.corpus import (
+        _RRF_K,
+        _RRF_POOL,
+        _RRF_TOP,
+        q_hybrid_rrf_search,
+    )
+
+    rows = q_hybrid_rrf_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _RRF_TOP
+    for r in rows:
+        assert 0 <= r.lex_rank <= _RRF_POOL, r
+        assert 0 <= r.vec_rank <= _RRF_POOL, r
+        assert r.lex_rank > 0 or r.vec_rank > 0, r
+        want = (1.0 / (_RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (_RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(want - r.rrf5) < 1e-5, r
+    # descending fusion order
+    scores = [r.rrf5 for r in rows]
+    assert scores == sorted(scores, reverse=True)
