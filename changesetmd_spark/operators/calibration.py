@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .probes import _DIM as _PROBE_DIM  # noqa: F401  (re-export)
+from .probes import probe_sql as _probe_sql
+from .probes import probe_vector
 from .similarity import dot, l2_norm, to_double_vec
 
 _DIM = 64
@@ -39,26 +42,6 @@ _GRID = 100_000  # score quantization grid (1e-5), matching the 5-dp round
 # the reliability diagram exercises more than the middle bins.  Pure
 # multiply + clamp: IEEE-identical across engines.
 _TEMP = 4.0
-
-
-def _probe_sql(salt: str = "probe") -> str:
-    """A pinned vector as a DuckDB ordered list: component j is an
-    md5-derived integer in [-1000, 1000] scaled to [-1, 1] — the same
-    pinned-row trick as the PQ codebook.  ``salt`` derives independent
-    vectors (calibration probe, hybrid-search query, ...)."""
-    return f"""
-      SELECT list(p ORDER BY i) AS pr,
-             sqrt(list_reduce(list_transform(list(p ORDER BY i),
-                                             x -> x * x),
-                              (a, b) -> a + b)) AS pn
-      FROM (
-        SELECT i,
-               ((('0x' || substr(md5('{salt}:' || CAST(i - 1 AS VARCHAR)),
-                                 1, 15))::BIGINT % 2001) - 1000) / 1000.0
-                 AS p
-        FROM generate_series(1, {_DIM}) s(i)
-      )
-    """
 
 
 def _ece_oracle() -> str:
@@ -98,26 +81,6 @@ def _ece_oracle() -> str:
                      - SUM(y) * 1.0 / COUNT(*)), 5) AS gap5
     FROM binned GROUP BY bin
     """
-
-
-def probe_vector(salt: str = "probe"):
-    """A pinned vector as a constant Spark array expression (Catalyst
-    constant-folds the md5-of-literal components at plan time).  Mirrors
-    ``_probe_sql``: same salt → same vector in both engines."""
-    comps = [
-        (
-            (
-                F.conv(
-                    F.substring(F.md5(F.lit(f"{salt}:{j}")), 1, 15), 16, 10
-                ).cast("long")
-                % 2001
-            )
-            - 1000
-        )
-        / F.lit(1000.0)
-        for j in range(_DIM)
-    ]
-    return F.array(*comps)
 
 
 @register("q_calibration_ece_bins", oracle=_ece_oracle())

@@ -603,7 +603,7 @@ _RRF_TOP = 10
 
 
 def _hybrid_rrf_oracle() -> str:
-    from .calibration import _probe_sql
+    from .probes import probe_sql as _probe_sql
 
     tf_cols = ",\n             ".join(
         f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
@@ -696,7 +696,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).replace("{P}", str(_RRF_POOL)).replace("{K}", str(_RRF_K)).replace(
         "{N}", str(_RRF_TOP)
     )
-    from .calibration import probe_vector
+    from .probes import probe_vector
     from .similarity import dot, to_double_vec
 
     # lexical arm — same fixed-order per-term expression sum as

@@ -1768,3 +1768,169 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification rerank ([extension]): the retrieval-serving stage
+# after hybrid fusion — Maximal Marginal Relevance (Carbonell & Goldstein
+# 1998) re-picks k results from the relevance pool trading relevance
+# against redundancy: argmax over remaining candidates of
+# lambda*rel(c) - (1-lambda)*max_{s in selected} sim(c, s).
+# The selection loop is inherently sequential, but each round touches only
+# the POOL-row frame, so the k rounds are UNROLLED as fixed dataflow
+# (the label-propagation unrolled-CTE playbook) — no driver collect, no
+# iteration over data-sized frames.
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    """Unit-free cosine between two pool rows (norms carried per row)."""
+    return f"""(
+      list_reduce(list_transform(generate_series(1, {_DIM}),
+                                 i -> {a}.e[i] * {b}.e[i]), (p, c) -> p + c)
+      / ({a}.nrm * {b}.nrm))"""
+
+
+def _mmr_oracle() -> str:
+    from .probes import probe_sql as _probe_sql
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    rounds = []
+    prev = "s1"
+    for i in range(2, _MMR_K + 1):
+        rounds.append(f"""
+    rem{i} AS (
+      SELECT p.* FROM pool p
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM {prev})
+    ), ms{i} AS (
+      SELECT r.doc_id, MAX(ROUND({_mmr_cos_sql("r", "s")}, 5)) AS msim
+      FROM rem{i} r, {prev} s GROUP BY r.doc_id
+    ), pick{i} AS (
+      SELECT r.doc_id, r.rel5, r.e, r.nrm, {i} AS sel_rank,
+             ROUND({lam} * r.rel5 - {mu} * m.msim, 5) AS mmr5
+      FROM rem{i} r JOIN ms{i} m ON r.doc_id = m.doc_id
+      ORDER BY ({lam} * r.rel5 - {mu} * m.msim) DESC, r.doc_id LIMIT 1
+    ), s{i} AS (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i}
+    )""")
+        prev = f"s{i}"
+    return f"""
+    WITH qv AS ({_probe_sql("hq")}),
+    ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), en AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM ev
+      WHERE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) > 0
+    ), pool AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_reduce(
+                     list_transform(generate_series(1, {_DIM}),
+                                    i -> e[i] * pr[i]), (a, b) -> a + b)
+                   / (nrm * pn), 5) AS rel5,
+             e, nrm
+      FROM en, qv
+      ORDER BY rel5 DESC, doc_id LIMIT {_MMR_POOL}
+    ), s1 AS (
+      SELECT doc_id, rel5, e, nrm, 1 AS sel_rank,
+             ROUND({lam} * rel5, 5) AS mmr5
+      FROM pool ORDER BY rel5 DESC, doc_id LIMIT 1
+    ),{",".join(rounds)}
+    SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id, rel5, mmr5
+    FROM {prev}
+    """
+
+
+@register("q_mmr_diversified_rerank", oracle=_mmr_oracle())
+def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR rerank of the pinned-query relevance pool: pick {K} of {P}
+    candidates, each round maximizing lambda*relevance − (1−lambda)*max
+    cosine to the already-picked set (lambda = {L}).  Rounds are unrolled
+    fixed dataflow; every score derives from 5-dp-rounded inputs, so both
+    engines compute identical selection order.
+
+    Scale shape (100 TB): the corpus appears ONLY in the pool stage — one
+    scan ending in a TakeOrdered top-{P}; all {K} selection rounds join
+    {P}-row frames against ≤{K}-row selected sets (broadcast-tiny, the
+    bounded-crossJoin class).  MMR cost is POOL²·K upper-bounded = constant,
+    independent of corpus size.""".replace("{K}", str(_MMR_K)).replace(
+        "{P}", str(_MMR_POOL)
+    ).replace("{L}", str(_MMR_LAMBDA))
+    from .probes import probe_vector
+
+    lam = F.lit(_MMR_LAMBDA)
+    mu = F.lit(round(1 - _MMR_LAMBDA, 10))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_vec(F.col("embedding")).alias("e"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    qv = probe_vector("hq")
+    qn = l2_norm(qv)
+    emb = emb.filter(sq > 0).withColumn("nrm", F.sqrt(sq))
+    rel = dot(F.col("e"), qv) / (F.col("nrm") * qn)
+    pool = (
+        emb.select(
+            "doc_id", F.round(rel, 5).alias("rel5"), "e", "nrm"
+        )
+        .orderBy(F.desc("rel5"), F.asc("doc_id"))
+        .limit(_MMR_POOL)
+        # consumed by every selection round — one TakeOrdered, k reuses
+        .persist()
+    )
+    sel = (
+        pool.orderBy(F.desc("rel5"), F.asc("doc_id"))
+        .limit(1)
+        .select(
+            "doc_id",
+            "rel5",
+            "e",
+            "nrm",
+            F.lit(1).alias("sel_rank"),
+            F.round(lam * F.col("rel5"), 5).alias("mmr5"),
+        )
+    )
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("e"), F.col("se"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda p, c: p + c,
+    ) / (F.col("nrm") * F.col("snrm"))
+    for i in range(2, _MMR_K + 1):
+        chosen = sel.select("doc_id")
+        rem = pool.join(chosen, "doc_id", "left_anti")
+        sims = rem.crossJoin(
+            F.broadcast(
+                sel.select(
+                    F.col("e").alias("se"), F.col("nrm").alias("snrm")
+                )
+            )
+        )
+        ms = sims.groupBy("doc_id").agg(
+            F.max(F.round(pair_cos, 5)).alias("msim")
+        )
+        mmr = lam * F.col("rel5") - mu * F.col("msim")
+        pick = (
+            rem.join(ms, "doc_id")
+            .orderBy(mmr.desc(), F.asc("doc_id"))
+            .limit(1)
+            .select(
+                "doc_id",
+                "rel5",
+                "e",
+                "nrm",
+                F.lit(i).alias("sel_rank"),
+                F.round(mmr, 5).alias("mmr5"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    out = sel.select("sel_rank", "doc_id", "rel5", "mmr5")
+    from .util import materialize_releasing
+
+    return materialize_releasing(out, pool)

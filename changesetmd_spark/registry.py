@@ -282,6 +282,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_minhash_estimate_error_audit": "48a3536a5a97",
     "q_minhash_lsh_candidates": "c0b664190cc7",
     "q_minhash_lsh_checked": "c7023bf67cf3",
+    "q_mmr_diversified_rerank": "69d772f2bddd",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "70e6af535d73",
     "q_neardup_canonical": "e2cad7f30322",

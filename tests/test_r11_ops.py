@@ -174,3 +174,72 @@ def test_hybrid_rrf_fusion_math(spark, sf_dir):
     # descending fusion order
     scores = [r.rrf5 for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_rerank_python_referee(spark, sf_dir):
+    """Pure-Python MMR referee: rebuild the pool (top-POOL by rounded
+    cosine to the pinned query), run the textbook greedy selection, and
+    demand the identical (sel_rank, doc_id) sequence."""
+    import numpy as np
+
+    from changesetmd_spark.operators.calibration import _DIM
+    from changesetmd_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        q_mmr_diversified_rerank,
+    )
+    import hashlib
+
+    got = [
+        (r.sel_rank, r.doc_id)
+        for r in q_mmr_diversified_rerank(spark, sf_dir)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert [r for r, _ in got] == list(range(1, _MMR_K + 1))
+
+    # pinned probe, exactly as probe_vector("hq")
+    probe = np.array(
+        [
+            (
+                int(hashlib.md5(f"hq:{j}".encode()).hexdigest()[:15], 16)
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for j in range(_DIM)
+        ]
+    )
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    rel = {
+        i: round(
+            float(v @ probe / (np.linalg.norm(v) * np.linalg.norm(probe))), 5
+        )
+        for i, v in vecs.items()
+        if np.linalg.norm(v) > 0
+    }
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    sel = [min(pool, key=lambda i: (-rel[i], i))]
+    while len(sel) < _MMR_K:
+        rem = [i for i in pool if i not in sel]
+
+        def mmr(i):
+            msim = max(
+                round(
+                    float(
+                        vecs[i]
+                        @ vecs[s]
+                        / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[s]))
+                    ),
+                    5,
+                )
+                for s in sel
+            )
+            return lam * rel[i] - mu * msim
+
+        sel.append(min(rem, key=lambda i: (-mmr(i), i)))
+    want = list(enumerate(sel, start=1))
+    assert got == want, (got, want)
