@@ -106,6 +106,13 @@ HEADLINE = [
     "q_stratified_sample_neyman",
     "q_ann_recall_audit",
     "q_priority_sample_topk",
+    # r11 operators
+    "q_incremental_hash_dedup",
+    "q_matryoshka_truncation_audit",
+    "q_calibration_ece_bins",
+    "q_dedup_threshold_sweep",
+    "q_hybrid_rrf_search",
+    "q_mmr_diversified_rerank",
 ]
 
 

@@ -1896,6 +1896,11 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("sel_rank"),
             F.round(lam * F.col("rel5"), 5).alias("mmr5"),
         )
+        # each round references the running selected set on BOTH sides of
+        # its joins; an eager checkpoint per round keeps the k-round plan
+        # k small jobs over ≤POOL-row frames instead of an exponentially
+        # re-expanded lineage (measured 19.5 s → ~2 s at sf0.1)
+        .localCheckpoint(eager=True)
     )
     pair_cos = F.aggregate(
         F.zip_with(F.col("e"), F.col("se"), lambda x, y: x * y),
@@ -1929,7 +1934,7 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(mmr, 5).alias("mmr5"),
             )
         )
-        sel = sel.unionByName(pick)
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
     out = sel.select("sel_rank", "doc_id", "rel5", "mmr5")
     from .util import materialize_releasing
 

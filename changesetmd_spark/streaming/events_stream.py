@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table_path
+from ..tables import load_table, table_path
 
 _STAGE_ROOT = "/tmp/changesetmd_spark_stream_stage"
 
@@ -267,3 +267,65 @@ def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_distinct_users")
     )
+
+
+# Snapshot cutoff for the stream-static incremental dedup: the midpoint of
+# the generator's fixed Jan-2024 span.  Replica-offset scale data lands
+# entirely past the cutoff — the base set stays bounded while the incoming
+# stream grows, which is exactly the production shape.
+_INC_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "q_stream_incremental_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events WHERE ts < TIMESTAMP '{_INC_CUTOFF}'
+    ), inc AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events WHERE ts >= TIMESTAMP '{_INC_CUTOFF}'
+    )
+    SELECT i.item_id, COUNT(*) AS n_new_users
+    FROM inc i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM base b
+      WHERE b.user_id = i.user_id AND b.item_id = i.item_id
+    )
+    GROUP BY i.item_id
+    """,
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `q_incremental_hash_dedup` (T6+E1): the incoming
+    half of the event stream (ts >= cutoff) is deduped in-stream
+    (``dropDuplicates`` on the (user, item) key) and LEFT ANTI joined
+    against the STATIC base snapshot (distinct pairs before the cutoff) —
+    only never-seen user-item interactions survive, counted per item
+    (the "first-touch" feed every recommender ingest dedupes for).
+
+    Scale shape (100 TB/day): stream-static anti-join re-reads the static
+    side per micro-batch (broadcast or hash-partitioned — never stream
+    state); dedup state is watermark-bounded in a production deployment
+    (``dropDuplicatesWithinWatermark``).  The base snapshot is the bounded
+    artifact (distinct pairs, not raw events)."""
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(_INC_CUTOFF).cast("timestamp"))
+        .select("user_id", item.alias("item_id"))
+        .distinct()
+    )
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("ts") >= F.lit(_INC_CUTOFF).cast("timestamp")
+    )
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .select("ts", "user_id", item.alias("item_id"))
+        .dropDuplicates(["user_id", "item_id"])
+        .select("user_id", "item_id")
+    )
+    new_pairs = dd.join(base, ["user_id", "item_id"], "left_anti")
+    out = run_stream_to_table(new_pairs, output_mode="append")
+    return out.groupBy("item_id").agg(F.count("*").alias("n_new_users"))

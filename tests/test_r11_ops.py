@@ -243,3 +243,17 @@ def test_mmr_rerank_python_referee(spark, sf_dir):
         sel.append(min(rem, key=lambda i: (-mmr(i), i)))
     want = list(enumerate(sel, start=1))
     assert got == want, (got, want)
+
+
+def test_stream_incremental_dedup_nonvacuous(spark, sf_dir):
+    """The stream-static anti-join must actually produce first-touch pairs
+    on the driver corpus (an all-pairs-overlap key choice once made this
+    query pass vacuously with 0 rows), and totals must match the batch
+    recomputation."""
+    from changesetmd_spark import registry
+
+    rows = registry.queries()["q_stream_incremental_dedup"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "anti-join produced no first-touch pairs — vacuous"
+    assert all(r.n_new_users > 0 for r in rows)

@@ -196,6 +196,12 @@ QUERIES = [
     # r11: threshold sensitivity curve — constant ×10 explode into a
     # 10-group partial aggregate after the pair join
     "q_dedup_threshold_sweep",
+    # r11: hybrid retrieval — two corpus scans into TakeOrdered pools,
+    # fusion on two constant-size frames
+    "q_hybrid_rrf_search",
+    # r11: MMR rerank — corpus appears only in the pool TakeOrdered;
+    # selection rounds are constant-size dataflow
+    "q_mmr_diversified_rerank",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
