@@ -113,6 +113,8 @@ HEADLINE = [
     "q_dedup_threshold_sweep",
     "q_hybrid_rrf_search",
     "q_mmr_diversified_rerank",
+    "q_stream_incremental_dedup",
+    "q_skew_key_advisor",
 ]
 
 

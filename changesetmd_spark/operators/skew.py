@@ -74,3 +74,70 @@ def q_salted_join_skewed_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics ([extension]): before salting a join you MEASURE the
+# key distribution — the operational pass a 1000-executor job runs when a
+# straggler appears.  Reports the heaviest join keys with their row share
+# and the salt factor that would cap any single (key, salt) bucket at the
+# target rows-per-task.
+_SKEW_TOP = 10
+_SKEW_TARGET_ROWS = 1000  # per-task bucket target for the salt suggestion
+
+
+@register(
+    "q_skew_key_advisor",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM c
+    )
+    SELECT c.user_id, c.n AS n_rows,
+           ROUND(c.n * 1.0 / t.total, 5) AS share5,
+           ROUND(c.n * 1.0 * t.n_keys / t.total, 5) AS skew_factor5,
+           CAST(CEIL(c.n * 1.0 / {_SKEW_TARGET_ROWS}) AS BIGINT)
+             AS suggested_salts
+    FROM c, tot t
+    ORDER BY c.n DESC, c.user_id
+    LIMIT {_SKEW_TOP}
+    """,
+)
+def q_skew_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over ``events.user_id``: the {T} heaviest keys
+    with row count, corpus share, skew factor (count / mean count — 1.0 is
+    perfectly uniform), and the salt count that caps a (key, salt) bucket
+    at {R} rows — the number ``salted_join`` should be called with.
+
+    Scale shape (100 TB): one hash aggregate on the key (map-side
+    combine), a 1-row global roll-up broadcast back, and a TakeOrdered
+    top-{T} — no sort, no window over the corpus.  All ratios derive from
+    exact integer counts, so the report hash-checks.""".replace(
+        "{T}", str(_SKEW_TOP)
+    ).replace("{R}", str(_SKEW_TARGET_ROWS))
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n") * 1.0 / F.col("total"), 5).alias("share5"),
+            F.round(
+                F.col("n") * 1.0 * F.col("n_keys") / F.col("total"), 5
+            ).alias("skew_factor5"),
+            F.ceil(F.col("n") * 1.0 / F.lit(_SKEW_TARGET_ROWS))
+            .cast("long")
+            .alias("suggested_salts"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(_SKEW_TOP)
+    )

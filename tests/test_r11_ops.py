@@ -257,3 +257,31 @@ def test_stream_incremental_dedup_nonvacuous(spark, sf_dir):
     ).collect()
     assert rows, "anti-join produced no first-touch pairs — vacuous"
     assert all(r.n_new_users > 0 for r in rows)
+
+
+def test_skew_advisor_math(spark, sf_dir):
+    """Advisor referee: shares and skew factors recompute from an exact
+    pandas count of the key column; suggested salts = ceil(n/target)."""
+    import math as _math
+
+    from changesetmd_spark.operators.skew import (
+        _SKEW_TARGET_ROWS,
+        _SKEW_TOP,
+        q_skew_key_advisor,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    counts = {}
+    for r in ev.collect():
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    total, n_keys = sum(counts.values()), len(counts)
+    rows = q_skew_key_advisor(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _SKEW_TOP
+    want_order = sorted(counts, key=lambda k: (-counts[k], k))[: len(rows)]
+    assert [r.user_id for r in rows] == want_order
+    for r in rows:
+        n = counts[r.user_id]
+        assert r.n_rows == n
+        assert abs(r.share5 - n / total) < 1e-5
+        assert abs(r.skew_factor5 - n * n_keys / total) < 1e-5
+        assert r.suggested_salts == _math.ceil(n / _SKEW_TARGET_ROWS)

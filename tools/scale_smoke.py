@@ -202,6 +202,8 @@ QUERIES = [
     # r11: MMR rerank — corpus appears only in the pool TakeOrdered;
     # selection rounds are constant-size dataflow
     "q_mmr_diversified_rerank",
+    # r11: skew advisor — key aggregate + broadcast roll-up + TakeOrdered
+    "q_skew_key_advisor",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
