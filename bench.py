@@ -115,6 +115,7 @@ HEADLINE = [
     "q_mmr_diversified_rerank",
     "q_stream_incremental_dedup",
     "q_skew_key_advisor",
+    "q_quality_rule_attribution",
 ]
 
 

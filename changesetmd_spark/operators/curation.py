@@ -841,3 +841,116 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_temp, 6).alias("p_temp"),
         F.round(p_temp / p_raw, 4).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule attribution ([extension]): the C4/Gopher-style rule bundle
+# run as ONE pass with per-rule kill counts — the report a curation
+# rollout reads to see WHICH rule is doing the filtering per source
+# before committing thresholds.  Every rule is an integer cross-multiplied
+# comparison (no FP until the final rate), so the report is exact.
+_QR_MIN_TOKENS = 30          # Gopher min-length shape
+_QR_REP_BP = 1500            # top unigram <= 15.00% of tokens
+_QR_WLEN_LO_X10 = 40         # mean word length in [4.0, 5.0] chars
+_QR_WLEN_HI_X10 = 50
+_QR_STOP_BP = 200            # stopword ratio >= 2.00%
+_QR_STOPWORDS = ("a", "the")
+
+
+@register(
+    "q_quality_rule_attribution",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, unnest(toks) AS tok FROM d
+    ), c AS (
+      SELECT doc_id, source, tok, COUNT(*) AS n FROM w GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(n * len(tok)) AS BIGINT) AS chars,
+             CAST(COALESCE(SUM(n) FILTER (
+               tok IN {_QR_STOPWORDS!r}), 0) AS BIGINT) AS stops
+      FROM c GROUP BY 1, 2
+    ), r AS (
+      SELECT source,
+             tot >= {_QR_MIN_TOKENS} AS p_len,
+             top_n * 10000 <= tot * {_QR_REP_BP} AS p_rep,
+             chars * 10 >= tot * {_QR_WLEN_LO_X10}
+               AND chars * 10 <= tot * {_QR_WLEN_HI_X10} AS p_wlen,
+             stops * 10000 >= tot * {_QR_STOP_BP} AS p_stop
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT p_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_len,
+           CAST(SUM(CASE WHEN NOT p_rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_rep,
+           CAST(SUM(CASE WHEN NOT p_wlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_wlen,
+           CAST(SUM(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_stop,
+           CAST(SUM(CASE WHEN p_len AND p_rep AND p_wlen AND p_stop
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN p_len AND p_rep AND p_wlen AND p_stop
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 5)
+             AS keep_rate5
+    FROM r GROUP BY source
+    """,
+)
+def q_quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-rule attribution: the four-rule C4/Gopher-style
+    bundle (min length, unigram repetition, mean word length band,
+    stopword floor) evaluated in one pass with a kill count PER RULE plus
+    the all-rules keep rate — the evidence that tells a curation rollout
+    which rule dominates in which source.  Every rule is an integer
+    cross-multiplied comparison, so attribution is exact and
+    engine-identical.
+
+    Scale shape (100 TB): one (doc, token) count with map-side combine,
+    one per-doc rollup reusing the same doc_id partitioning, then an
+    O(#sources) aggregate — the q_text_repetition_quality exchange
+    pattern; nothing corpus² and no FP in any gate."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", "source", F.explode(toks).alias("tok"))
+    )
+    c = docs.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stop_n = F.sum(
+        F.when(F.col("tok").isin(*_QR_STOPWORDS), F.col("n")).otherwise(0)
+    )
+    m = c.groupBy("doc_id", "source").agg(
+        F.sum("n").alias("tot"),
+        F.max("n").alias("top_n"),
+        F.sum(F.col("n") * F.length("tok")).alias("chars"),
+        stop_n.alias("stops"),
+    )
+    p_len = F.col("tot") >= _QR_MIN_TOKENS
+    p_rep = F.col("top_n") * 10000 <= F.col("tot") * _QR_REP_BP
+    p_wlen = (F.col("chars") * 10 >= F.col("tot") * _QR_WLEN_LO_X10) & (
+        F.col("chars") * 10 <= F.col("tot") * _QR_WLEN_HI_X10
+    )
+    p_stop = F.col("stops") * 10000 >= F.col("tot") * _QR_STOP_BP
+    keep = p_len & p_rep & p_wlen & p_stop
+    as_kill = lambda p, name: F.sum(  # noqa: E731
+        F.when(~p, 1).otherwise(0)
+    ).alias(name)
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_kill(p_len, "kill_len"),
+        as_kill(p_rep, "kill_rep"),
+        as_kill(p_wlen, "kill_wlen"),
+        as_kill(p_stop, "kill_stop"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_keep"),
+        F.round(
+            F.sum(F.when(keep, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 5
+        ).alias("keep_rate5"),
+    )

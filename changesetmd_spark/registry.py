@@ -300,6 +300,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_pps_systematic_sample": "4d89e3d292ab",
     "q_priority_sample_topk": "99c7ac328f46",
     "q_quality_percentile_gate": "cff9f3163c44",
+    "q_quality_rule_attribution": "ae3c2aeae9e9",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",
     "q_range_join_shipments_in_window": "b11f59c7709e",
     "q_readme_count_comment_tag": "1b73c20ac6cb",

@@ -285,3 +285,25 @@ def test_skew_advisor_math(spark, sf_dir):
         assert abs(r.share5 - n / total) < 1e-5
         assert abs(r.skew_factor5 - n * n_keys / total) < 1e-5
         assert r.suggested_salts == _math.ceil(n / _SKEW_TARGET_ROWS)
+
+
+def test_quality_rule_attribution_consistency(spark, sf_dir):
+    """Attribution referee: per source, n_keep <= n_docs, every kill count
+    <= n_docs, keep_rate5 == n_keep/n_docs, and n_keep >= n_docs - sum of
+    kills (inclusion-exclusion lower bound).  Totals must cover the whole
+    corpus."""
+    from changesetmd_spark.operators.curation import (
+        q_quality_rule_attribution,
+    )
+
+    rows = q_quality_rule_attribution(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n_docs for r in rows)
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_total == n_corpus
+    for r in rows:
+        kills = (r.kill_len, r.kill_rep, r.kill_wlen, r.kill_stop)
+        assert all(0 <= k <= r.n_docs for k in kills), r
+        assert 0 <= r.n_keep <= r.n_docs, r
+        assert r.n_keep >= r.n_docs - sum(kills), r
+        assert abs(r.keep_rate5 - r.n_keep / r.n_docs) < 1e-5, r

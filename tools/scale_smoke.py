@@ -204,6 +204,9 @@ QUERIES = [
     "q_mmr_diversified_rerank",
     # r11: skew advisor — key aggregate + broadcast roll-up + TakeOrdered
     "q_skew_key_advisor",
+    # r11: quality-rule attribution — (doc, token) count + per-doc rollup
+    # on one partitioning, O(#sources) final aggregate
+    "q_quality_rule_attribution",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
