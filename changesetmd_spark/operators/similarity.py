@@ -233,9 +233,17 @@ def q_embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             plane = F.array(*[F.lit(v) for v in hyperplane(1000 * (t + 1) + p)])
             sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
         tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
-    hashed = corpus.select(
-        "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    hashed = (
+        corpus.select(
+            "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
+        )
+        .select(
+            "vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+        )
+        # both sides of the bucket self-join read this frame; without
+        # persist the 48-fold signature projection runs twice
+        .persist()
+    )
 
     a = hashed.select(
         "t", "b", F.col("vec_id").alias("vec_id_1"),
@@ -246,13 +254,16 @@ def q_embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e2"), F.col("nrm").alias("n2"),
     )
     sim = cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
-    return (
+    out = (
         a.join(b, ["t", "b"])
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
         .dropDuplicates(["vec_id_1", "vec_id_2"])
         .filter(sim >= 0.92)
         .select("vec_id_1", "vec_id_2", F.round(sim, 5).alias("cosine_sim"))
     )
+    from .util import materialize_releasing
+
+    return materialize_releasing(out, hashed)
 
 
 @register(
