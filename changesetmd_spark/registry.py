@@ -268,6 +268,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
     "q_json_typed_extract": "c88841a31644",
+    "q_jsonl_ingest_audit": "2f2bcb96b9b1",
     "q_kcore_items": "efdbd2d82e63",
     "q_kmeans_assign_update": "9303da178852",
     "q_label_propagation": "61335c44533d",
@@ -440,6 +441,7 @@ def _load_all() -> None:
         txn,
         windows_batch,
     )
+    from .sources import jsonl_source  # noqa: F401
     from .streaming import events_stream, joins, rollup, stateful  # noqa: F401
 
 

@@ -312,3 +312,28 @@ def test_quality_rule_attribution_consistency(spark, sf_dir):
         assert 0 <= r.n_keep <= r.n_docs, r
         assert r.n_keep >= r.n_docs - sum(kills), r
         assert abs(r.keep_rate5 - r.n_keep / r.n_docs) < 1e-5, r
+
+
+def test_jsonl_reader_corrupt_isolation(spark, tmp_path):
+    """Constructed-shard referee for the JSONL source: N clean lines + K
+    malformed lines → clean frame has exactly the N rows with intact
+    values, corrupt frame exactly K, and no line is silently dropped."""
+    import gzip
+
+    from changesetmd_spark.sources.jsonl_source import read_jsonl_corpus
+
+    shard = tmp_path / "part-00.jsonl.gz"
+    with gzip.open(shard, "wt") as f:
+        f.write('{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s", "n_chars": 5}\n')
+        f.write('{"doc_id": 2, "text": "beta"\n')  # truncated
+        f.write('not json at all\n')
+        f.write('{"doc_id": 3, "text": "gamma", "lang": "en", "source": "s", "n_chars": 5}\n')
+    clean, corrupt, raw = read_jsonl_corpus(spark, str(tmp_path))
+    try:
+        crows = sorted(r.doc_id for r in clean.collect())
+        assert crows == [1, 3]
+        texts = {r.doc_id: r.text for r in clean.collect()}
+        assert texts == {1: "alpha", 3: "gamma"}
+        assert corrupt.count() == 2
+    finally:
+        raw.unpersist()
