@@ -29,12 +29,10 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .probes import _DIM as _PROBE_DIM  # noqa: F401  (re-export)
+from .probes import _DIM
 from .probes import probe_sql as _probe_sql
 from .probes import probe_vector
 from .similarity import dot, l2_norm, to_double_vec
-
-_DIM = 64
 _N_BINS = 10
 _GRID = 100_000  # score quantization grid (1e-5), matching the 5-dp round
 # logit temperature: raw probe cosines on this corpus live in ~[-0.3, 0.3];
