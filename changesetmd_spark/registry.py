@@ -54,71 +54,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # priority list is gone; there is nothing to tune — landing a new query or
 # a new driver round updates the order mechanically.
 WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8),
-    "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8),
-    "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_ann_recall_audit": (10,),
     "q_ann_verify_rerank": (6, 9),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9),
-    "q_bbox_area_filter": (2, 3, 4, 5, 8),
-    "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8),
-    "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8),
+    "q_bbox_area_filter": (2, 3, 4, 5, 8, 11),
+    "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bigram_lm_fluency": (7, 10),
     "q_bitext_margin_mining": (9, 10),
     "q_bitext_margin_mining_ivf": (10,),
-    "q_bloom_prefilter_join": (8,),
-    "q_bm25_keyword_search": (2, 3, 4, 5, 8),
+    "q_bloom_prefilter_join": (8, 11),
+    "q_bm25_keyword_search": (2, 3, 4, 5, 8, 11),
     "q_bpe_train_step": (9,),
+    "q_calibration_ece_bins": (11,),
     "q_cdc_chunk_dedup": (7, 10),
-    "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8),
-    "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8),
-    "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8),
-    "q_cohort_retention": (7,),
-    "q_contamination_ngram_overlap": (5, 8),
+    "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_cohort_retention": (7, 11),
+    "q_contamination_ngram_overlap": (5, 8, 11),
     "q_countmin_estimates": (9, 10),
     "q_countmin_sketch_only": (10,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8),
-    "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8),
+    "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10),
     "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9),
+    "q_dedup_threshold_sweep": (11,),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8),
     "q_dsir_importance_weights": (7, 10),
     "q_duplicate_substring_spans": (7, 10),
     "q_embedding_ann_checked": (6, 9),
     "q_embedding_ann_ivf": (1, 7, 9),
-    "q_embedding_ann_ivf_checked": (8,),
+    "q_embedding_ann_ivf_checked": (8, 11),
     "q_embedding_ann_lsh": (1, 7, 9),
     "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9),
     "q_embedding_int8_quantize": (9,),
-    "q_embedding_neardup_cosine": (1, 7, 9),
+    "q_embedding_neardup_cosine": (1, 7, 9, 11),
     "q_embedding_pca_power": (7, 9),
-    "q_embedding_pq_adc": (8,),
-    "q_embedding_random_projection": (8,),
+    "q_embedding_pq_adc": (8, 11),
+    "q_embedding_random_projection": (8, 11),
     "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10),
     "q_funnel_conversion": (7, 10),
     "q_fuzzy_name_pairs": (9,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9),
-    "q_hard_negative_mining": (8,),
+    "q_hard_negative_mining": (8, 11),
     "q_heavy_hitter_terms": (7, 10),
+    "q_hybrid_rrf_search": (11,),
+    "q_incremental_hash_dedup": (11,),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8),
     "q_item_cooccurrence": (7, 10),
     "q_json_typed_extract": (6, 9),
-    "q_kcore_items": (8,),
+    "q_jsonl_ingest_audit": (11,),
+    "q_kcore_items": (8, 11),
     "q_kmeans_assign_update": (7, 9),
-    "q_label_propagation": (8,),
+    "q_label_propagation": (8, 11),
     "q_like_part_types": (2, 3, 4, 7, 10),
     "q_line_dedup_c4": (7, 10),
     "q_map_explode_tag_histogram": (6, 9),
     "q_map_key_existence": (1, 6, 9),
     "q_map_value_extract": (6, 9),
     "q_map_value_like": (6, 9),
+    "q_matryoshka_truncation_audit": (11,),
     "q_media_shard_manifest": (7, 9),
-    "q_minhash_estimate_error_audit": (10,),
+    "q_minhash_estimate_error_audit": (10, 11),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10),
     "q_minhash_lsh_checked": (5, 6, 8, 10),
-    "q_multimodal_byte_stats": (2, 3, 4, 5, 8),
-    "q_multimodal_decode": (1, 2, 3, 4, 5, 8),
+    "q_mmr_diversified_rerank": (11,),
+    "q_multimodal_byte_stats": (2, 3, 4, 5, 8, 11),
+    "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11),
     "q_neardup_canonical": (8, 9),
     "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10),
@@ -128,17 +135,18 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_pagerank_items": (7, 10),
     "q_phrase_search": (9,),
     "q_pii_redaction_stats": (9,),
-    "q_pipeline_curate_end_to_end": (5, 6, 8),
+    "q_pipeline_curate_end_to_end": (5, 6, 8, 11),
     "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9),
     "q_ppjoin_similar_docs": (9, 10),
     "q_pps_systematic_sample": (9,),
     "q_priority_sample_topk": (10,),
-    "q_quality_percentile_gate": (8,),
+    "q_quality_percentile_gate": (8, 11),
+    "q_quality_rule_attribution": (11,),
     "q_rag_chunk_overlap": (7, 10),
-    "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8),
-    "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8),
+    "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9),
-    "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8),
+    "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8, 11),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8),
     "q_salted_join_skewed_types": (1, 7, 10),
     "q_scd2_priority_history": (9,),
@@ -149,13 +157,15 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_series_ewma": (7, 10),
     "q_series_linear_trend": (7, 10),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8),
-    "q_simhash_checked": (5, 6, 8),
+    "q_simhash_checked": (5, 6, 8, 11),
     "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10),
     "q_sketch_cardinality_and_quantiles": (1, 7, 10),
-    "q_source_mixture_weights": (5, 8),
-    "q_source_quota_sample": (2, 3, 4, 5, 8),
+    "q_skew_key_advisor": (11,),
+    "q_source_mixture_weights": (5, 8, 11),
+    "q_source_quota_sample": (2, 3, 4, 5, 8, 11),
     "q_stratified_sample_neyman": (10,),
     "q_stream_dedup_first_seen": (6, 9),
+    "q_stream_incremental_dedup": (11,),
     "q_stream_purchase_attribution": (6, 9),
     "q_stream_rollup_hourly": (6, 9),
     "q_stream_session_windows": (6, 9),
@@ -164,25 +174,25 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_stream_tumbling_hourly": (6, 9),
     "q_table_profile": (9,),
     "q_temperature_mixture": (7, 10),
-    "q_text_blocklist_scrub": (5, 8),
+    "q_text_blocklist_scrub": (5, 8, 11),
     "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10),
     "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10),
-    "q_text_quality": (1, 2, 3, 4, 5, 6, 8),
+    "q_text_quality": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10),
-    "q_text_repetition_quality": (5, 8),
+    "q_text_repetition_quality": (5, 8, 11),
     "q_text_token_budget_by_source": (5, 7, 10),
     "q_text_token_stats": (2, 3, 4, 5, 7, 10),
-    "q_tfidf_top_terms": (2, 3, 4, 5, 8),
+    "q_tfidf_top_terms": (2, 3, 4, 5, 8, 11),
     "q_time_gapfill_interpolate": (7, 10),
     "q_time_gapfill_locf": (7, 10),
     "q_token_len_histogram": (7, 10),
-    "q_train_test_split": (2, 3, 4, 5, 8),
+    "q_train_test_split": (2, 3, 4, 5, 8, 11),
     "q_triangle_count": (7, 10),
     "q_txn_merge_snapshot": (6, 9),
-    "q_type_transition_matrix": (7,),
+    "q_type_transition_matrix": (7, 11),
     "q_unigram_prob_mass": (7, 10),
     "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10),
-    "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8),
+    "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_user_value_deciles": (7, 9),
     "q_value_mad_outliers": (7, 10),
     "q_value_percentiles_per_type": (1, 6, 9),
@@ -195,7 +205,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_window_trailing_hour_sum": (6, 9),
     "q_window_tumbling_hourly": (6, 9),
     "q_winnowed_fingerprints": (7, 10),
-    "q_zorder_layout": (8,),
+    "q_zorder_layout": (8, 11),
 }
 
 
@@ -253,7 +263,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_ann_lsh": "2b316a9d38c5",
     "q_embedding_centroid_per_label": "db3e96ecfdb8",
     "q_embedding_int8_quantize": "7e2ee87b3d9e",
-    "q_embedding_neardup_cosine": "8f70d8cfb768",
+    "q_embedding_neardup_cosine": "f5b442b72d4b",
     "q_embedding_pca_power": "a5c327894b93",
     "q_embedding_pq_adc": "ca3f851a4f55",
     "q_embedding_random_projection": "cbb1337a04df",
@@ -263,7 +273,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
-    "q_hybrid_rrf_search": "d3d84d25b602",
+    "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
@@ -280,10 +290,10 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_value_like": "e0dfef91f1e6",
     "q_matryoshka_truncation_audit": "a7836b0b556b",
     "q_media_shard_manifest": "75af061d14f8",
-    "q_minhash_estimate_error_audit": "48a3536a5a97",
+    "q_minhash_estimate_error_audit": "c7ae88851de6",
     "q_minhash_lsh_candidates": "c0b664190cc7",
     "q_minhash_lsh_checked": "c7023bf67cf3",
-    "q_mmr_diversified_rerank": "69d772f2bddd",
+    "q_mmr_diversified_rerank": "b89cbf4fcd70",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "70e6af535d73",
     "q_neardup_canonical": "e2cad7f30322",
@@ -339,7 +349,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_text_lang_id_confusion": "b204de6407b2",
     "q_text_quality": "ec87d2dd2a86",
     "q_text_quality_by_source": "1ca2f822686d",
-    "q_text_repetition_quality": "82bf9c7e1f0f",
+    "q_text_repetition_quality": "2af3c7fc7d6d",
     "q_text_token_budget_by_source": "f4654a67165a",
     "q_text_token_stats": "07d0fcb5eba1",
     "q_tfidf_top_terms": "c87b20d513c1",
