@@ -49,10 +49,12 @@ _BT_IVF_PROBE = 4  # cells probed on the query side (and coarse routing)
 _BT_SEED_STRIDE = 256
 # The fine-routing join broadcasts seed_assign (K rows × _DIM doubles).
 # K = n/256 grows linearly with the corpus, so above this many seeds
-# (~128 MB at 64 dims) the route falls back to a shuffle equi-join on
-# coarse_id — same plan shape minus the broadcast, still no corpus
-# cross-product.  Keeps the 100 TB claim honest past n ≈ 6·10^7 vectors.
-_BT_SEED_BCAST_MAX = 250_000
+# (~32 MB at 64 dims — within Spark's comfortable explicit-broadcast
+# envelope, vs the 10 MB autoBroadcastJoinThreshold default) the route
+# falls back to a shuffle equi-join on coarse_id — same plan shape minus
+# the broadcast, still no corpus cross-product.  Keeps the 100 TB claim
+# honest past n ≈ 1.6·10^7 vectors without pressuring driver memory.
+_BT_SEED_BCAST_MAX = 64_000
 
 
 def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:

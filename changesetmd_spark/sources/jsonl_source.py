@@ -61,7 +61,19 @@ def stage_jsonl_fixture(sf_dir: str, shards: int = 4) -> str:
     generation is fixture prep, not part of the measured read path."""
     import duckdb
 
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # the cache key folds in a content fingerprint of the parquet (size +
+    # mtime of every file under it) so a regenerated corpus at the same
+    # path invalidates the staged fixture instead of silently reusing it
+    src = table_path(sf_dir, "documents")
+    fp_parts = [os.path.abspath(sf_dir)]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        fp_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1("|".join(fp_parts).encode()).hexdigest()[:12]
     out = os.path.join(_STAGE_ROOT, f"docs-{key}-s{shards}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):

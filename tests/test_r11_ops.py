@@ -226,7 +226,9 @@ def test_mmr_rerank_python_referee(spark, sf_dir):
         if np.linalg.norm(v) > 0
     }
     pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
-    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    # round() matches similarity.py:1810 exactly — unrounded 1-lambda is
+    # 0.30000000000000004, which can flip exact-tie argmax ordering
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
     sel = [min(pool, key=lambda i: (-rel[i], i))]
     while len(sel) < _MMR_K:
         rem = [i for i in pool if i not in sel]
