@@ -75,6 +75,7 @@ HEADLINE = [
     "q_cohort_retention",
     "q_ngram_novelty",
     "q_media_shard_manifest",
+    "q_multimodal_decode",
     "q_triangle_count",
     "q_type_transition_matrix",
     "q_user_value_deciles",

@@ -57,7 +57,8 @@ def test_codec_capability_probe_and_gating(spark, sf_dir):
     )
 
     caps = codec_capabilities()
-    assert set(caps) == {"image", "video"}
+    assert set(caps) == {"ppm", "image", "video"}
+    assert caps["ppm"]  # pure-Python codec: available everywhere
     if not caps["image"]:
         assert "q_multimodal_decode_real" not in registry.queries()
         with pytest.raises(NotImplementedError):
@@ -76,3 +77,69 @@ def test_codec_capability_probe_and_gating(spark, sf_dir):
         spark, sf_dir
     ).collect()
     assert rows and all(r.max_width == 1 for r in rows)
+
+
+def test_ppm_codec_round_trip():
+    """The dependency-free P6 codec must round-trip exactly, including a
+    planted header comment (the parse path q_multimodal_decode relies on)."""
+    from changesetmd_spark.operators.multimodal import (
+        decode_ppm_p6,
+        encode_ppm_p6,
+    )
+
+    pixels = bytes((7 + i) % 256 for i in range(3 * 5 * 4))
+    for comment in (None, "fixture 42"):
+        payload = encode_ppm_p6(5, 4, pixels, comment=comment)
+        w, h, maxval, out = decode_ppm_p6(payload)
+        assert (w, h, maxval) == (5, 4, 255)
+        assert out == pixels
+
+
+def test_ppm_codec_rejects_malformed():
+    from changesetmd_spark.operators.multimodal import (
+        decode_ppm_p6,
+        encode_ppm_p6,
+    )
+
+    with pytest.raises(ValueError):
+        decode_ppm_p6(b"P5\n1 1\n255\n\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm_p6(b"P6\n2 2\n255\n\x00\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        encode_ppm_p6(2, 2, b"\x00")  # wrong pixel count at encode
+
+
+def test_ppm_real_decode_default_codec():
+    """real_decode handles PPM in EVERY environment (the default codec
+    path); only non-PPM formats fall through to the library probe."""
+    from changesetmd_spark.operators.multimodal import (
+        PPM_MIME,
+        encode_ppm_p6,
+        real_decode,
+    )
+
+    pixels = bytes(range(3 * 2 * 1))
+    w, h, n_frames, feature = real_decode(
+        encode_ppm_p6(2, 1, pixels), PPM_MIME
+    )
+    assert (w, h, n_frames) == (2, 1, 1)
+    assert isinstance(feature, int)
+
+
+def test_ppm_decode_query_nonempty_and_planted_comments(spark, sf_dir):
+    """q_multimodal_decode must decode every document's image (non-vacuous)
+    and the fixture must actually plant comment headers (else the parse
+    test is weaker than advertised)."""
+    from changesetmd_spark import registry
+    from changesetmd_spark.operators.multimodal import synthesize_ppm_media
+
+    out = {
+        r.modality: r.n_items
+        for r in registry.queries()["q_multimodal_decode"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sum(out.values()) > 0
+    media = synthesize_ppm_media(spark, sf_dir).limit(40).collect()
+    assert any(b"#" in bytes(r.payload)[:32] for r in media)
+    assert any(b"#" not in bytes(r.payload)[:32] for r in media)

@@ -97,6 +97,7 @@ QUERIES = [
     # Modality stays 3-valued by nature; the fix makes per-modality work
     # parallel, so a fixed modality count no longer means fixed parallelism.
     "q_media_shard_manifest",
+    "q_multimodal_decode",
     # r8: PQ-ADC over the replicated embeddings (codes table scales with
     # the corpus; codebook and LUTs stay constant-size broadcasts)
     "q_embedding_pq_adc",
