@@ -116,6 +116,7 @@ HEADLINE = [
     "q_mmr_diversified_rerank",
     "q_stream_incremental_dedup",
     "q_skew_key_advisor",
+    "q_skew_advised_salted_join",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",
 ]

@@ -330,6 +330,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_simhash_checked": "5dbf1427fcac",
     "q_simhash_near_dup": "0f7849b5fcd3",
     "q_sketch_cardinality_and_quantiles": "cee511b11934",
+    "q_skew_advised_salted_join": "23c88262d56b",
     "q_skew_key_advisor": "e36841a71795",
     "q_source_mixture_weights": "b86df1b022e7",
     "q_source_quota_sample": "1f58f856167f",

@@ -205,6 +205,7 @@ QUERIES = [
     "q_mmr_diversified_rerank",
     # r11: skew advisor — key aggregate + broadcast roll-up + TakeOrdered
     "q_skew_key_advisor",
+    "q_skew_advised_salted_join",
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
