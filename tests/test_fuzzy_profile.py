@@ -27,18 +27,40 @@ def test_fuzzy_pairs_canonical_no_self(spark, sf_dir):
 
 
 def test_fuzzy_blocking_is_exact_within_block(spark):
-    """Referee on a hand-built frame: within a shared block the join is
-    EXACT Levenshtein (no approximation); an edit inside the block prefix
-    is the documented blocking-recall miss, pinned here so the trade stays
-    visible."""
+    """Referee on a hand-built frame (VERDICT r11 #5): the stacked
+    prefix+suffix blocking must catch a distance-1 pair whose edit falls
+    inside the PREFIX key (single-prefix blocking provably misses it — the
+    prefix-only arm is re-run standalone to prove that), must not
+    double-emit a pair caught by both keys, and the residual miss —
+    a short name with a mid-string edit breaking both keys at once — stays
+    pinned so the recall trade is visible."""
+    from changesetmd_spark.operators.fuzzy import blocked_fuzzy_pairs
+
     df = spark.createDataFrame(
         [
             (1, "Customer#000000001"),
             (2, "Customer#000000002"),  # dist 1 from #1, same 16-prefix
-            (3, "Xustomer#000000001"),  # dist 1 from #1 but prefix differs
+            # dist 1 from #1 with the edit INSIDE the 16-prefix: prefix
+            # blocking misses it, the 16-suffix ("tomer#000000001") catches
+            (3, "Xustomer#000000001"),
+            # 20-char name pair, edit at position 10: inside the 16-prefix
+            # AND inside the 16-suffix (regions overlap below 32 chars) —
+            # missed by both keys, the documented residual trade
+            (4, "shortname-X-1234567a"),
+            (5, "shortname-Y-1234567a"),
         ],
         "c_custkey int, c_name string",
     )
+    out = blocked_fuzzy_pairs(df)
+    pairs = {(r.custkey_1, r.custkey_2) for r in out.collect()}
+    assert (1, 2) in pairs  # caught by prefix arm (edit beyond prefix)
+    assert (1, 3) in pairs  # caught ONLY by the suffix arm
+    assert (4, 5) not in pairs  # residual miss: edit inside both keys
+    # no double emission: (1,2) shares prefix AND suffix blocks, but the
+    # pre-gate dedup makes every unordered pair appear exactly once
+    assert out.count() == len(pairs)
+
+    # prove the single-key version misses the cross-block pair
     c = df.select(
         "c_custkey",
         "c_name",
@@ -54,15 +76,15 @@ def test_fuzzy_blocking_is_exact_within_block(spark):
         F.col("c_name").alias("name_2"),
         "blk",
     )
-    pairs = {
+    prefix_only = {
         (r.custkey_1, r.custkey_2)
         for r in a.join(b, "blk")
         .filter(F.col("custkey_1") < F.col("custkey_2"))
         .filter(F.levenshtein("name_1", "name_2") <= _FUZZY_MAX_DIST)
         .collect()
     }
-    assert (1, 2) in pairs  # found: edit beyond the prefix
-    assert (1, 3) not in pairs  # blocking-recall miss: edit inside prefix
+    assert (1, 2) in prefix_only
+    assert (1, 3) not in prefix_only  # the single-key blind spot
 
 
 def test_profile_counts_planted_nulls(spark):

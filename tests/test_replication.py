@@ -409,3 +409,78 @@ def test_replication_over_http_fixture_server(spark, tmp_path):
         assert _state_rows(store) == rows
     finally:
         srv.shutdown()
+
+
+def test_long_poll_daemon_lifecycle(spark, tmp_path, fixture_fetcher):
+    """Long-poll daemon (VERDICT r11 #8): server advances, pauses (caught-up
+    cycles), throws transient faults (bounded backoff retries), then
+    advances again — the watermark advances exactly once per sequence and
+    every diff is fetched exactly once across the whole lifetime."""
+    from changesetmd_spark.sinks.store import ChangesetStore
+    from changesetmd_spark.sources.replication import (
+        ServerState,
+        long_poll_replication,
+    )
+
+    store = ChangesetStore(spark, str(tmp_path / "poll_store"))
+    store.create()
+    store._write_state(100, None)
+
+    fetch_counts: dict[int, int] = {}
+
+    def counting_fetcher(seq: int) -> str:
+        fetch_counts[seq] = fetch_counts.get(seq, 0) + 1
+        return fixture_fetcher(seq)
+
+    # per-cycle server behavior: int = head sequence, "err" = transient fault
+    phases = iter([102, 102, "err", "err", 103])
+
+    def state_reader() -> ServerState:
+        p = next(phases)
+        if p == "err":
+            raise ConnectionError("simulated upstream pause")
+        return ServerState(sequence=p, last_run="2024-05-01T04:00:00Z")
+
+    sleeps: list[float] = []
+    stats = long_poll_replication(
+        store,
+        state_reader,
+        counting_fetcher,
+        poll_interval=60.0,
+        backoff_base=1.0,
+        backoff_cap=16.0,
+        sleep_fn=sleeps.append,
+        stop_after_cycles=3,
+    )
+
+    # cycle 1: catch up 101-102; cycle 2: caught up (server paused at 102);
+    # cycle 3: two transient faults retried with exponential backoff, then
+    # catch up 103
+    assert stats == {
+        "cycles": 3,
+        "applied": 3,
+        "caught_up_cycles": 1,
+        "retries": 2,
+    }
+    assert store.state()["last_sequence"] == 103
+    # exactly-once per sequence across the whole daemon lifetime
+    assert fetch_counts == {101: 1, 102: 1, 103: 1}
+    # sleep trace: poll sleeps between cycles (60) and the in-cycle
+    # exponential backoff for the two faults (1, then 2)
+    assert sleeps == [60.0, 60.0, 1.0, 2.0]
+
+    # a retry budget exhausted by a dead upstream must raise, not spin
+    import pytest as _pytest
+
+    def dead_reader() -> ServerState:
+        raise ConnectionError("down")
+
+    with _pytest.raises(ConnectionError):
+        long_poll_replication(
+            store,
+            dead_reader,
+            counting_fetcher,
+            max_retries=2,
+            sleep_fn=sleeps.append,
+            stop_after_cycles=1,
+        )
