@@ -117,6 +117,9 @@ HEADLINE = [
     "q_stream_incremental_dedup",
     "q_skew_key_advisor",
     "q_skew_advised_salted_join",
+    "q_doremi_mixture_step",
+    "q_retrieval_ndcg_eval",
+    "q_incremental_minhash_neardup",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",
 ]

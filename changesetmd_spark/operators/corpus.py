@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .util import fan_out
+from .util import fan_out, materialize_releasing
 from .dedup import _JACCARD_DF_CAP, hashed_shingle_docs, ngram_jaccard_pairs
 
 # Fixed keyword-query for the BM25 entry (deterministic; the corpus draws
@@ -130,6 +130,225 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_TOP_K)
     )
+
+
+# -- retrieval quality eval (NDCG@k) ----------------------------------------
+# Graded relevance for the eval: total query-term mass in the document
+# (grade 3 at >= _NDCG_G3_MASS occurrences, 2 at >= _NDCG_G2_MASS, else 1 for
+# any match) — deterministic and content-derived, but NOT what BM25's
+# length-normalized score orders by, so the metric discriminates (measured
+# NDCG ~= 0.6 at sf0.01, not a vacuous 1.0) while the ideal ranking stays
+# computable in closed form from three corpus counts.
+_NDCG_G3_MASS = 12
+_NDCG_G2_MASS = 6
+
+
+def _ndcg_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    score = " + ".join(
+        f"(ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({_BM25_K1} + 1) / (tf_{i} + {norm}))"
+        for i in range(len(_BM25_TERMS))
+    )
+    mass = " + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    grade = (
+        f"CASE WHEN {mass} >= {_NDCG_G3_MASS} THEN 3 "
+        f"WHEN {mass} >= {_NDCG_G2_MASS} THEN 2 ELSE 1 END"
+    )
+    gain = "CASE gd WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d
+    ), g AS (
+      SELECT {df_cols} FROM t
+    ), graded AS (
+      SELECT doc_id, ROUND({score}, 4) AS bm25, {grade} AS gd
+      FROM t CROSS JOIN s CROSS JOIN g
+      WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ), counts AS (
+      SELECT CAST(SUM(CASE WHEN gd = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN gd = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN gd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM graded
+    ), ranked AS (
+      SELECT gd, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM graded ORDER BY bm25 DESC, doc_id LIMIT {_TOP_K}
+    ), folded AS (
+      SELECT list_reduce(
+               list(ROUND(({gain}) / log2(r + 1), 6) ORDER BY r),
+               (a, b) -> a + b) AS dcg,
+             CAST(SUM(CASE WHEN gd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_at_k,
+             COUNT(*) AS n_pool
+      FROM ranked
+    ), ideal AS (
+      SELECT list_reduce(
+               list_transform(generate_series(1, {_TOP_K}), r ->
+                 ROUND((CASE WHEN r <= n3 THEN 7
+                             WHEN r <= n3 + n2 THEN 3
+                             WHEN r <= n3 + n2 + n1 THEN 1
+                             ELSE 0 END) / log2(r + 1), 6)),
+               (a, b) -> a + b) AS idcg
+      FROM counts
+    )
+    SELECT CAST({_TOP_K} AS BIGINT) AS k, n_pool, n_rel_at_k,
+           ROUND(dcg, 5) AS dcg,
+           ROUND(idcg, 5) AS idcg,
+           ROUND(dcg / idcg, 5) AS ndcg
+    FROM folded, ideal
+    """
+
+
+@register("q_retrieval_ndcg_eval", oracle=_ndcg_oracle())
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 arm against graded term-coverage relevance —
+    the retrieval-quality eval a RAG serving tier runs before swapping
+    rankers (Järvelin & Kekäläinen 2002 discounted cumulative gain; public
+    method).  Relevance grade = total query-term mass thresholds (gain
+    2^g - 1; see _NDCG_G3_MASS) — deliberately NOT the quantity BM25's
+    length-normalized score orders by, so the metric discriminates
+    (~0.60 at sf0.01, never a vacuous 1.0) — and the IDEAL ranking is
+    computable in closed form from three corpus counts (n3/n2/n1 docs per
+    grade), no oracle ranking to materialize.
+
+    Determinism recipe: each rank's gain/log2(rank+1) term is rounded to
+    6 BEFORE summation (absorbing any last-ulp log2 divergence between
+    engines), and both DCG and IDCG sum via a sequential left fold over a
+    rank-ordered list — never a GROUP BY double sum whose fold order is
+    engine-dependent.
+
+    Scale shape: inherits BM25's — fixed term set means term frequencies
+    are per-row projections (no inverted-index shuffle), corpus constants
+    are one broadcast 1-row aggregate, the pool is a TakeOrdered 10, and
+    everything after it folds over ≤10 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    # one corpus scan: t feeds stats, the graded pool, AND the grade
+    # histogram — persist it so the three aggregates share the tokenize
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        *[
+            F.size(
+                F.filter(tokens(F.col("text")), (lambda tm: lambda x: x == F.lit(tm))(term))
+            ).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    norm = _BM25_K1 * (1 - _BM25_B) + F.lit(_BM25_B * _BM25_K1) * F.col(
+        "dl"
+    ) / F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        part = idf * F.col(f"tf_{i}") * (_BM25_K1 + 1) / (F.col(f"tf_{i}") + norm)
+        score = part if score is None else score + part
+    matched = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    mass = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    grade = (
+        F.when(mass >= _NDCG_G3_MASS, 3)
+        .when(mass >= _NDCG_G2_MASS, 2)
+        .otherwise(1)
+    )
+    t = t.persist()
+    graded = (
+        t.crossJoin(F.broadcast(stats))
+        .filter(matched > 0)
+        .select(
+            "doc_id", F.round(score, 4).alias("bm25"), grade.alias("gd")
+        )
+    )
+    counts = graded.agg(
+        F.sum(F.when(F.col("gd") == 3, 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("gd") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("gd") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    pool = graded.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_TOP_K)
+    ranked = pool.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    gain = (
+        F.when(F.col("gd") == 3, 7)
+        .when(F.col("gd") == 2, 3)
+        .when(F.col("gd") == 1, 1)
+        .otherwise(0)
+    )
+    folded = ranked.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("r"),
+                    F.round(gain / F.log2(F.col("r") + 1), 6).alias("term"),
+                )
+            )
+        ).alias("lst"),
+        F.sum(F.when(F.col("gd") >= 2, 1).otherwise(0)).cast("long").alias(
+            "n_rel_at_k"
+        ),
+        F.count(F.lit(1)).alias("n_pool"),
+    ).select(
+        "n_pool",
+        "n_rel_at_k",
+        F.aggregate(
+            F.transform(F.col("lst"), lambda x: x["term"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dcg"),
+    )
+    idcg = counts.select(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_TOP_K)),
+                lambda i: i,
+            ),
+            F.lit(0.0),
+            lambda a, i: a
+            + F.round(
+                (
+                    F.when(i <= F.col("n3"), 7)
+                    .when(i <= F.col("n3") + F.col("n2"), 3)
+                    .when(i <= F.col("n3") + F.col("n2") + F.col("n1"), 1)
+                    .otherwise(0)
+                )
+                / F.log2(i.cast("double") + 1),
+                6,
+            ),
+        ).alias("idcg")
+    )
+    out = folded.crossJoin(F.broadcast(idcg)).select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "n_pool",
+        "n_rel_at_k",
+        F.round(F.col("dcg"), 5).alias("dcg"),
+        F.round(F.col("idcg"), 5).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 5).alias("ndcg"),
+    )
+    return materialize_releasing(out, t)
 
 
 @register(

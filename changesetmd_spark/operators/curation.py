@@ -184,6 +184,112 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DoReMi linearized step: η = 0.5 embedded as basis points (see below).
+_DOREMI_ETA_BP = 5000  # η·10⁴
+
+
+@register(
+    "q_doremi_mixture_step",
+    oracle=rf"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+             CAST(SUM(n_docs) AS BIGINT) AS d
+      FROM per_source
+    ), stepped AS (
+      SELECT source, n_docs, n_tokens, t,
+             GREATEST(0, (n_tokens * d * 10000) // (n_docs * t) - 10000)
+               AS excess_bp
+      FROM per_source, tot
+    ), raws AS (
+      SELECT *,
+             n_tokens * (20000 + excess_bp) AS raw,
+             CAST(SUM(n_tokens * (20000 + excess_bp)) OVER () AS BIGINT)
+               AS sum_raw
+      FROM stepped
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(excess_bp AS BIGINT) AS excess_bp,
+           ROUND(n_tokens * 1.0 / t, 6) AS w0,
+           ROUND(raw * 1.0 / sum_raw, 6) AS w_new,
+           CAST(FLOOR((t // 2) * (raw * 1.0 / sum_raw)) AS BIGINT)
+             AS alloc_tokens,
+           CAST(CAST(FLOOR((t // 2) * (raw * 1.0 / sum_raw)) AS BIGINT)
+                * 10000 // n_tokens AS BIGINT) AS epochs_bp
+    FROM raws
+    """,
+)
+def q_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"; public
+    method): domains whose excess loss exceeds the reference get their
+    mixture weight multiplied up, then weights renormalize.  The container
+    has no reference model, so the excess-loss proxy is deterministic and
+    data-derived — a source's mean document length vs the corpus mean
+    (long-document sources stand in for hard domains); the UPDATE RULE is
+    the paper's, linearized to multiplicative weights
+    w_i ∝ w0_i·(1 + η·excess_i) with η = {_DOREMI_ETA_BP / 10000} so every
+    intermediate is an exact integer in basis points: excess_bp from one
+    floor-division of BIGINT products, raw weights as BIGINT, and exactly
+    ONE double division per output column before ROUND — the
+    integer-pinning recipe that makes mixture math hash-exact across
+    engines.  Also emits the budget plan the new mixture implies: token
+    allocation from a ⌊T/2⌋ budget and per-source epoch count in basis
+    points (epochs > 10000 bp = that source repeats, the Muennighoff
+    data-constrained regime).
+
+    Scale shape: one skinny per-source aggregate (map-side combine), a
+    broadcast 1-row totals join, and window/normalization math on the
+    n_sources-row frame — nothing after the first exchange touches corpus
+    rows, so the step costs one aggregation scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the corpus is scanned exactly once: the per-source aggregate (a
+    # handful of rows) is persisted, so the totals / normalization
+    # re-aggregations below never re-touch corpus lineage
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        ).alias("n_tokens"),
+    ).persist()
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")
+    )
+    stepped = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "excess_bp",
+        F.greatest(
+            F.lit(0),
+            F.expr("n_tokens * d * 10000 DIV (n_docs * t)") - 10000,
+        ),
+    )
+    raws = stepped.withColumn(
+        "raw", F.col("n_tokens") * (F.lit(20000) + F.col("excess_bp"))
+    )
+    sum_raw = raws.agg(F.sum("raw").alias("sum_raw"))
+    alloc = F.floor(
+        F.expr("t DIV 2") * (F.col("raw") * 1.0 / F.col("sum_raw"))
+    ).cast("long")
+    out = raws.crossJoin(F.broadcast(sum_raw)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("excess_bp").cast("long").alias("excess_bp"),
+        F.round(F.col("n_tokens") * 1.0 / F.col("t"), 6).alias("w0"),
+        F.round(F.col("raw") * 1.0 / F.col("sum_raw"), 6).alias("w_new"),
+        alloc.alias("alloc_tokens"),
+        F.expr(
+            "CAST(CAST(FLOOR((t DIV 2) * (raw * 1.0 / sum_raw)) AS BIGINT) "
+            "* 10000 DIV n_tokens AS BIGINT)"
+        ).alias("epochs_bp"),
+    )
+    return materialize_releasing(out, per_source)
+
+
 @register(
     "q_pipeline_curate_end_to_end",
     oracle=r"""

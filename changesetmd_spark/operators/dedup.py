@@ -23,7 +23,7 @@ pinned by pytest against exact Jaccard instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -449,6 +449,23 @@ def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_releasing(cand, sig, docs)
 
 
+def _mh_band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, bucket) band postings from a 16-column md5 signature frame —
+    shared by the all-pairs checked pipeline and the incremental
+    delta-vs-base variant so the banding rule cannot drift."""
+    buckets = []
+    for b in range(_MH_CHECK_BANDS):
+        band = F.concat_ws(
+            ",",
+            *[
+                F.col(f"_m{b * _MH_CHECK_ROWS + j}").cast("string")
+                for j in range(_MH_CHECK_ROWS)
+            ],
+        )
+        buckets.append(F.md5(F.concat_ws(":", F.lit(str(b)), band)))
+    return sig.select("doc_id", F.explode(F.array(*buckets)).alias("bucket"))
+
+
 def _checked_minhash_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -475,17 +492,7 @@ def _checked_minhash_pipeline(
     # signature re-attaches read sig — persist so the 16 min-aggregates
     # run once.  Callers release via materialize_releasing(out, sig, docs).
     sig = posts.groupBy("doc_id").agg(*aggs).persist()
-    buckets = []
-    for b in range(_MH_CHECK_BANDS):
-        band = F.concat_ws(
-            ",",
-            *[
-                F.col(f"_m{b * _MH_CHECK_ROWS + j}").cast("string")
-                for j in range(_MH_CHECK_ROWS)
-            ],
-        )
-        buckets.append(F.md5(F.concat_ws(":", F.lit(str(b)), band)))
-    bk = sig.select("doc_id", F.explode(F.array(*buckets)).alias("bucket"))
+    bk = _mh_band_buckets(sig)
     cand = (
         bk.alias("a")
         .join(bk.alias("b"), "bucket")
@@ -1405,3 +1412,134 @@ def q_incremental_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(base, "content_hash", "left_anti").select(
         "content_hash", "keep_doc_id", "source", "n_batch_dups"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot NEAR-dup ([extension], the near-dup twin of
+# q_incremental_hash_dedup): LSH-route the INCOMING batch against the
+# already-ingested base and exact-verify only the routed pairs — the
+# ingest-time near-dedup a continuously-crawled corpus runs so a lightly
+# paraphrased recrawl of an existing page never lands.  Same parity split
+# (even doc_ids = base, odd = incoming), same md5 minhash/banding as the
+# checked LSH pipeline (shared helpers, so the routing rule cannot drift).
+
+
+@register(
+    "q_incremental_minhash_neardup",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), idx AS (
+      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
+    ), mh AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg), 1, 15))
+                 ::BIGINT) AS m
+      FROM posts, idx GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id,
+             md5(CAST(i // {_MH_CHECK_ROWS} AS VARCHAR) || ':' ||
+                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {_MH_CHECK_ROWS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS base_id
+      FROM bands a JOIN bands b ON a.bucket = b.bucket
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ), scored AS (
+      SELECT c.delta_id, c.base_id,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+               AS uni
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.delta_id
+      JOIN s sb ON sb.doc_id = c.base_id
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY delta_id
+               ORDER BY ROUND(inter * 1.0 / uni, 5) DESC, base_id) AS rn,
+             COUNT(*) OVER (PARTITION BY delta_id) AS n_cand
+      FROM scored
+    )
+    SELECT delta_id AS delta_doc_id,
+           CAST(n_cand AS BIGINT) AS n_candidates,
+           base_id AS best_match_doc_id,
+           ROUND(inter * 1.0 / uni, 5) AS best_jaccard5,
+           inter * 2 >= uni AS is_neardup
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_incremental_minhash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup screen: for every INCOMING document (odd
+    doc_ids) that shares an LSH band bucket with the existing base corpus
+    (even doc_ids), report its candidate count, best-matching base
+    document by exact shingle Jaccard (id tie-break), and whether it
+    crosses the 0.5 near-dup bar — the gate decided with an exact integer
+    cross-multiplication (2·|∩| ≥ |∪|), no floating point.
+
+    Scale shape (100 TB ingest): the base corpus signature/bucket side is
+    the persisted index a production pipeline maintains incrementally
+    (here rebuilt per run — the build is the same one exchange as the
+    checked LSH pipeline); the bucket join touches only buckets the DELTA
+    occupies, so routing work scales with the incoming batch, not the
+    corpus, and exact verification runs on routed pairs only.  The
+    per-delta best-match window partitions by delta doc (bounded by its
+    candidate count — never corpus-wide)."""
+    docs, sig, _ = _checked_minhash_pipeline(spark, sf_dir)
+    bk = _mh_band_buckets(sig)
+    cand = (
+        bk.filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").alias("delta_id"), "bucket")
+        .join(
+            bk.filter(F.col("doc_id") % 2 == 0).select(
+                F.col("doc_id").alias("base_id"), "bucket"
+            ),
+            "bucket",
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    a_sh = docs.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
+    b_sh = docs.select(F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    scored = (
+        cand.join(a_sh, "delta_id")
+        .join(b_sh, "base_id")
+        .select(
+            "delta_id",
+            "base_id",
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+    )
+    w = Window.partitionBy("delta_id")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(
+            w.orderBy(
+                F.desc(F.round(F.col("inter") * 1.0 / F.col("uni"), 5)),
+                F.asc("base_id"),
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_cand"),
+    )
+    out = ranked.filter(F.col("rn") == 1).select(
+        F.col("delta_id").alias("delta_doc_id"),
+        F.col("n_cand").cast("long").alias("n_candidates"),
+        F.col("base_id").alias("best_match_doc_id"),
+        F.round(F.col("inter") * 1.0 / F.col("uni"), 5).alias("best_jaccard5"),
+        (F.col("inter") * 2 >= F.col("uni")).alias("is_neardup"),
+    )
+    return materialize_releasing(out, sig, docs)

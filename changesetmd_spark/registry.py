@@ -255,6 +255,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dedup_groups": "178c907f8716",
     "q_dedup_threshold_sweep": "33a9886b4b20",
     "q_distinct_counts": "b7644aa98416",
+    "q_doremi_mixture_step": "34167fa8fbd5",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_duplicate_substring_spans": "924f03a2e00c",
     "q_embedding_ann_checked": "4702c5d0fb1f",
@@ -275,6 +276,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_heavy_hitter_terms": "7da4342493b1",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
+    "q_incremental_minhash_neardup": "111fcb1e1b8a",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
     "q_json_typed_extract": "c88841a31644",
@@ -317,6 +319,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
+    "q_retrieval_ndcg_eval": "16aacdd196bf",
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",

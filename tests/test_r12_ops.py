@@ -59,3 +59,60 @@ def test_advised_salt_spreads_hot_key_and_preserves_rows(spark, sf_dir):
         )
         assert len(lanes) == s  # all lanes used
         assert max(r["count"] for r in lanes) <= 2 * (hot.type_total // s + 1)
+
+
+def test_doremi_step_moves_weights_the_right_way(spark, sf_dir):
+    """The multiplicative-weights step must (a) renormalize (Σw_new ≈ 1),
+    (b) boost the max-excess source, (c) never boost a zero-excess source,
+    and (d) be non-vacuous (at least one source with positive excess —
+    otherwise the step is the identity and the test proves nothing)."""
+    from changesetmd_spark import registry
+
+    rows = registry.queries()["q_doremi_mixture_step"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert any(r.excess_bp > 0 for r in rows)
+    assert abs(sum(r.w_new for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.w0 for r in rows) - 1.0) < 1e-4
+    mx = max(rows, key=lambda r: r.excess_bp)
+    assert mx.w_new > mx.w0
+    assert all(r.w_new <= r.w0 for r in rows if r.excess_bp == 0)
+    # budget plan: allocations never exceed the half-corpus budget
+    total_tokens = sum(r.n_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) <= total_tokens // 2
+
+
+def test_ndcg_eval_discriminates_and_bounds(spark, sf_dir):
+    """NDCG must be a real metric here: strictly between 0 and 1 (the
+    term-mass gold is deliberately not what BM25 orders by — a vacuous 1.0
+    means the gold degenerated), DCG ≤ IDCG, and a full pool."""
+    from changesetmd_spark import registry
+
+    row = registry.queries()["q_retrieval_ndcg_eval"](spark, sf_dir).collect()[0]
+    assert row.k == 10 and row.n_pool == 10
+    assert 0.0 < row.ndcg < 1.0
+    assert row.dcg < row.idcg
+    assert 0 <= row.n_rel_at_k <= 10
+
+
+def test_incremental_minhash_neardup_routing_contract(spark, sf_dir):
+    """Delta-vs-base routing: every reported row is an incoming (odd) doc
+    matched against a base (even) doc, the near-dup verdict is exactly the
+    integer 2|∩| ≥ |∪| gate re-expressed through the rounded jaccard, and
+    the screen is non-vacuous (the corpus's planted near-dups cross the
+    parity split)."""
+    from changesetmd_spark import registry
+
+    rows = registry.queries()["q_incremental_minhash_neardup"](
+        spark, sf_dir
+    ).collect()
+    assert rows  # non-vacuous
+    assert any(r.is_neardup for r in rows)
+    for r in rows:
+        assert r.delta_doc_id % 2 == 1
+        assert r.best_match_doc_id % 2 == 0
+        assert r.n_candidates >= 1
+        assert 0.0 <= r.best_jaccard5 <= 1.0
+        # the gate is integer-exact; at the 0.5 boundary the rounded
+        # jaccard agrees with it to within rounding slack
+        if r.is_neardup:
+            assert r.best_jaccard5 >= 0.49999

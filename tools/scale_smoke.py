@@ -206,6 +206,9 @@ QUERIES = [
     # r11: skew advisor — key aggregate + broadcast roll-up + TakeOrdered
     "q_skew_key_advisor",
     "q_skew_advised_salted_join",
+    "q_doremi_mixture_step",
+    "q_retrieval_ndcg_eval",
+    "q_incremental_minhash_neardup",
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
