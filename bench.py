@@ -120,6 +120,8 @@ HEADLINE = [
     "q_doremi_mixture_step",
     "q_retrieval_ndcg_eval",
     "q_incremental_minhash_neardup",
+    "q_cross_source_leakage",
+    "q_unigram_drift_kl",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",
 ]

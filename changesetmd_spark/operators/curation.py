@@ -184,6 +184,210 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-source boilerplate leakage: the governance audit that catches the
+# same content shipping under multiple source labels (license laundering,
+# mirror crawls, shared templates).  EXACT whole-document fingerprints are
+# deliberately not the key — this corpus (like a well-deduped production
+# one) has zero exact cross-source dups, which would make the query the
+# vacuous-0 trap — the key is the first-{k}-token prefix, the shared-
+# boilerplate signature C4/RefinedWeb-style pipelines strip.
+_LEAK_PREFIX_TOKENS = 8
+
+
+@register(
+    "q_cross_source_leakage",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             array_to_string(
+               string_split_regex(lower(trim(text)), '\s+')
+                 [1:{_LEAK_PREFIX_TOKENS}], ' ') AS f
+      FROM documents
+    ), per AS (
+      SELECT f, source, COUNT(*) AS n_docs
+      FROM fp GROUP BY f, source
+    ), pairs AS (
+      SELECT a.f, a.source AS source_1, b.source AS source_2,
+             a.n_docs + b.n_docs AS docs_pair
+      FROM per a JOIN per b ON a.f = b.f AND a.source < b.source
+    )
+    SELECT source_1, source_2,
+           COUNT(*) AS n_shared_keys,
+           CAST(SUM(docs_pair) AS BIGINT) AS n_docs_involved
+    FROM pairs GROUP BY source_1, source_2
+    """,
+)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-leakage audit: for every pair of sources that
+    share a {k}-token document-prefix key, count the shared keys and the
+    documents carrying them — the report a data-governance pass reads
+    before trusting per-source licensing or dedup boundaries (shared keys
+    = mirrored boilerplate, syndicated content, or template reuse).
+
+    Scale shape (100 TB): the prefix key is a per-row projection (first
+    {k} tokens — never the whole document); one hash aggregate to
+    (key, source) with map-side combine collapses the corpus to near-
+    distinct keys BEFORE the self-join, and the self-join is an equi-join
+    on the key whose per-key quadratic term is bounded by the number of
+    sources (≤ tens), not documents.  Output is |sources|² rows at
+    most.""".replace("{k}", str(_LEAK_PREFIX_TOKENS))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    key = F.concat_ws(" ", F.slice(toks, 1, _LEAK_PREFIX_TOKENS))
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select(key.alias("f"), "source")
+        .groupBy("f", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    a = per.select(
+        "f", F.col("source").alias("source_1"), F.col("n_docs").alias("na")
+    )
+    b = per.select(
+        "f", F.col("source").alias("source_2"), F.col("n_docs").alias("nb")
+    )
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_keys"),
+            F.sum(F.col("na") + F.col("nb")).alias("n_docs_involved"),
+        )
+    )
+
+
+# Unigram drift monitor: vocabulary size for the fold below (top-K base
+# terms by count; add-one smoothing over exactly these K terms).
+_DRIFT_TOP_TERMS = 64
+
+
+@register(
+    "q_unigram_drift_kl",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS term
+      FROM documents
+    ), base AS (
+      SELECT term, COUNT(*) AS cb FROM d WHERE doc_id % 2 = 0 GROUP BY term
+    ), delta AS (
+      SELECT term, COUNT(*) AS cd FROM d WHERE doc_id % 2 = 1 GROUP BY term
+    ), top AS (
+      SELECT b.term, b.cb, COALESCE(dl.cd, 0) AS cd
+      FROM base b LEFT JOIN delta dl ON b.term = dl.term
+      ORDER BY b.cb DESC, b.term LIMIT {_DRIFT_TOP_TERMS}
+    ), tots AS (
+      SELECT CAST(SUM(cb) AS BIGINT) AS tb, CAST(SUM(cd) AS BIGINT) AS td
+      FROM top
+    ), contrib AS (
+      SELECT t.term, t.cb, t.cd,
+             ROUND(((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS}))
+                   * ln(((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS}))
+                        / ((t.cd + 1) * 1.0 / (td + {_DRIFT_TOP_TERMS}))),
+                   6) AS kl_term,
+             ROUND(ABS((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS})
+                       - (t.cd + 1) * 1.0 / (td + {_DRIFT_TOP_TERMS})), 6)
+               AS tv_term
+      FROM top t, tots
+    )
+    SELECT CAST({_DRIFT_TOP_TERMS} AS BIGINT) AS n_terms,
+           ROUND(list_reduce(list(kl_term ORDER BY term), (a, b) -> a + b),
+                 5) AS kl_nats,
+           ROUND(list_reduce(list(tv_term ORDER BY term), (a, b) -> a + b)
+                 / 2, 5) AS tv_distance,
+           (SELECT term FROM contrib ORDER BY tv_term DESC, term LIMIT 1)
+             AS top_drift_term
+    FROM contrib
+    """,
+)
+def q_unigram_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between corpus snapshots: smoothed KL
+    divergence and total-variation distance of the unigram distributions
+    of the base snapshot (even doc_ids) vs the incoming one (odd), over
+    the top-{_DRIFT_TOP_TERMS} base terms with add-one smoothing — the
+    drift gate a continuously-crawled pipeline checks before letting a
+    new snapshot into the training mix (a KL spike = the crawl's language
+    mix shifted).
+
+    Determinism recipe: per-term KL/TV contributions are single IEEE
+    expression trees over exact integer counts, rounded to 6, then summed
+    by a sequential left fold over the TERM-ORDERED list in both engines;
+    the top-drift term ties-break on term.  Scale shape: two hash
+    aggregates over (term) postings (map-side combine; shuffle carries
+    term+count), a TakeOrdered {_DRIFT_TOP_TERMS}, and folds over a
+    {_DRIFT_TOP_TERMS}-row frame."""
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+    )
+    base = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    delta = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    top = (
+        base.join(delta, "term", "left")
+        .select("term", "cb", F.coalesce(F.col("cd"), F.lit(0)).alias("cd"))
+        .orderBy(F.desc("cb"), F.asc("term"))
+        .limit(_DRIFT_TOP_TERMS)
+    )
+    tots = top.agg(
+        F.sum("cb").alias("tb"), F.sum("cd").alias("td")
+    )
+    k = F.lit(_DRIFT_TOP_TERMS)
+    p = (F.col("cb") + 1) * 1.0 / (F.col("tb") + k)
+    q = (F.col("cd") + 1) * 1.0 / (F.col("td") + k)
+    contrib = top.crossJoin(F.broadcast(tots)).select(
+        "term",
+        F.round(p * F.log(p / q), 6).alias("kl_term"),
+        F.round(F.abs(p - q), 6).alias("tv_term"),
+    )
+    folded = contrib.agg(
+        F.sort_array(
+            F.collect_list(F.struct("term", "kl_term"))
+        ).alias("kl_lst"),
+        F.sort_array(
+            F.collect_list(F.struct("term", "tv_term"))
+        ).alias("tv_lst"),
+    )
+    top_term = (
+        contrib.orderBy(F.desc("tv_term"), F.asc("term"))
+        .limit(1)
+        .select(F.col("term").alias("top_drift_term"))
+    )
+    return folded.crossJoin(F.broadcast(top_term)).select(
+        F.lit(_DRIFT_TOP_TERMS).cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("kl_lst"), lambda x: x["kl_term"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            5,
+        ).alias("kl_nats"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("tv_lst"), lambda x: x["tv_term"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / 2,
+            5,
+        ).alias("tv_distance"),
+        "top_drift_term",
+    )
+
+
 # DoReMi linearized step: η = 0.5 embedded as basis points (see below).
 _DOREMI_ETA_BP = 5000  # η·10⁴
 

@@ -249,6 +249,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_contamination_ngram_overlap": "007fd8327408",
     "q_countmin_estimates": "8797ed161fdc",
     "q_countmin_sketch_only": "fb8a34413f0a",
+    "q_cross_source_leakage": "f120be5b52b6",
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",
@@ -364,6 +365,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_triangle_count": "3d9e4a4c9b67",
     "q_txn_merge_snapshot": "37e57683a294",
     "q_type_transition_matrix": "8c2ffed88a00",
+    "q_unigram_drift_kl": "456c04fb22ea",
     "q_unigram_prob_mass": "956bc7deacf6",
     "q_unpivot_quantity_price": "019a7ec3945b",
     "q_upsert_last_write_wins": "f4f914c525c2",

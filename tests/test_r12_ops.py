@@ -116,3 +116,36 @@ def test_incremental_minhash_neardup_routing_contract(spark, sf_dir):
         # jaccard agrees with it to within rounding slack
         if r.is_neardup:
             assert r.best_jaccard5 >= 0.49999
+
+
+def test_cross_source_leakage_contract(spark, sf_dir):
+    """The leakage audit must be non-vacuous (the corpus plants shared
+    prefix keys across sources), canonically oriented (source_1 <
+    source_2, each unordered pair once), and every count positive."""
+    from changesetmd_spark import registry
+
+    rows = registry.queries()["q_cross_source_leakage"](
+        spark, sf_dir
+    ).collect()
+    assert rows  # zero rows = the vacuous-0 trap this key choice avoids
+    seen = set()
+    for r in rows:
+        assert r.source_1 < r.source_2
+        assert (r.source_1, r.source_2) not in seen
+        seen.add((r.source_1, r.source_2))
+        assert r.n_shared_keys >= 1
+        assert r.n_docs_involved >= 2 * r.n_shared_keys
+
+
+def test_unigram_drift_bounds(spark, sf_dir):
+    """KL ≥ 0 (Gibbs), TV in [0, 1], and the drift must be non-zero —
+    the parity split halves differ, so a 0.0 reading means the fold
+    degenerated."""
+    from changesetmd_spark import registry
+
+    row = registry.queries()["q_unigram_drift_kl"](spark, sf_dir).collect()[0]
+    assert row.n_terms == 64
+    assert row.kl_nats >= 0.0
+    assert 0.0 <= row.tv_distance <= 1.0
+    assert row.tv_distance > 0.0
+    assert row.top_drift_term

@@ -209,6 +209,8 @@ QUERIES = [
     "q_doremi_mixture_step",
     "q_retrieval_ndcg_eval",
     "q_incremental_minhash_neardup",
+    "q_cross_source_leakage",
+    "q_unigram_drift_kl",
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
