@@ -363,6 +363,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_token_len_histogram": "c9c4c0b4f98e",
     "q_train_test_split": "cec82ef6be65",
     "q_triangle_count": "3d9e4a4c9b67",
+    "q_txn_change_feed": "2d2d27434982",
     "q_txn_merge_snapshot": "37e57683a294",
     "q_type_transition_matrix": "8c2ffed88a00",
     "q_unigram_drift_kl": "456c04fb22ea",

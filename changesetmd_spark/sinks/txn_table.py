@@ -321,6 +321,53 @@ class TxnTable:
 
         return self._commit_loop("overwrite", apply, schema)
 
+    def changes(
+        self, from_version: int, to_version: int, key: str | list[str]
+    ) -> DataFrame:
+        """Row-level change feed between two committed snapshots (the
+        lakehouse CDF read): full-outer-join the two snapshot reads on
+        ``key`` and classify every key as ``insert`` (only in the newer
+        snapshot), ``delete`` (only in the older), or ``update`` (present
+        in both with any non-key column differing, null-safely) —
+        unchanged keys are dropped.  Output: the key columns,
+        ``change_type``, and every non-key column twice as ``old_<col>`` /
+        ``new_<col>``.
+
+        Scale shape: one shuffle on the key for the outer join; both
+        sides are manifest-pruned snapshot scans, so a CDF over a
+        single-partition commit reads only that partition's files.  A
+        production format would additionally persist per-commit change
+        files; diffing snapshots is the format-agnostic equivalent and
+        gives identical answers for any (from, to) pair."""
+        keys = [key] if isinstance(key, str) else list(key)
+        old = self.read(from_version)
+        new = self.read(to_version)
+        non_key = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *keys,
+            F.lit(True).alias("_old_present"),
+            *[F.col(c).alias(f"old_{c}") for c in non_key],
+        )
+        n = new.select(
+            *keys,
+            F.lit(True).alias("_new_present"),
+            *[F.col(c).alias(f"new_{c}") for c in non_key],
+        )
+        j = o.join(n, keys, "full_outer")
+        old_struct = F.struct(*[F.col(f"old_{c}") for c in non_key])
+        new_struct = F.struct(*[F.col(f"new_{c}") for c in non_key])
+        change = (
+            F.when(F.col("_old_present").isNull(), F.lit("insert"))
+            .when(F.col("_new_present").isNull(), F.lit("delete"))
+            .when(~old_struct.eqNullSafe(new_struct), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type") != "unchanged")
+            .drop("_old_present", "_new_present")
+        )
+
     def merge(
         self,
         batch: DataFrame,

@@ -149,3 +149,45 @@ def test_unigram_drift_bounds(spark, sf_dir):
     assert 0.0 <= row.tv_distance <= 1.0
     assert row.tv_distance > 0.0
     assert row.top_drift_term
+
+
+def test_txn_changes_classification(spark, tmp_path):
+    """TxnTable.changes on a planted lifecycle: v0 {a:1, b:2, c:null} →
+    v1 {a:1 (unchanged), b:9 (update), d:4 (insert)} with c deleted; the
+    diff must classify all four outcomes, null-safely (c's null value must
+    read as a delete, not explode the comparison), and drop unchanged."""
+    from changesetmd_spark.sinks.txn_table import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "cdf_unit"))
+    v0_df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", None)], "k string, v int"
+    )
+    t.overwrite(v0_df)
+    v0 = t.current_version()
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1), ("b", 9), ("d", 4)], "k string, v int"
+        )
+    )
+    v1 = t.current_version()
+    feed = {r.k: r for r in t.changes(v0, v1, key="k").collect()}
+    assert set(feed) == {"b", "c", "d"}  # 'a' unchanged → dropped
+    assert feed["b"].change_type == "update"
+    assert (feed["b"].old_v, feed["b"].new_v) == (2, 9)
+    assert feed["c"].change_type == "delete" and feed["c"].new_v is None
+    assert feed["d"].change_type == "insert" and feed["d"].old_v == None  # noqa: E711
+
+
+def test_txn_change_feed_covers_all_three_types(spark, sf_dir):
+    """The registered CDF query must exercise insert AND update AND delete
+    (a feed without deletes is just a merge diff)."""
+    from changesetmd_spark import registry
+
+    rows = {
+        r.change_type: r
+        for r in registry.queries()["q_txn_change_feed"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"insert", "update", "delete"}
+    assert all(r.n_rows > 0 and r.event_id_checksum > 0 for r in rows.values())

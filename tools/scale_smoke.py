@@ -188,6 +188,11 @@ QUERIES = [
     "q_salted_join_skewed_types",
     "q_value_percentiles_per_type",
     "q_json_typed_extract",
+    # q_txn_merge_snapshot / q_txn_change_feed are deliberately NOT here:
+    # each invocation is three REAL transactional commits (bulk load, MERGE,
+    # overwrite) — a table-write benchmark, not a query-scale one; their
+    # write path's long-run behavior is covered by the replication long-run
+    # bench (BENCH_replication_longrun.json) instead.
     # r11: incremental ingest dedup — hash-key-aligned aggregate + anti-join
     "q_incremental_hash_dedup",
     # r11: MRL truncation audit — one vec_id equi-join, map-side folds
