@@ -122,6 +122,7 @@ HEADLINE = [
     "q_incremental_minhash_neardup",
     "q_cross_source_leakage",
     "q_unigram_drift_kl",
+    "q_multimodal_resize",
     "q_txn_change_feed",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",

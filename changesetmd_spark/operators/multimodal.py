@@ -384,6 +384,63 @@ def decode_ppm_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=PPM_DECODED_SCHEMA)
 
 
+# Real resize target for the PPM tier (small so the oracle's closed-form
+# recomputation stays a ~144-term integer fold per image).
+_RESIZE_TW = 8
+_RESIZE_TH = 6
+
+
+def resize_ppm_media(df: DataFrame, tw: int = _RESIZE_TW, th: int = _RESIZE_TH) -> DataFrame:
+    """REAL image resize over the PPM tier: decode each payload with the
+    pure-Python P6 parser, nearest-neighbor resample the raster in numpy
+    (source row/col = ⌊ty·h/th⌋ / ⌊tx·w/tw⌋ — the integer NN rule every
+    image library implements), re-encode the result as a valid PPM, and
+    emit the resized raster's integer statistics.  Unlike resize_media's
+    deterministic fake, every output byte here is genuine pixel math."""
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("modality", StringType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("pixel_sum", LongType(), True),
+        ]
+    )
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                w, h, _maxval, pixels = decode_ppm_p6(bytes(payload))
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                sy = (np.arange(th) * h) // th
+                sx = (np.arange(tw) * w) // tw
+                resized = arr[sy][:, sx]
+                out = encode_ppm_p6(tw, th, resized.tobytes())
+                rows.append(
+                    (
+                        mid,
+                        mod,
+                        tw,
+                        th,
+                        out,
+                        int(resized.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.mapInPandas(resize_batches, schema=schema)
+
+
 def codec_capabilities() -> dict[str, bool]:
     """Probe which optional codec libraries this environment provides
     (VERDICT r9 #8).  Import-try only — nothing here is a hard dependency,
@@ -578,6 +635,64 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pixel_bytes").alias("total_pixel_bytes"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
         F.sum("red_sum").alias("total_red_sum"),
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             n_chars % 16 + 1 AS w,
+             n_chars % 12 + 1 AS h,
+             (doc_id * 31) % 256 AS a
+      FROM documents
+    ), px AS (
+      SELECT modality,
+             list_reduce(
+               list_transform(
+                 generate_series(0, {_RESIZE_TH * _RESIZE_TW * 3 - 1}),
+                 i -> (a + 3 * (((i // {_RESIZE_TW * 3}) * h // {_RESIZE_TH})
+                                  * w
+                                + ((i % {_RESIZE_TW * 3}) // 3) * w
+                                    // {_RESIZE_TW})
+                         + i % 3) % 256),
+               (x, y) -> x + y) AS ps
+      FROM m
+    )
+    SELECT modality,
+           COUNT(*) AS n_items,
+           CAST({_RESIZE_TW} AS BIGINT) AS out_width,
+           CAST({_RESIZE_TH} AS BIGINT) AS out_height,
+           CAST(SUM(ps) AS BIGINT) AS total_resized_pixel_sum
+    FROM px
+    GROUP BY modality
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize pipeline, hash-checked: synthesize PPMs, decode with
+    the pure-Python parser, nearest-neighbor resample every raster to
+    {_RESIZE_TW}x{_RESIZE_TH} in numpy, re-encode as valid PPM, and roll
+    the RESIZED rasters' integer pixel sums up per modality.  The DuckDB
+    oracle recomputes each resized pixel analytically (resized[ty,tx,c] =
+    (a + 3*((ty*h//TH)*w + tx*w//TW) + c) mod 256 — the same integer
+    nearest-neighbor rule the numpy index math applies), so a resampler
+    that picks the wrong source row, transposes axes, or drops a channel
+    hash-mismatches immediately.  This graduates the resize stage from
+    resize_media's deterministic fake to genuine pixel math — the one
+    remaining fake is frame sampling, which needs a real video codec.
+
+    Scale shape: synthesize → decode+resize pipeline into one stage
+    (chained mapInPandas, payloads never shuffled); the only exchange is
+    the 3-row modality rollup."""
+    resized = resize_ppm_media(synthesize_ppm_media(spark, sf_dir))
+    return resized.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.lit(_RESIZE_TW).cast("long").alias("out_width"),
+        F.lit(_RESIZE_TH).cast("long").alias("out_height"),
+        F.sum("pixel_sum").alias("total_resized_pixel_sum"),
     )
 
 

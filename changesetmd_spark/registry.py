@@ -299,6 +299,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_mmr_diversified_rerank": "b89cbf4fcd70",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "70e6af535d73",
+    "q_multimodal_resize": "7f480e96df0f",
     "q_neardup_canonical": "e2cad7f30322",
     "q_neardup_verify_jaccard": "46fe093eb244",
     "q_ngram_jaccard_pairs": "3e965c94242e",

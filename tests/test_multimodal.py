@@ -143,3 +143,33 @@ def test_ppm_decode_query_nonempty_and_planted_comments(spark, sf_dir):
     media = synthesize_ppm_media(spark, sf_dir).limit(40).collect()
     assert any(b"#" in bytes(r.payload)[:32] for r in media)
     assert any(b"#" not in bytes(r.payload)[:32] for r in media)
+
+
+def test_ppm_resize_real_pixel_math(spark, sf_dir):
+    """resize_ppm_media must apply the genuine nearest-neighbor rule: on a
+    hand-built 4x2 raster resized to 2x1 the output pixels are exactly the
+    source pixels at (0,0) and (0,2), and every output payload is itself a
+    valid PPM of the target size."""
+    import numpy as np
+
+    from changesetmd_spark.operators.multimodal import (
+        PPM_MIME,
+        decode_ppm_p6,
+        encode_ppm_p6,
+        resize_ppm_media,
+    )
+
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm_p6(4, 2, src.tobytes())), PPM_MIME, 0)],
+        "media_id long, modality string, payload binary, "
+        "mime_type string, n_bytes long",
+    )
+    row = resize_ppm_media(df, tw=2, th=1).collect()[0]
+    w, h, _mx, pixels = decode_ppm_p6(bytes(row.payload))
+    assert (w, h) == (2, 1)
+    out = np.frombuffer(pixels, dtype=np.uint8).reshape(1, 2, 3)
+    # ty=0 -> sy = 0*2//1 = 0; tx=0 -> sx=0, tx=1 -> sx = 1*4//2 = 2
+    assert (out[0, 0] == src[0, 0]).all()
+    assert (out[0, 1] == src[0, 2]).all()
+    assert row.pixel_sum == int(out.sum())

@@ -216,6 +216,7 @@ QUERIES = [
     "q_incremental_minhash_neardup",
     "q_cross_source_leakage",
     "q_unigram_drift_kl",
+    "q_multimodal_resize",
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
