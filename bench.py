@@ -123,6 +123,8 @@ HEADLINE = [
     "q_cross_source_leakage",
     "q_unigram_drift_kl",
     "q_multimodal_resize",
+    "q_embedding_binary_hamming",
+    "q_embedding_dim_moments",
     "q_txn_change_feed",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",

@@ -1977,3 +1977,210 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import materialize_releasing
 
     return materialize_releasing(out, pool)
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization + Hamming retrieval ([extension]): the fourth
+# rung of the compression ladder (float32 → int8 → PQ → 1 bit/dim).  Sign
+# bits pack 32 dims into each of two BIGINT words, so a 64-dim vector costs
+# 16 bytes and candidate distance is two XOR+popcount instructions — the
+# shape binary-embedding retrieval (e.g. hashing-based recall tiers) runs
+# over 10⁹ vectors where even int8 is too big.  Everything here is exact
+# integer arithmetic plus one rounded cosine, so the whole tier hash-checks.
+from .probes import probe_sql as _bh_probe_sql
+from .probes import probe_vector as _bh_probe_vector
+
+_BH_K = 20
+_BH_SALT = "binhash"
+
+
+def _bh_pack_sql(arr: str, lo_bit: int) -> str:
+    """BIGINT with bit j-1 set iff ``{arr}[lo_bit + j]`` > 0, for j in 1..32."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, 32), j -> "
+        f"CASE WHEN {arr}[{lo_bit} + j] > 0 "
+        f"THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END), (a, b) -> a + b)"
+    )
+
+
+def _bh_pack_col(e, lo_bit: int):
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(e, (F.lit(lo_bit) + j).cast("int")) > 0,
+            F.pow(F.lit(2.0), (j - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+@register(
+    "q_embedding_binary_hamming",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm,
+             {_bh_pack_sql("e", 0)} AS lo,
+             {_bh_pack_sql("e", 32)} AS hi
+      FROM v
+    ), pr AS ({_bh_probe_sql(_BH_SALT)}),
+    pp AS (
+      SELECT pr, pn,
+             {_bh_pack_sql("pr", 0)} AS plo,
+             {_bh_pack_sql("pr", 32)} AS phi
+      FROM pr
+    )
+    SELECT vec_id,
+           CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT)
+             AS hamming,
+           ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),
+                                            i -> e[i] * pr[i]),
+                             (a, b) -> a + b) / (nrm * pn), 5) AS cosine5
+    FROM n, pp
+    ORDER BY hamming, vec_id
+    LIMIT {_BH_K}
+    """,
+)
+def q_embedding_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} retrieval by Hamming distance over sign-binarized embeddings
+    against the pinned probe, with the exact cosine reported next to each
+    hit (the est-vs-exact audit column, q_minhash_estimate_error_audit's
+    pattern applied to 1-bit quantization).  Sign bits pack into two
+    BIGINT words per vector — 32× smaller than float32 — and distance is
+    two XOR+popcount ops (``bit_count``), all exact integers, so the tier
+    hash-checks bit-for-bit.
+
+    Scale shape (100 TB / 10⁹ vectors): the packed index is 16 bytes/row
+    — small enough to keep hot; the scan is one codegen projection (pack
+    folds are per-row array expressions, probe constant-folds at plan
+    time) and top-k is a TakeOrdered, no shuffle of vectors.  Production
+    would pre-materialize the packed words columnar-side; packing inline
+    here keeps the query self-contained without changing the plan
+    shape.""".replace("{k}", str(_BH_K))
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    e = F.col("e")
+    n = v.select(
+        "vec_id",
+        "e",
+        l2_norm(e).alias("nrm"),
+        _bh_pack_col(e, 0).alias("lo"),
+        _bh_pack_col(e, 32).alias("hi"),
+    )
+    pr = _bh_probe_vector(_BH_SALT)
+    pp = spark.range(1).select(
+        pr.alias("pr"),
+        l2_norm(pr).alias("pn"),
+        _bh_pack_col(pr, 0).alias("plo"),
+        _bh_pack_col(pr, 32).alias("phi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+    ).cast("long")
+    return (
+        n.crossJoin(F.broadcast(pp))
+        .select(
+            "vec_id",
+            hamming.alias("hamming"),
+            F.round(
+                cosine(F.col("e"), F.col("pr"), F.col("nrm"), F.col("pn")), 5
+            ).alias("cosine5"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BH_K)
+    )
+
+
+# Per-dimension feature moments ([extension]): the whitening-prep pass that
+# precedes PCA/normalization — per-dim mean/std/min/max over the corpus.
+# Float sums are order-dependent, so values scale to round-half-away 1e6
+# integers first (the calibration-ECE recipe): integer sums are exact and
+# order-free, and each output column spends its doubles in one rounded
+# expression tree.
+_DM_SCALE = 1_000_000
+
+
+@register(
+    "q_embedding_dim_moments",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), px AS (
+      SELECT i - 1 AS dim,
+             CAST(ROUND(e[i] * {_DM_SCALE}) AS BIGINT) AS s6
+      FROM v, UNNEST(generate_series(1, {_DIM})) t(i)
+    ), agg AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(s6) AS BIGINT) AS s,
+             CAST(SUM(s6 * s6) AS BIGINT) AS s2,
+             MIN(s6) AS mn, MAX(s6) AS mx
+      FROM px GROUP BY dim
+    )
+    SELECT dim, n,
+           ROUND(s * 1.0 / n / {_DM_SCALE}, 6) AS mean6,
+           ROUND(sqrt(GREATEST(0.0,
+                 (s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+                   / {_DM_SCALE} / {_DM_SCALE})), 6) AS std6,
+           ROUND(mn * 1.0 / {_DM_SCALE}, 6) AS min6,
+           ROUND(mx * 1.0 / {_DM_SCALE}, 6) AS max6
+    FROM agg
+    """,
+)
+def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding corpus (mean/std/min/max per
+    dim) — the statistics a whitening or normalization layer is fit from
+    before PCA/quantization.  Values scale to exact 1e6 integers before
+    any aggregation (integer sums are order-free; the population-variance
+    identity n·Σx² − (Σx)² then runs on exact BIGINTs), so the whole
+    report hash-checks; sqrt is correctly rounded in both engines.
+
+    Scale shape: posexplode ships (dim, int64) pairs — 16 bytes/element —
+    into one hash aggregate with map-side combine on 64 keys; nothing
+    else shuffles.  The BIGINT Σx² headroom holds to ~10⁶ vectors per
+    dim at this scale factor's value range (|x| ≲ 2); a 10⁹-vector corpus
+    promotes the two sums to DECIMAL(38,0), same plan."""
+    px = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.posexplode(to_double_vec(F.col("embedding"))).alias("dim", "x")
+        )
+        .select(
+            "dim",
+            F.round(F.col("x") * _DM_SCALE, 0).cast("long").alias("s6"),
+        )
+    )
+    agg = px.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s6").alias("s"),
+        F.sum(F.col("s6") * F.col("s6")).alias("s2"),
+        F.min("s6").alias("mn"),
+        F.max("s6").alias("mx"),
+    )
+    sc = F.lit(float(_DM_SCALE))
+    mean_s = F.col("s") * 1.0 / F.col("n")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean_s / sc, 6).alias("mean6"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("s2") * 1.0 / F.col("n") - mean_s * mean_s)
+                    / sc
+                    / sc,
+                )
+            ),
+            6,
+        ).alias("std6"),
+        F.round(F.col("mn") * 1.0 / sc, 6).alias("min6"),
+        F.round(F.col("mx") * 1.0 / sc, 6).alias("max6"),
+    )

@@ -263,7 +263,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_ann_ivf": "77f3261e726c",
     "q_embedding_ann_ivf_checked": "822e4062996d",
     "q_embedding_ann_lsh": "2b316a9d38c5",
+    "q_embedding_binary_hamming": "fc5c5c9b82e1",
     "q_embedding_centroid_per_label": "db3e96ecfdb8",
+    "q_embedding_dim_moments": "c9725b33701d",
     "q_embedding_int8_quantize": "7e2ee87b3d9e",
     "q_embedding_neardup_cosine": "f5b442b72d4b",
     "q_embedding_pca_power": "a5c327894b93",

@@ -217,6 +217,8 @@ QUERIES = [
     "q_cross_source_leakage",
     "q_unigram_drift_kl",
     "q_multimodal_resize",
+    "q_embedding_binary_hamming",
+    "q_embedding_dim_moments",
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
