@@ -115,6 +115,7 @@ HEADLINE = [
     "q_hybrid_rrf_search",
     "q_mmr_diversified_rerank",
     "q_stream_incremental_dedup",
+    "q_stream_late_data_drop",
     "q_skew_key_advisor",
     "q_skew_advised_salted_join",
     "q_doremi_mixture_step",

@@ -344,6 +344,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_stratified_sample_neyman": "55bc092384a9",
     "q_stream_dedup_first_seen": "76cbd611d070",
     "q_stream_incremental_dedup": "ed995d3b2341",
+    "q_stream_late_data_drop": "c1c07f319bc8",
     "q_stream_purchase_attribution": "b4c25510793c",
     "q_stream_rollup_hourly": "91bb1034b91c",
     "q_stream_session_windows": "67157ecc744e",

@@ -329,3 +329,127 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_pairs = dd.join(base, ["user_id", "item_id"], "left_anti")
     out = run_stream_to_table(new_pairs, output_mode="append")
     return out.groupBy("item_id").agg(F.count("*").alias("n_new_users"))
+
+
+# -- watermark late-data drop (T6 sharp edge) --------------------------------
+# The one watermark behavior the complete-mode queries above cannot show:
+# rows arriving AFTER the watermark passed their window are dropped.  The
+# staged source is split into three mtime-ordered files so availableNow
+# with maxFilesPerTrigger=1 yields three deterministic micro-batches:
+# batch 0 (3/4 of events) establishes the watermark, batch 1 is an EMPTY
+# spacer (probed behavior: the watermark computed from a batch takes
+# effect one batch LATER than the docs suggest — without the spacer the
+# straggler batch still runs at watermark 0 and nothing drops), and
+# batch 2 (the straggler quarter) replays against the now-effective
+# watermark.  Probed drop rule (pinned by the oracle): a late row is
+# dropped iff its WINDOW END ≤ watermark — a straggler for a still-open
+# window is aggregated.  The 0.5 ms watermark-delay offset keeps the
+# cutoff strictly between the second-aligned event timestamps, so no row
+# ever sits exactly on a boundary and both engines agree without an
+# equality-edge convention.
+# 72 h + 0.5 ms: wide enough that the straggler quarter splits into BOTH
+# outcomes at every SF (windows inside the last 72 h of on-time data stay
+# open and aggregate the late rows; older windows are expired and drop
+# them), narrow enough that drops dominate.  Still bounds state: ≤ 73
+# open hour-windows regardless of stream length.
+_LATE_DELAY_MS = 259_200_500
+
+
+def _staged_three_batch_events(spark: SparkSession, sf_dir: str) -> str:
+    """Directory with exactly three parquet files: batch-0 (event_id % 4 ≠
+    1, oldest mtime), batch-1 (EMPTY spacer — lets the lagged watermark
+    take effect), batch-2 (the straggler quarter).  Content-fingerprinted
+    like the jsonl fixture so a regenerated corpus invalidates staging."""
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(_STAGE_ROOT, f"events3b-{key}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    import glob
+    import shutil as _shutil
+
+    batches = (
+        F.col("event_id") % 4 != 1,
+        F.lit(False),  # empty spacer
+        F.col("event_id") % 4 == 1,
+    )
+    for i, pred in enumerate(batches):
+        tmp = os.path.join(d, f"_tmp{i}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"batch-{i}.parquet")
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+@register(
+    "q_stream_late_data_drop",
+    oracle=f"""
+    WITH a AS (
+      SELECT ts FROM events WHERE event_id % 4 <> 1
+    ), b AS (
+      SELECT ts FROM events WHERE event_id % 4 = 1
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL '{_LATE_DELAY_MS} milliseconds' AS w FROM a
+    ), kept AS (
+      SELECT ts FROM a
+      UNION ALL
+      SELECT b.ts FROM b, wm
+      WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w
+      -- probed engine rule: drop iff window END <= watermark; a late row
+      -- whose window is still open (end > wm) is aggregated normally
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n_events
+    FROM kept GROUP BY 1
+    """,
+)
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, hash-checked: batch 0 (3/4 of the
+    events) advances the watermark to max(batch-0 ts) − 72h − 0.5ms, an
+    empty spacer batch lets it take effect (the engine applies a batch's
+    watermark one batch later — probed, see module comment), and batch 2
+    replays the straggler quarter: every straggler whose WINDOW has been
+    finalized (window end ≤ watermark) is dropped by the engine — the
+    oracle recomputes exactly that rule (a late row for a still-open
+    window is aggregated; only rows for watermark-expired windows
+    vanish).  Update output mode; the final per-window count is the max
+    across emissions (counts are monotone).
+
+    Scale shape: three micro-batches by construction (maxFilesPerTrigger=1,
+    mtime-ordered staging); state is one row per open hour window.  At
+    production scale this is the T6 contract that bounds state: without
+    the drop, an unbounded-lateness stream holds every window forever."""
+    d = _staged_three_batch_events(spark, sf_dir)
+    with _scoped_conf(spark, _RUNTIME_CONF):
+        schema = spark.read.parquet(os.path.join(d, "batch-0.parquet")).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+    ts_type = dict(sdf.dtypes)["ts"]
+    if ts_type == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        sdf.withWatermark("ts", f"{_LATE_DELAY_MS} milliseconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_table(agg, output_mode="update")
+    return out.groupBy(
+        F.date_format("window.start", _TS).alias("window_start")
+    ).agg(F.max("n_events").alias("n_events"))

@@ -257,3 +257,45 @@ def test_dim_moments_match_numpy(spark, sf_dir):
         assert abs(r.std6 - round(max(0.0, var) ** 0.5, 6)) < 2e-6
         assert r.min6 == round(col.min() / 1e6, 6)
         assert r.max6 == round(col.max() / 1e6, 6)
+
+
+def test_stream_late_drop_both_sides_of_the_rule(spark, sf_dir):
+    """The late-data query must exercise BOTH sides of the probed rule:
+    some stragglers dropped (their windows expired) AND some stragglers
+    kept (their windows still open when the watermark took effect) —
+    otherwise the oracle is pinning a vacuous case."""
+    import duckdb
+
+    from changesetmd_spark import registry
+    from changesetmd_spark.streaming.events_stream import _LATE_DELAY_MS
+
+    rows = {
+        r.window_start: r.n_events
+        for r in registry.queries()["q_stream_late_data_drop"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    n_all, n_ontime, dropped, kept_late = con.execute(
+        f"""
+        WITH a AS (SELECT ts FROM events WHERE event_id % 4 <> 1),
+        b AS (SELECT ts FROM events WHERE event_id % 4 = 1),
+        wm AS (SELECT MAX(ts) - INTERVAL '{_LATE_DELAY_MS} milliseconds'
+                 AS w FROM a)
+        SELECT (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM a),
+               (SELECT COUNT(*) FROM b, wm
+                WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR <= wm.w),
+               (SELECT COUNT(*) FROM b, wm
+                WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w)
+        """
+    ).fetchone()
+    total_emitted = sum(rows.values())
+    assert dropped > 0, "no straggler fell past the watermark"
+    assert kept_late > 0, "no straggler landed in a still-open window"
+    assert total_emitted == n_all - dropped
+    assert total_emitted > n_ontime  # the kept stragglers are in there
