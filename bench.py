@@ -126,6 +126,8 @@ HEADLINE = [
     "q_multimodal_resize",
     "q_embedding_binary_hamming",
     "q_embedding_dim_moments",
+    "q_distinct_ngram_diversity",
+    "q_zipf_fit_audit",
     "q_txn_change_feed",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",

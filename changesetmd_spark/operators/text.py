@@ -9,7 +9,7 @@ final (tiny) aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -735,4 +735,178 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(kept_score).cast("double") / F.sum(kept), 6
             ).alias("avg_score_kept"),
         )
+    )
+
+
+# -- corpus diversity / language-sanity audits ([extension]) -----------------
+# Two corpus-QA metrics a data team reads before training: distinct-n
+# diversity per source (the corpus-level twin of per-doc repetition — a
+# source whose bigram space collapsed is TEMPLATED even when no single doc
+# is repetitive) and a Zipf-law fit over the frequency spectrum (natural
+# language shows slope ≈ −1 on log-rank/log-frequency; a slope far off
+# flags synthetic/boilerplate or tokenizer damage).
+
+
+@register(
+    "q_distinct_ngram_diversity",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, source,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM d WHERE len(toks) >= 2
+    ), posts AS (
+      SELECT source, doc_id, unnest(grams) AS gram FROM bi
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS total_bigrams,
+           COUNT(DISTINCT gram) AS distinct_bigrams,
+           ROUND(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS distinct_ratio
+    FROM posts GROUP BY source
+    """,
+)
+def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per source (the distinct-n metric of generation
+    eval applied to corpus QA): distinct bigrams / total bigrams.  A low
+    ratio marks a templated source — cross-document repetition that the
+    per-document repetition filter (q_text_repetition_quality) cannot see.
+    Exact integer counts and one rounded division, so it hash-checks.
+
+    Scale shape: one (source, gram) postings explode into a per-source
+    aggregate; COUNT(DISTINCT gram) is Spark's two-phase distinct
+    aggregate (partial distinct map-side), keyed by source — no corpus-
+    wide single partition."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+    )
+    return posts.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_bigrams"),
+        F.countDistinct("gram").alias("distinct_bigrams"),
+        F.round(
+            F.countDistinct("gram") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+_ZIPF_TOP = 64  # frequency spectrum depth for the fit
+
+
+@register(
+    "q_zipf_fit_audit",
+    oracle=rf"""
+    WITH tf AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS c FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+      FROM counts ORDER BY c DESC, term LIMIT {_ZIPF_TOP}
+    ), pts AS (
+      SELECT r,
+             ROUND(ln(r), 6) AS x,
+             ROUND(ln(c), 6) AS y,
+             ROUND(ln(r) * ln(c), 6) AS xy,
+             ROUND(ln(r) * ln(r), 6) AS xx
+      FROM ranked
+    ), folded AS (
+      SELECT COUNT(*) AS k,
+             list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+             list_reduce(list(xy ORDER BY r), (a, b) -> a + b) AS sxy,
+             list_reduce(list(xx ORDER BY r), (a, b) -> a + b) AS sxx
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 5) AS slope,
+           ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                 5) AS intercept
+    FROM folded
+    """,
+)
+def q_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-{k} term frequencies: least-squares slope
+    and intercept of ln(frequency) against ln(rank).  Natural-language
+    corpora sit near slope −1; a flat slope flags templated/synthetic text
+    and a cliff flags tokenizer damage — the one-number language-sanity
+    audit run before spending GPU-hours on a new crawl.
+
+    Determinism recipe: each point's ln products are rounded to 6, then
+    all four least-squares sums run as rank-ordered sequential folds in
+    both engines (never a GROUP BY double sum); the closed-form slope /
+    intercept are one shared expression tree.  Scale shape: one term-count
+    aggregate (map-side combine) and a TakeOrdered {k}; the fit itself
+    folds over {k} rows.""".replace("{k}", str(_ZIPF_TOP))
+    tf = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+    )
+    counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = (
+        counts.orderBy(F.desc("c"), F.asc("term"))
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term"))),
+        )
+    )
+    pts = ranked.select(
+        "r",
+        F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+        F.round(
+            F.log(F.col("r").cast("double")) * F.log(F.col("c").cast("double")),
+            6,
+        ).alias("xy"),
+        F.round(
+            F.log(F.col("r").cast("double")) * F.log(F.col("r").cast("double")),
+            6,
+        ).alias("xx"),
+    )
+
+    def fold(col: str):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("r", F.col(col).alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    folded = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return folded.select(
+        F.col("k").cast("long").alias("k"),
+        F.round(slope, 5).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 5).alias(
+            "intercept"
+        ),
     )

@@ -256,6 +256,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dedup_groups": "178c907f8716",
     "q_dedup_threshold_sweep": "33a9886b4b20",
     "q_distinct_counts": "b7644aa98416",
+    "q_distinct_ngram_diversity": "56224d18b199",
     "q_doremi_mixture_step": "34167fa8fbd5",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_duplicate_substring_spans": "924f03a2e00c",
@@ -386,6 +387,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_window_trailing_hour_sum": "c63920d26d47",
     "q_window_tumbling_hourly": "1d16e1c77c37",
     "q_winnowed_fingerprints": "88d8ec7ec153",
+    "q_zipf_fit_audit": "6b3a1847b9af",
     "q_zorder_layout": "562293014cd1",
 }
 

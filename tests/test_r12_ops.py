@@ -299,3 +299,57 @@ def test_stream_late_drop_both_sides_of_the_rule(spark, sf_dir):
     assert kept_late > 0, "no straggler landed in a still-open window"
     assert total_emitted == n_all - dropped
     assert total_emitted > n_ontime  # the kept stragglers are in there
+
+
+def test_distinct_ngram_diversity_bounds(spark, sf_dir):
+    """Ratios in (0, 1], distinct ≤ total, and at least one source below
+    1.0 (cross-document bigram reuse exists — else the metric is vacuous)."""
+    from changesetmd_spark import registry
+
+    rows = registry.queries()["q_distinct_ngram_diversity"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_bigrams <= r.total_bigrams
+        assert 0.0 < r.distinct_ratio <= 1.0
+    assert any(r.distinct_ratio < 1.0 for r in rows)
+
+
+def test_zipf_fit_matches_numpy_and_is_negative(spark, sf_dir):
+    """The slope must be negative (frequencies decay with rank) and match
+    an independent numpy least-squares over the same rounded points."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from changesetmd_spark import registry
+    from changesetmd_spark.operators.text import _ZIPF_TOP
+
+    row = registry.queries()["q_zipf_fit_audit"](spark, sf_dir).collect()[0]
+    # the synthetic vocabulary can be smaller than the spectrum depth
+    assert 2 <= row.k <= _ZIPF_TOP
+    assert row.slope < 0  # shallow on this templated corpus - which is
+    # exactly what the audit is for - but always decaying
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    counts = con.execute(
+        r"""
+        WITH tf AS (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                     '\s+')) AS term
+                    FROM documents)
+        SELECT COUNT(*) AS c FROM tf GROUP BY term
+        ORDER BY c DESC, MIN(term) LIMIT """
+        + str(_ZIPF_TOP)
+    ).fetchall()
+    assert len(counts) == row.k
+    x = np.array([round(math.log(r + 1), 6) for r in range(len(counts))])
+    y = np.array([round(math.log(c[0]), 6) for c in counts])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope - slope) < 1e-3
+    assert abs(row.intercept - intercept) < 1e-3

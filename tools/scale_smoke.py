@@ -219,6 +219,8 @@ QUERIES = [
     "q_multimodal_resize",
     "q_embedding_binary_hamming",
     "q_embedding_dim_moments",
+    "q_distinct_ngram_diversity",
+    "q_zipf_fit_audit",
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
