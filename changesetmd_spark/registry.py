@@ -58,9 +58,9 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8, 11),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_ann_recall_audit": (10,),
-    "q_ann_verify_rerank": (6, 9),
-    "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8),
-    "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9),
+    "q_ann_verify_rerank": (6, 9, 12),
+    "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8, 12),
+    "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9, 12),
     "q_bbox_area_filter": (2, 3, 4, 5, 8, 11),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8, 11),
@@ -79,107 +79,117 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_contamination_ngram_overlap": (5, 8, 11),
     "q_countmin_estimates": (9, 10),
     "q_countmin_sketch_only": (10,),
-    "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8),
+    "q_cross_source_leakage": (12,),
+    "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10),
-    "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9),
+    "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9, 12),
     "q_dedup_threshold_sweep": (11,),
-    "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8),
+    "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8, 12),
+    "q_distinct_ngram_diversity": (12,),
+    "q_doremi_mixture_step": (12,),
     "q_dsir_importance_weights": (7, 10),
     "q_duplicate_substring_spans": (7, 10),
-    "q_embedding_ann_checked": (6, 9),
-    "q_embedding_ann_ivf": (1, 7, 9),
+    "q_embedding_ann_checked": (6, 9, 12),
+    "q_embedding_ann_ivf": (1, 7, 9, 12),
     "q_embedding_ann_ivf_checked": (8, 11),
-    "q_embedding_ann_lsh": (1, 7, 9),
-    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9),
-    "q_embedding_int8_quantize": (9,),
+    "q_embedding_ann_lsh": (1, 7, 9, 12),
+    "q_embedding_binary_hamming": (12,),
+    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9, 12),
+    "q_embedding_dim_moments": (12,),
+    "q_embedding_int8_quantize": (9, 12),
     "q_embedding_neardup_cosine": (1, 7, 9, 11),
-    "q_embedding_pca_power": (7, 9),
+    "q_embedding_pca_power": (7, 9, 12),
     "q_embedding_pq_adc": (8, 11),
     "q_embedding_random_projection": (8, 11),
     "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10),
     "q_funnel_conversion": (7, 10),
-    "q_fuzzy_name_pairs": (9,),
-    "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9),
+    "q_fuzzy_name_pairs": (9, 12),
+    "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9, 12),
     "q_hard_negative_mining": (8, 11),
     "q_heavy_hitter_terms": (7, 10),
     "q_hybrid_rrf_search": (11,),
     "q_incremental_hash_dedup": (11,),
-    "q_intersect_segments": (1, 2, 3, 4, 5, 8),
+    "q_incremental_minhash_neardup": (12,),
+    "q_intersect_segments": (1, 2, 3, 4, 5, 8, 12),
     "q_item_cooccurrence": (7, 10),
     "q_json_typed_extract": (6, 9),
     "q_jsonl_ingest_audit": (11,),
     "q_kcore_items": (8, 11),
-    "q_kmeans_assign_update": (7, 9),
+    "q_kmeans_assign_update": (7, 9, 12),
     "q_label_propagation": (8, 11),
     "q_like_part_types": (2, 3, 4, 7, 10),
     "q_line_dedup_c4": (7, 10),
     "q_map_explode_tag_histogram": (6, 9),
-    "q_map_key_existence": (1, 6, 9),
+    "q_map_key_existence": (1, 6, 9, 12),
     "q_map_value_extract": (6, 9),
     "q_map_value_like": (6, 9),
     "q_matryoshka_truncation_audit": (11,),
-    "q_media_shard_manifest": (7, 9),
+    "q_media_shard_manifest": (7, 9, 12),
     "q_minhash_estimate_error_audit": (10, 11),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10),
     "q_minhash_lsh_checked": (5, 6, 8, 10),
     "q_mmr_diversified_rerank": (11,),
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8, 11),
-    "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11),
-    "q_neardup_canonical": (8, 9),
+    "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11, 12),
+    "q_multimodal_resize": (12,),
+    "q_neardup_canonical": (8, 9, 12),
     "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10),
     "q_ngram_novelty": (7, 10),
     "q_orders_per_month": (1, 2, 3, 4, 7, 10),
-    "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8),
+    "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_pagerank_items": (7, 10),
-    "q_phrase_search": (9,),
-    "q_pii_redaction_stats": (9,),
+    "q_phrase_search": (9, 12),
+    "q_pii_redaction_stats": (9, 12),
     "q_pipeline_curate_end_to_end": (5, 6, 8, 11),
-    "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9),
+    "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9, 12),
     "q_ppjoin_similar_docs": (9, 10),
-    "q_pps_systematic_sample": (9,),
+    "q_pps_systematic_sample": (9, 12),
     "q_priority_sample_topk": (10,),
     "q_quality_percentile_gate": (8, 11),
     "q_quality_rule_attribution": (11,),
     "q_rag_chunk_overlap": (7, 10),
     "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8, 11),
-    "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9),
+    "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9, 12),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8, 11),
-    "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8),
+    "q_retrieval_ndcg_eval": (12,),
+    "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_salted_join_skewed_types": (1, 7, 10),
-    "q_scd2_priority_history": (9,),
-    "q_semdedup_clustered": (7, 9),
-    "q_semdedup_ivf": (9,),
-    "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8),
+    "q_scd2_priority_history": (9, 12),
+    "q_semdedup_clustered": (7, 9, 12),
+    "q_semdedup_ivf": (9, 12),
+    "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_sequence_packing": (7, 10),
     "q_series_ewma": (7, 10),
     "q_series_linear_trend": (7, 10),
-    "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8),
+    "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_simhash_checked": (5, 6, 8, 11),
     "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10),
     "q_sketch_cardinality_and_quantiles": (1, 7, 10),
+    "q_skew_advised_salted_join": (12,),
     "q_skew_key_advisor": (11,),
     "q_source_mixture_weights": (5, 8, 11),
     "q_source_quota_sample": (2, 3, 4, 5, 8, 11),
     "q_stratified_sample_neyman": (10,),
     "q_stream_dedup_first_seen": (6, 9),
     "q_stream_incremental_dedup": (11,),
+    "q_stream_late_data_drop": (12,),
     "q_stream_purchase_attribution": (6, 9),
     "q_stream_rollup_hourly": (6, 9),
     "q_stream_session_windows": (6, 9),
     "q_stream_sliding_2h_1h": (6, 9),
     "q_stream_stateful_user_totals": (6, 9),
     "q_stream_tumbling_hourly": (6, 9),
-    "q_table_profile": (9,),
+    "q_table_profile": (9, 12),
     "q_temperature_mixture": (7, 10),
     "q_text_blocklist_scrub": (5, 8, 11),
     "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10),
     "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10),
     "q_text_quality": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10),
-    "q_text_repetition_quality": (5, 8, 11),
+    "q_text_repetition_quality": (5, 8, 11, 12),
     "q_text_token_budget_by_source": (5, 7, 10),
     "q_text_token_stats": (2, 3, 4, 5, 7, 10),
     "q_tfidf_top_terms": (2, 3, 4, 5, 8, 11),
@@ -188,23 +198,26 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_token_len_histogram": (7, 10),
     "q_train_test_split": (2, 3, 4, 5, 8, 11),
     "q_triangle_count": (7, 10),
+    "q_txn_change_feed": (12,),
     "q_txn_merge_snapshot": (6, 9),
     "q_type_transition_matrix": (7, 11),
+    "q_unigram_drift_kl": (12,),
     "q_unigram_prob_mass": (7, 10),
     "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_user_value_deciles": (7, 9),
     "q_value_mad_outliers": (7, 10),
-    "q_value_percentiles_per_type": (1, 6, 9),
+    "q_value_percentiles_per_type": (1, 6, 9, 12),
     "q_vocab_growth": (8, 9, 10),
     "q_vocab_growth_sketched": (9, 10),
-    "q_window_running_total": (1, 2, 3, 4, 5, 6, 8),
+    "q_window_running_total": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_window_session_per_user": (6, 9),
     "q_window_sliding": (6, 9),
-    "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8),
+    "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_window_trailing_hour_sum": (6, 9),
     "q_window_tumbling_hourly": (6, 9),
     "q_winnowed_fingerprints": (7, 10),
+    "q_zipf_fit_audit": (12,),
     "q_zorder_layout": (8, 11),
 }
 
@@ -257,7 +270,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dedup_threshold_sweep": "33a9886b4b20",
     "q_distinct_counts": "b7644aa98416",
     "q_distinct_ngram_diversity": "56224d18b199",
-    "q_doremi_mixture_step": "34167fa8fbd5",
+    "q_doremi_mixture_step": "941e870b08f5",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_duplicate_substring_spans": "924f03a2e00c",
     "q_embedding_ann_checked": "4702c5d0fb1f",
@@ -274,7 +287,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_random_projection": "cbb1337a04df",
     "q_embedding_topk_cosine": "934645d48971",
     "q_funnel_conversion": "4937330f3d66",
-    "q_fuzzy_name_pairs": "d7792924e350",
+    "q_fuzzy_name_pairs": "9916cde5e5df",
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
@@ -301,7 +314,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_minhash_lsh_checked": "c7023bf67cf3",
     "q_mmr_diversified_rerank": "b89cbf4fcd70",
     "q_multimodal_byte_stats": "696c11b57902",
-    "q_multimodal_decode": "70e6af535d73",
+    "q_multimodal_decode": "2bbb5633523b",
     "q_multimodal_resize": "7f480e96df0f",
     "q_neardup_canonical": "e2cad7f30322",
     "q_neardup_verify_jaccard": "46fe093eb244",
@@ -324,11 +337,11 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
-    "q_retrieval_ndcg_eval": "16aacdd196bf",
+    "q_retrieval_ndcg_eval": "84a2de9a54df",
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",
-    "q_semdedup_clustered": "1c18ef47c4c3",
+    "q_semdedup_clustered": "00c981bf5c8e",
     "q_semdedup_ivf": "8d8d8438d07d",
     "q_semi_join_active_customers": "887971e96ad2",
     "q_sequence_packing": "dcf8880efab6",
@@ -359,7 +372,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_text_lang_id_confusion": "b204de6407b2",
     "q_text_quality": "ec87d2dd2a86",
     "q_text_quality_by_source": "1ca2f822686d",
-    "q_text_repetition_quality": "2af3c7fc7d6d",
+    "q_text_repetition_quality": "06ec9136408e",
     "q_text_token_budget_by_source": "f4654a67165a",
     "q_text_token_stats": "07d0fcb5eba1",
     "q_tfidf_top_terms": "c87b20d513c1",
