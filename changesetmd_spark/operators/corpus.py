@@ -267,7 +267,8 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = idf * F.col(f"tf_{i}") * (_BM25_K1 + 1) / (F.col(f"tf_{i}") + norm)
         score = part if score is None else score + part
-    matched = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    # one expression serves both the matched>0 pool filter and the grade
+    # thresholds — a single definition can't drift into two semantics
     mass = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
     grade = (
         F.when(mass >= _NDCG_G3_MASS, 3)
@@ -277,7 +278,7 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t.persist()
     graded = (
         t.crossJoin(F.broadcast(stats))
-        .filter(matched > 0)
+        .filter(mass > 0)
         .select(
             "doc_id", F.round(score, 4).alias("bm25"), grade.alias("gd")
         )

@@ -2118,16 +2118,19 @@ _DM_SCALE = 1_000_000
              CAST(ROUND(e[i] * {_DM_SCALE}) AS BIGINT) AS s6
       FROM v, UNNEST(generate_series(1, {_DIM})) t(i)
     ), agg AS (
+      -- HUGEINT sums mirror Spark's DECIMAL(38,0): neither engine can
+      -- silently wrap Σx² past int64 headroom (~10^6 vectors/dim)
       SELECT dim, COUNT(*) AS n,
-             CAST(SUM(s6) AS BIGINT) AS s,
-             CAST(SUM(s6 * s6) AS BIGINT) AS s2,
+             SUM(CAST(s6 AS HUGEINT)) AS s,
+             SUM(CAST(s6 AS HUGEINT) * s6) AS s2,
              MIN(s6) AS mn, MAX(s6) AS mx
       FROM px GROUP BY dim
     )
     SELECT dim, n,
-           ROUND(s * 1.0 / n / {_DM_SCALE}, 6) AS mean6,
+           ROUND(CAST(s AS DOUBLE) / n / {_DM_SCALE}, 6) AS mean6,
            ROUND(sqrt(GREATEST(0.0,
-                 (s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+                 (CAST(s2 AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
                    / {_DM_SCALE} / {_DM_SCALE})), 6) AS std6,
            ROUND(mn * 1.0 / {_DM_SCALE}, 6) AS min6,
            ROUND(mx * 1.0 / {_DM_SCALE}, 6) AS max6
@@ -2144,9 +2147,10 @@ def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: posexplode ships (dim, int64) pairs — 16 bytes/element —
     into one hash aggregate with map-side combine on 64 keys; nothing
-    else shuffles.  The BIGINT Σx² headroom holds to ~10⁶ vectors per
-    dim at this scale factor's value range (|x| ≲ 2); a 10⁹-vector corpus
-    promotes the two sums to DECIMAL(38,0), same plan."""
+    else shuffles.  Σx and Σx² accumulate as DECIMAL(38,0) (HUGEINT in
+    the oracle): BIGINT headroom would run out near ~10⁶ vectors/dim at
+    this value range (|x| ≲ 2) and Spark would wrap silently where DuckDB
+    raises — decimal keeps both engines exact to 38 digits, same plan."""
     px = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -2157,15 +2161,18 @@ def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("x") * _DM_SCALE, 0).cast("long").alias("s6"),
         )
     )
+    # DECIMAL(38,0) sums (the per-element product stays far inside int64 —
+    # |s6| ≤ ~2e6 — but the SUM would wrap int64 near ~10^6 vectors/dim;
+    # decimal keeps 38-digit headroom and DuckDB mirrors it with HUGEINT)
     agg = px.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("s6").alias("s"),
-        F.sum(F.col("s6") * F.col("s6")).alias("s2"),
+        F.sum(F.col("s6").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("s6") * F.col("s6")).cast("decimal(38,0)")).alias("s2"),
         F.min("s6").alias("mn"),
         F.max("s6").alias("mx"),
     )
     sc = F.lit(float(_DM_SCALE))
-    mean_s = F.col("s") * 1.0 / F.col("n")
+    mean_s = F.col("s").cast("double") / F.col("n")
     return agg.select(
         "dim",
         "n",
@@ -2174,7 +2181,7 @@ def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(
                 F.greatest(
                     F.lit(0.0),
-                    (F.col("s2") * 1.0 / F.col("n") - mean_s * mean_s)
+                    (F.col("s2").cast("double") / F.col("n") - mean_s * mean_s)
                     / sc
                     / sc,
                 )

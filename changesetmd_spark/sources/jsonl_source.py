@@ -27,6 +27,8 @@ import gzip
 import hashlib
 import json
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +80,20 @@ def stage_jsonl_fixture(sf_dir: str, shards: int = 4) -> str:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
+    # content-fingerprinted keys mean every corpus regeneration creates a
+    # fresh staged dir; sweep stale siblings (>1 h old, same pattern as the
+    # txn demo root) so repeated regens don't grow /tmp unboundedly
+    if os.path.isdir(_STAGE_ROOT):
+        cutoff = time.time() - 3600.0
+        for d in os.listdir(_STAGE_ROOT):
+            full = os.path.join(_STAGE_ROOT, d)
+            if full == out:
+                continue
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     os.makedirs(out, exist_ok=True)
     rows = (
         duckdb.connect()
