@@ -406,14 +406,18 @@ _DOREMI_ETA_BP = 5000  # η·10⁴
              CAST(SUM(n_docs) AS BIGINT) AS d
       FROM per_source
     ), stepped AS (
+      -- HUGEINT intermediates mirror Spark's DECIMAL(38,0): n_tokens*d*1e4
+      -- exceeds int64 near n_tokens~1e9 x d~1e8 and the engines would
+      -- diverge (Spark wraps, DuckDB raises) before either flagged it
       SELECT source, n_docs, n_tokens, t,
-             GREATEST(0, (n_tokens * d * 10000) // (n_docs * t) - 10000)
+             GREATEST(0, (CAST(n_tokens AS HUGEINT) * d * 10000)
+                           // (CAST(n_docs AS HUGEINT) * t) - 10000)
                AS excess_bp
       FROM per_source, tot
     ), raws AS (
       SELECT *,
-             n_tokens * (20000 + excess_bp) AS raw,
-             CAST(SUM(n_tokens * (20000 + excess_bp)) OVER () AS BIGINT)
+             CAST(n_tokens AS HUGEINT) * (20000 + excess_bp) AS raw,
+             SUM(CAST(n_tokens AS HUGEINT) * (20000 + excess_bp)) OVER ()
                AS sum_raw
       FROM stepped
     )
@@ -464,15 +468,24 @@ def q_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_source.agg(
         F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")
     )
+    # DECIMAL(38,0) intermediates (HUGEINT in the oracle): n_tokens*d*1e4
+    # wraps int64 near n_tokens~1e9 x d~1e8; decimal keeps the basis-point
+    # pinning exact with 38-digit headroom, and DIV still lands on BIGINT
     stepped = per_source.crossJoin(F.broadcast(tot)).withColumn(
         "excess_bp",
         F.greatest(
             F.lit(0),
-            F.expr("n_tokens * d * 10000 DIV (n_docs * t)") - 10000,
+            F.expr(
+                "CAST(n_tokens AS DECIMAL(38,0)) * d * 10000"
+                " DIV (CAST(n_docs AS DECIMAL(38,0)) * t)"
+            )
+            - 10000,
         ),
     )
     raws = stepped.withColumn(
-        "raw", F.col("n_tokens") * (F.lit(20000) + F.col("excess_bp"))
+        "raw",
+        F.col("n_tokens").cast("decimal(38,0)")
+        * (F.lit(20000) + F.col("excess_bp")),
     )
     sum_raw = raws.agg(F.sum("raw").alias("sum_raw"))
     alloc = F.floor(
@@ -611,17 +624,35 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement (180 s vs 149 s): concentrating tokenize+explode+both
     aggs+result serialization into one wide stage spills where the
     two-exchange plan pipelines, and local[32] shuffle is memory-backed
-    so the saved bytes cost nothing here.  On a real cluster (c) is the
-    shape to revisit — it is a ~100 TB vs ~200 TB wire difference — but
-    the engine keeps the plan the measurements favor."""
+    so the saved bytes cost nothing here.
+
+    Plan (c) now SHIPS behind ``spark.changesetmd.repetition.wireOptimal``
+    (VERDICT r12 #3): set it true on a real cluster — where shuffle hits
+    disk/network and the ~100 TB vs ~200 TB wire difference dominates —
+    and the one-exchange shape is selected with no code edit.  Default
+    keeps the plan the local measurements favor; both arms hash against
+    the same oracle and each shape is pinned by a plan pytest."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
+    src = load_table(spark, sf_dir, "documents")
+    wire_optimal = (
+        str(
+            spark.conf.get("spark.changesetmd.repetition.wireOptimal", "false")
+        ).lower()
+        == "true"
+    )
+    if wire_optimal:
+        # plan (c): one exchange of raw text hashed by doc_id; both
+        # aggregations then combine map-side (4 stacked HashAggregates,
+        # zero further exchanges) — ~half the wire bytes of the default
+        src = src.repartition("doc_id")
+    else:
+        src = fan_out(src, "doc_id")
     docs = (
-        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-        .filter(F.size(toks) >= 2)
+        src.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     counted = docs.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
@@ -1283,4 +1314,78 @@ def q_quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(keep, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 5
         ).alias("keep_rate5"),
+    )
+
+
+_CTX_WINDOWS = (32, 64, 128)
+
+
+@register(
+    "q_context_window_plan",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\S+')) AS n
+      FROM documents
+    ), w AS (
+      SELECT d.source, t.win, d.n
+      FROM d, UNNEST([32, 64, 128]) AS t(win)
+    )
+    SELECT source, CAST(win AS BIGINT) AS context_window,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n > win THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_truncated,
+           CAST(SUM(n) AS BIGINT) AS tokens_total,
+           CAST(SUM(LEAST(n, win)) AS BIGINT) AS tokens_kept,
+           ROUND(SUM(LEAST(n, win)) * 1.0 / SUM(n), 6) AS utilization
+    FROM w GROUP BY source, win
+    """,
+)
+def q_context_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation planning: for each candidate training
+    context length, per source — how many documents get truncated, how
+    many tokens survive, and the token-utilization ratio.  This is the
+    first sizing question of any pretraining data plan ("what do we lose
+    at 2k vs 8k?") and the input the sequence-packing stage
+    (q_sequence_packing) consumes; windows are scaled to the synthetic
+    corpus's ~50-token documents.  All counts are exact integers; the one
+    division rounds at the end.
+
+    Scale shape: the corpus is scanned ONCE and reduced to (source,
+    n_tokens) pairs before the constant ×3 window explode — the explode
+    multiplies a two-column frame, never the text — then one partial-agg
+    exchange on (source, window): #sources×3 output rows at any corpus
+    size."""
+    from .text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n")
+    )
+    w = d.select(
+        "source",
+        "n",
+        F.explode(
+            F.array(*[F.lit(x) for x in _CTX_WINDOWS])
+        ).alias("win"),
+    )
+    return w.groupBy("source", "win").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n") > F.col("win"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_truncated"),
+        F.sum("n").cast("long").alias("tokens_total"),
+        F.sum(F.least(F.col("n"), F.col("win")))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.round(
+            F.sum(F.least(F.col("n"), F.col("win"))) * 1.0 / F.sum("n"), 6
+        ).alias("utilization"),
+    ).select(
+        "source",
+        F.col("win").cast("long").alias("context_window"),
+        "n_docs",
+        "docs_truncated",
+        "tokens_total",
+        "tokens_kept",
+        "utilization",
     )

@@ -37,3 +37,16 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_repetition_wire_optimal_arm_matches_oracle(spark, sf_dir):
+    """VERDICT r12 #3: the shipped plan-(c) arm (one raw-text exchange,
+    map-side-combined aggregations) must hash against the SAME oracle as
+    the default arm — the switch changes the physical shape only."""
+    key = "spark.changesetmd.repetition.wireOptimal"
+    try:
+        spark.conf.set(key, "true")
+        df = ALL_QUERIES["q_text_repetition_quality"](spark, sf_dir)
+        compare_to_oracle(df, ORACLES["q_text_repetition_quality"], sf_dir)
+    finally:
+        spark.conf.unset(key)

@@ -610,3 +610,41 @@ def test_minhash_audit_wide_agreement_no_explode(spark, sf_dir):
     finally:
         sig.unpersist()
         docs.unpersist()
+
+
+def test_repetition_quality_plan_arms(spark, sf_dir):
+    """VERDICT r12 #3: both q_text_repetition_quality arms ship; each plan
+    shape is pinned.  Wire-optimal (spark.changesetmd.repetition.wireOptimal)
+    = ONE exchange of raw text hashed by doc_id, then 4 stacked
+    HashAggregates (both aggregations combine map-side).  Default = the
+    two-exchange pipeline ((doc_id, gram) count, then per-doc rollup)."""
+    name = "q_text_repetition_quality"
+    key = "spark.changesetmd.repetition.wireOptimal"
+    try:
+        spark.conf.set(key, "true")
+        plan = _physical_plan(QS[name](spark, sf_dir))
+        # exactly one shuffle: the explicit repartition by doc_id
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "hashpartitioning(doc_id" in plan, plan
+        assert plan.count("HashAggregate") == 4, plan
+    finally:
+        spark.conf.unset(key)
+    # Default arm, WIDE-scan regime (the 100 TB case): shrink the split
+    # size so the scan plans >= parallelism partitions, fan_out no-ops,
+    # and the two aggregation exchanges ((doc_id, gram) then doc_id) show.
+    # At the local narrow-scan regime fan_out's own doc_id repartition
+    # makes the default arm collapse to the same one-exchange shape —
+    # that's the widen fix, not plan (c).
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        plan = _physical_plan(QS[name](spark, sf_dir))
+        assert any(
+            "hashpartitioning(doc_id" in ln and "gram" in ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln
+        ), plan
+        assert plan.count("HashAggregate") == 4, plan
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
