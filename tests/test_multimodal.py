@@ -42,12 +42,11 @@ def test_real_decode_is_explicit_stub():
         real_decode_stub(b"x", "image/png")
 
 
-def test_codec_capability_probe_and_gating(spark, sf_dir):
-    """The capability probe must gate both the real_decode plug-point and
-    the conditional q_multimodal_decode_real registration: in an
-    environment without PIL the query is absent and real_decode raises the
-    documented NotImplementedError; with PIL it decodes a real PNG and the
-    registered query runs end-to-end."""
+def test_codec_capability_probe(spark, sf_dir):
+    """The capability probe gates only the genuinely-external codec paths
+    now (PIL/av); both pure-Python formats are always on and
+    q_multimodal_decode_real is registered UNCONDITIONALLY (VERDICT r12
+    #4) — present and runnable in every environment."""
     import pytest
 
     from changesetmd_spark import registry
@@ -57,26 +56,92 @@ def test_codec_capability_probe_and_gating(spark, sf_dir):
     )
 
     caps = codec_capabilities()
-    assert set(caps) == {"ppm", "image", "video"}
-    assert caps["ppm"]  # pure-Python codec: available everywhere
-    if not caps["image"]:
-        assert "q_multimodal_decode_real" not in registry.queries()
-        with pytest.raises(NotImplementedError):
-            real_decode(b"\x89PNG", "image/png")
-        pytest.skip("PIL not installed here: gated path verified, "
-                    "decode path exercised where the environment allows")
-    import base64
-
-    png = base64.b64decode(
-        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6"
-        "DwABBQECz6AuzQAAAABJRU5ErkJggg=="
-    )
-    w, h, n_frames, feature = real_decode(png, "image/png")
-    assert (w, h, n_frames) == (1, 1, 1)
+    assert set(caps) == {"ppm", "bmp", "image", "video"}
+    assert caps["ppm"] and caps["bmp"]  # pure-Python: available everywhere
+    assert "q_multimodal_decode_real" in registry.queries()
     rows = registry.queries()["q_multimodal_decode_real"](
         spark, sf_dir
     ).collect()
-    assert rows and all(r.max_width == 1 for r in rows)
+    assert rows and sum(r.n_items for r in rows) > 0
+    if not caps["image"]:
+        with pytest.raises(NotImplementedError):
+            real_decode(b"\x89PNG", "image/png")
+
+
+def test_bmp_codec_round_trip_padding_and_bgr():
+    """The dependency-free BMP24 codec must round-trip exactly across row
+    widths that exercise every padding remainder (3w % 4 in {0,1,2,3}),
+    and the on-disk bytes must genuinely be bottom-up BGR — pinned by
+    hand-checking the first stored pixel of a 2x2 image."""
+    from changesetmd_spark.operators.multimodal import (
+        decode_bmp_24,
+        encode_bmp_24,
+    )
+
+    for w, h in [(1, 3), (2, 2), (3, 1), (4, 2), (5, 4), (16, 12)]:
+        pixels = bytes((11 + i) % 256 for i in range(3 * w * h))
+        payload = encode_bmp_24(w, h, pixels)
+        row_sz = (3 * w + 3) // 4 * 4
+        assert len(payload) == 54 + row_sz * h
+        assert decode_bmp_24(payload) == (w, h, pixels)
+    # bottom-up + BGR: first stored row is the LAST logical row, first
+    # stored pixel is that row's first pixel with channels reversed
+    pixels = bytes(range(12))  # 2x2 RGB top-down
+    payload = encode_bmp_24(2, 2, pixels)
+    assert payload[54:57] == bytes([8, 7, 6])  # pixel (1,0) as BGR
+
+
+def test_bmp_decode_top_down_negative_height():
+    """Real BMP files may store rows top-down (negative biHeight); the
+    decoder must honor that branch even though our encoder never emits it."""
+    import struct
+
+    from changesetmd_spark.operators.multimodal import (
+        decode_bmp_24,
+        encode_bmp_24,
+    )
+
+    pixels = bytes((5 + i) % 256 for i in range(3 * 3 * 2))
+    payload = bytearray(encode_bmp_24(3, 2, pixels))
+    # flip to top-down: negate biHeight and reverse the stored row order
+    struct.pack_into("<i", payload, 22, -2)
+    row_sz = (3 * 3 + 3) // 4 * 4
+    r0, r1 = payload[54 : 54 + row_sz], payload[54 + row_sz : 54 + 2 * row_sz]
+    payload[54 : 54 + 2 * row_sz] = bytes(r1) + bytes(r0)
+    assert decode_bmp_24(bytes(payload)) == (3, 2, pixels)
+
+
+def test_bmp_codec_rejects_malformed():
+    import pytest
+
+    from changesetmd_spark.operators.multimodal import (
+        decode_bmp_24,
+        encode_bmp_24,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp_24(b"PNG whatever")  # wrong magic
+    with pytest.raises(ValueError):
+        decode_bmp_24(encode_bmp_24(2, 2, bytes(12))[:57])  # truncated raster
+    with pytest.raises(ValueError):
+        encode_bmp_24(2, 2, b"\x00")  # wrong pixel count at encode
+
+
+def test_bmp_real_decode_dispatch():
+    """real_decode handles BMP dependency-free in every environment — the
+    graduation that made q_multimodal_decode_real unconditional."""
+    from changesetmd_spark.operators.multimodal import (
+        BMP_MIME,
+        encode_bmp_24,
+        real_decode,
+    )
+
+    pixels = bytes(range(3 * 2 * 2))
+    w, h, n_frames, feature = real_decode(
+        encode_bmp_24(2, 2, pixels), BMP_MIME
+    )
+    assert (w, h, n_frames) == (2, 2, 1)
+    assert isinstance(feature, int)
 
 
 def test_ppm_codec_round_trip():
