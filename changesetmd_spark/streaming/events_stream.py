@@ -343,11 +343,11 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch 2 (the straggler quarter) replays against the now-effective
 # watermark.  Probed drop rule (pinned by the oracle): a late row is
 # dropped iff its WINDOW END ≤ watermark — a straggler for a still-open
-# window is aggregated.  The 0.5 ms watermark-delay offset keeps the
+# window is aggregated.  The 500 ms watermark-delay offset keeps the
 # cutoff strictly between the second-aligned event timestamps, so no row
 # ever sits exactly on a boundary and both engines agree without an
 # equality-edge convention.
-# 72 h + 0.5 ms: wide enough that the straggler quarter splits into BOTH
+# 72 h + 500 ms: wide enough that the straggler quarter splits into BOTH
 # outcomes at every SF (windows inside the last 72 h of on-time data stay
 # open and aggregate the late rows; older windows are expired and drop
 # them), narrow enough that drops dominate.  Still bounds state: ≤ 73
@@ -355,17 +355,20 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_DELAY_MS = 259_200_500
 
 
-def _staged_three_batch_events(spark: SparkSession, sf_dir: str) -> str:
-    """Directory with exactly three parquet files: batch-0 (event_id % 4 ≠
-    1, oldest mtime), batch-1 (EMPTY spacer — lets the lagged watermark
-    take effect), batch-2 (the straggler quarter).  Content-fingerprinted
-    like the jsonl fixture so a regenerated corpus invalidates staging."""
+def _staged_batch_events(
+    spark: SparkSession, sf_dir: str, tag: str, batches: tuple
+) -> str:
+    """Directory with one mtime-ordered parquet file per predicate in
+    ``batches`` (``F.lit(False)`` entries become EMPTY spacer batches —
+    needed because a batch's watermark takes effect one batch later).
+    Content-fingerprinted like the jsonl fixture so a regenerated corpus
+    invalidates staging."""
     src = table_path(sf_dir, "events")
     st = os.stat(src)
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
-    d = os.path.join(_STAGE_ROOT, f"events3b-{key}")
+    d = os.path.join(_STAGE_ROOT, f"{tag}-{key}")
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
@@ -374,11 +377,6 @@ def _staged_three_batch_events(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import shutil as _shutil
 
-    batches = (
-        F.col("event_id") % 4 != 1,
-        F.lit(False),  # empty spacer
-        F.col("event_id") % 4 == 1,
-    )
     for i, pred in enumerate(batches):
         tmp = os.path.join(d, f"_tmp{i}")
         ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -390,6 +388,21 @@ def _staged_three_batch_events(spark: SparkSession, sf_dir: str) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return d
+
+
+def _staged_three_batch_events(spark: SparkSession, sf_dir: str) -> str:
+    """batch-0 (event_id % 4 ≠ 1, oldest mtime), batch-1 (EMPTY spacer),
+    batch-2 (the straggler quarter) — the late-data-drop staging."""
+    return _staged_batch_events(
+        spark,
+        sf_dir,
+        "events3b",
+        (
+            F.col("event_id") % 4 != 1,
+            F.lit(False),  # empty spacer
+            F.col("event_id") % 4 == 1,
+        ),
+    )
 
 
 @register(
@@ -417,7 +430,7 @@ def _staged_three_batch_events(spark: SparkSession, sf_dir: str) -> str:
 )
 def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics, hash-checked: batch 0 (3/4 of the
-    events) advances the watermark to max(batch-0 ts) − 72h − 0.5ms, an
+    events) advances the watermark to max(batch-0 ts) − 72h − 500ms, an
     empty spacer batch lets it take effect (the engine applies a batch's
     watermark one batch later — probed, see module comment), and batch 2
     replays the straggler quarter: every straggler whose WINDOW has been

@@ -1,0 +1,83 @@
+"""Round-13 operator referees: properties the DuckDB oracles can't see —
+algebraic identities, plan shapes, and skew-tier semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from changesetmd_spark import registry
+
+
+def test_ease_grid_projected_area_equals_band_formula(spark, sf_dir):
+    """The algebraic identity the exact-parity claim rests on: the projected
+    rectangle's Δx·Δy must equal bbox_area_m2's spherical-band formula
+    R²·|Δλ|·|Δsin φ| for every envelope (cos φ₁ cancels), including ones
+    needing the ±90 latitude clamp."""
+    from changesetmd_spark.operators.geometry import (
+        bbox_area_m2,
+        ease_grid_xy,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (-30.0, -20.0, 60.0, 55.0),
+            (0.0, 0.0, 1.0, 1.0),
+            (-180.0, -95.0, 180.0, 95.0),  # needs the clamp
+            (10.0, 89.0, 11.0, 92.0),
+        ],
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    x1, y1 = ease_grid_xy(F.col("min_lon"), F.col("min_lat"))
+    x2, y2 = ease_grid_xy(F.col("max_lon"), F.col("max_lat"))
+    band = bbox_area_m2(
+        F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat")
+    )
+    out = rows.select(
+        ((x2 - x1) * (y2 - y1)).alias("projected"), band.alias("band")
+    ).collect()
+    for r in out:
+        assert math.isclose(r.projected, r.band, rel_tol=1e-12), r
+
+
+def test_ease_grid_project_no_shuffle_no_udf(spark, sf_dir):
+    """The transform is pure column math: the executed plan must contain no
+    exchange besides the TakeOrdered's implicit single-partition collect and
+    no Python evaluation."""
+    plan = (
+        registry.queries()["q_ease_grid_project"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_left_outer_expiry_three_outcomes(spark, sf_dir):
+    """The left-outer expiry query must exhibit ALL THREE append-mode
+    outcomes at every SF, or the pinned semantics are vacuous: matched
+    pairs (click_id set), null-padded expired emissions (click_id null),
+    and WITHHELD purchases — unmatched rows younger than the watermark
+    that never appear in the output at all."""
+    rows = registry.queries()["q_stream_join_left_outer_expiry"](
+        spark, sf_dir
+    ).collect()
+    matched = [r for r in rows if r.click_id is not None]
+    null_emitted = [r for r in rows if r.click_id is None]
+    from changesetmd_spark.tables import load_table
+
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    emitted_purchases = {r.purchase_id for r in rows}
+    withheld = n_purchases - len(emitted_purchases)
+    assert matched, "no matched pair emitted"
+    assert null_emitted, "no null-padded expiry emission"
+    assert withheld > 0, "no purchase withheld inside the watermark horizon"
+    # null rows must carry null minutes_before too (fully null-padded)
+    assert all(r.minutes_before is None for r in null_emitted)
