@@ -408,6 +408,32 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Shared oracle CTE fragment for the checked-minhash signature build
+# (VERDICT r12 #5): ONE md5 per shingle, split into independent 60-bit /
+# 56-bit halves, with the i-th minhash drawn from the Kirsch-Mitzenmacher
+# double-hash family h1 + i*h2 ("Less Hashing, Same Performance", 2006 —
+# public method; the standard way MinHash implementations avoid K
+# independent hashes).  Replaces the old md5(i || ':' || sg) per-i
+# construction, which computed K=16 md5s per shingle posting and dominated
+# the signature build (A/B at 300x replicas in the pipeline docstring).
+# Max value h1 + 15*h2 < 2^60 + 15*2^56 < 2^63: no int64 overflow in
+# either engine.  One definition, spliced into every oracle that builds
+# signatures, so the construction cannot drift between queries.
+_MH_SIG_CTES = rf"""posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), hp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(sg), 16, 14))::BIGINT AS h2
+      FROM posts
+    ), idx AS (
+      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
+    ), mh AS (
+      SELECT doc_id, i, MIN(h1 + i * h2) AS m
+      FROM hp, idx GROUP BY doc_id, i
+    )"""
+
+
 @register(
     "q_minhash_lsh_checked",
     oracle=rf"""
@@ -419,16 +445,7 @@ def _md5_long(col: Column) -> Column:
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
                             i -> array_to_string(toks[i:i+2], ' '))) AS sh
       FROM d WHERE len(toks) >= 3
-    ), posts AS (
-      SELECT doc_id, unnest(sh) AS sg FROM s
-    ), idx AS (
-      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
-    ), mh AS (
-      SELECT doc_id, i,
-             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg), 1, 15))
-                 ::BIGINT) AS m
-      FROM posts, idx GROUP BY doc_id, i
-    ), bands AS (
+    ), {_MH_SIG_CTES}, bands AS (
       SELECT doc_id,
              md5(CAST(i // {_MH_CHECK_ROWS} AS VARCHAR) || ':' ||
                  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
@@ -440,11 +457,12 @@ def _md5_long(col: Column) -> Column:
 )
 def q_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation with the full pipeline hash-checked:
-    16 md5-derived minhashes → 4 bands of 4 rows → band-bucket equi-join →
-    distinct candidate pairs.  Same dataflow as the xxhash64 fast path
-    (explode → K min-aggregates, one shuffle on doc_id; bucket self-join,
-    one shuffle on bucket) with an engine-portable hash so DuckDB
-    reproduces every intermediate value."""
+    16 double-hash minhashes (one md5 per shingle, Kirsch-Mitzenmacher
+    h1 + i*h2 — see _MH_SIG_CTES) → 4 bands of 4 rows → band-bucket
+    equi-join → distinct candidate pairs.  Same dataflow as the xxhash64
+    fast path (explode → K min-aggregates, one shuffle on doc_id; bucket
+    self-join, one shuffle on bucket) with an engine-portable hash so
+    DuckDB reproduces every intermediate value."""
     docs, sig, cand = _checked_minhash_pipeline(spark, sf_dir)
     return materialize_releasing(cand, sig, docs)
 
@@ -481,11 +499,21 @@ def _checked_minhash_pipeline(
         # tokenize+shingle scan (same rationale as the xxhash64 variant)
         .persist()
     )
-    posts = docs.select("doc_id", F.explode("sh").alias("sg"))
+    # one md5 per shingle posting (not K=16): the two hex halves seed the
+    # Kirsch-Mitzenmacher double-hash family h1 + i*h2 (see _MH_SIG_CTES) —
+    # md5 is the dominant per-posting cost, so this cuts signature-build
+    # compute ~K-fold (A/B numbers at 300x replicas in BENCH_scale.json).
+    posts = docs.select("doc_id", F.explode("sh").alias("sg")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("sg")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.col("sg")), 16, 14), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
     aggs = [
-        F.min(
-            _md5_long(F.concat_ws(":", F.lit(str(i)), F.col("sg")))
-        ).alias(f"_m{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"_m{i}")
         for i in range(_MH_CHECK_HASHES)
     ]
     # both sides of the bucket self-join below AND the audit's two
@@ -1234,16 +1262,7 @@ def _mh_audit_oracle() -> str:
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
                             i -> array_to_string(toks[i:i+2], ' '))) AS sh
       FROM d WHERE len(toks) >= 3
-    ), posts AS (
-      SELECT doc_id, unnest(sh) AS sg FROM s
-    ), idx AS (
-      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
-    ), mh AS (
-      SELECT doc_id, i,
-             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg), 1, 15))
-                 ::BIGINT) AS m
-      FROM posts, idx GROUP BY doc_id, i
-    ), bands AS (
+    ), {_MH_SIG_CTES}, bands AS (
       SELECT doc_id,
              md5(CAST(i // {_MH_CHECK_ROWS} AS VARCHAR) || ':' ||
                  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
@@ -1435,16 +1454,7 @@ def q_incremental_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
                             i -> array_to_string(toks[i:i+2], ' '))) AS sh
       FROM d WHERE len(toks) >= 3
-    ), posts AS (
-      SELECT doc_id, unnest(sh) AS sg FROM s
-    ), idx AS (
-      SELECT unnest(generate_series(0, {_MH_CHECK_HASHES - 1})) AS i
-    ), mh AS (
-      SELECT doc_id, i,
-             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sg), 1, 15))
-                 ::BIGINT) AS m
-      FROM posts, idx GROUP BY doc_id, i
-    ), bands AS (
+    ), {_MH_SIG_CTES}, bands AS (
       SELECT doc_id,
              md5(CAST(i // {_MH_CHECK_ROWS} AS VARCHAR) || ':' ||
                  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
