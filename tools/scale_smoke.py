@@ -29,7 +29,20 @@ Up-sampling preserves workload *density* rather than inflating it:
   the session count, and the co-occurrence/PageRank node set actually
   scale instead of only deepening each hour bucket / graph edge.
 
+Skewed tier (VERDICT r12 #2): uniform replication grows every key by the
+same factor, so per-key hotness never increases and the window/as-of/groupBy
+family is never stressed the way a real 100 TB corpus (Zipf users, viral
+items) stresses it.  ``SPARK_GRAFT_SCALE_SKEW=1`` builds a variant events
+table where the hot tail COLLAPSES instead of shifting: users with
+``user_id % 100 == 0`` keep their base id in every replica (each hot key
+absorbs the full replica factor — R× rows per key), while the other 99%
+shift into disjoint per-replica ranges as before.  Total rows still grow
+R×, so ``ratio <= R`` stays the pass line; a per-hot-key blowup (the thing
+that kills 100 TB jobs) now shows up as a superlinear ratio.  Results land
+in BENCH_scale.json as a separate ``"skew": true`` run entry.
+
 Run:  PYTHONPATH=. python tools/scale_smoke.py
+      SPARK_GRAFT_SCALE_SKEW=1 PYTHONPATH=. python tools/scale_smoke.py
 """
 
 from __future__ import annotations
@@ -51,6 +64,12 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 SCALE_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_DIR", f"/tmp/changesetmd_scale_x{REPLICAS}"
 )
+SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0") == "1"
+SKEW_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_SKEW_DIR", f"/tmp/changesetmd_scale_skew_x{REPLICAS}"
+)
+# fraction of the user space that collapses: 1% of keys absorb R× hotness
+_SKEW_HOT_MOD = 100
 OUT_JSON = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "BENCH_scale.json",
@@ -224,6 +243,18 @@ QUERIES = [
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
+]
+
+# Skewed-tier gauntlet (VERDICT r12 #2): the user_id window/as-of family
+# plus the salted-join pair and the advisor that feeds it — the operators a
+# hot key actually stresses.
+SKEW_QUERIES = [
+    "q_asof_purchase_last_view",
+    "q_window_session_per_user",
+    "q_user_value_deciles",
+    "q_skew_key_advisor",
+    "q_skew_advised_salted_join",
+    "q_salted_join_skewed_types",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
@@ -412,6 +443,54 @@ def build_scale_data(spark) -> None:
         fh.write("ok")
 
 
+def build_skew_data(spark) -> None:
+    """Skew-collapsed events replica (see module docstring): hot users
+    (user_id % {_SKEW_HOT_MOD} == 0) keep their BASE id in every replica —
+    R× rows per hot key — while cold users shift into disjoint ranges
+    exactly like the uniform tier.  Item ids and timestamps shift per
+    replica as in the uniform tier, so only per-USER hotness changes.
+    Every other table symlinks the uniform scale dir (fact tables
+    replicated there, dims at base)."""
+    marker = os.path.join(SKEW_DIR, "_DONE_v1")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(SKEW_DIR, ignore_errors=True)
+    os.makedirs(SKEW_DIR, exist_ok=True)
+
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    hot = F.col("user_id") % _SKEW_HOT_MOD == 0
+    parts = []
+    for k in range(REPLICAS):
+        item = F.get_json_object(F.col("props"), "$.k").cast("long")
+        user = (
+            F.when(hot, F.col("user_id"))  # hot tail collapses: R× per key
+            .otherwise(F.col("user_id") + F.lit(k * 1_000_000))
+        )
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 100_000_000)).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k * 31} DAYS")).alias("ts"),
+                user.alias("user_id"),
+                "event_type",
+                "value",
+                F.to_json(
+                    F.struct((item + F.lit(k * 1_000_000)).alias("k"))
+                ).alias("props"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(os.path.join(SKEW_DIR, "events.parquet"))
+
+    for f in os.listdir(SCALE_DIR):
+        dst = os.path.join(SKEW_DIR, f)
+        if not f.startswith("_DONE") and not os.path.exists(dst):
+            os.symlink(os.path.join(SCALE_DIR, f), dst)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
 def timed(qs, name: str, sf_dir: str, spark) -> tuple[float, int]:
     best, rows = None, -1
     for _ in range(2):
@@ -439,15 +518,23 @@ def main() -> None:
 
     t0 = time.perf_counter()
     build_scale_data(spark)
+    run_dir, run_queries = SCALE_DIR, QUERIES
+    if SKEW:
+        build_skew_data(spark)
+        run_dir, run_queries = SKEW_DIR, SKEW_QUERIES
     build_s = round(time.perf_counter() - t0, 1)
-    print(f"scale data x{REPLICAS} at {SCALE_DIR} ({build_s}s)", file=sys.stderr)
+    print(
+        f"scale data x{REPLICAS}{' (skewed)' if SKEW else ''} at {run_dir} "
+        f"({build_s}s)",
+        file=sys.stderr,
+    )
 
     base_t, scale_t, rows = {}, {}, {}
-    for name in QUERIES:
+    for name in run_queries:
         if SUBSET and name not in SUBSET:
             continue
         base_t[name], _ = timed(qs, name, BASE, spark)
-        scale_t[name], rows[name] = timed(qs, name, SCALE_DIR, spark)
+        scale_t[name], rows[name] = timed(qs, name, run_dir, spark)
         print(
             f"{name}: base {base_t[name]}s -> x{REPLICAS} {scale_t[name]}s "
             f"(ratio {round(scale_t[name] / base_t[name], 2)}, "
@@ -459,6 +546,7 @@ def main() -> None:
     result = {
         "base_sf_dir": BASE,
         "replicas": REPLICAS,
+        "skew": SKEW,
         "sf_equivalent": 0.1 * REPLICAS,
         "base_sec": base_t,
         "scale_sec": scale_t,
@@ -473,7 +561,7 @@ def main() -> None:
             with open(OUT_JSON) as fh:
                 prev = json.load(fh)
             for r in prev.get("runs", []):
-                if r["replicas"] == REPLICAS:
+                if r["replicas"] == REPLICAS and bool(r.get("skew")) == SKEW:
                     prev_same = r
                 else:
                     doc["runs"].append(r)
@@ -496,7 +584,7 @@ def main() -> None:
         if stale_skips:
             result.setdefault("skipped", {}).update(stale_skips)
     doc["runs"].append(result)
-    doc["runs"].sort(key=lambda r: r["replicas"])
+    doc["runs"].sort(key=lambda r: (r["replicas"], bool(r.get("skew"))))
     doc["pass"] = all(r["pass"] for r in doc["runs"])
     with open(OUT_JSON, "w") as fh:
         json.dump(doc, fh, indent=1)
