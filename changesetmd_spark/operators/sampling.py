@@ -308,3 +308,76 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_hat5"),
         )
     )
+
+
+@register(
+    "q_label_balance_downsample",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, label,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS gate
+      FROM embeddings
+    ), per AS (
+      SELECT label, COUNT(*) AS n_total FROM e GROUP BY label
+    ), tgt AS (
+      SELECT MIN(n_total) AS target FROM per
+    ), plan AS (
+      SELECT p.label, p.n_total, t.target,
+             CAST(t.target * 10000 // p.n_total AS BIGINT) AS rate_bp
+      FROM per p, tgt t
+    )
+    SELECT pl.label, pl.n_total, pl.target, pl.rate_bp,
+           CAST(SUM(CASE WHEN e.gate < pl.rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN e.gate < pl.rate_bp THEN 1 ELSE 0 END)
+                * 10000 // pl.n_total AS BIGINT) AS achieved_bp
+    FROM plan pl JOIN e ON e.label = pl.label
+    GROUP BY pl.label, pl.n_total, pl.target, pl.rate_bp
+    """,
+)
+def q_label_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample plan AND its realized outcome: every
+    label keeps at most the rarest label's count, via a CONTENT-DETERMINED
+    hash gate (md5 of vec_id in basis points) rather than rand() — so the
+    same rows are kept on every run, on every engine, and the whole
+    rebalance hash-checks.  Reports per label the population, the target,
+    the keep-rate in basis points, and the exact realized sample size
+    (hash gates undershoot/overshoot the target slightly — the achieved_bp
+    column is the audit of that gap, which a rand()-based sampler could
+    never pin down).
+
+    Scale shape: one (label) aggregate with map-side combine (10 keys), a
+    broadcast of the 10-row plan back onto the scan, and a second 10-key
+    aggregate — the embeddings' vector payload is never read (column
+    pruning), and nothing shuffles except 10-row frames."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).alias("gate"),
+    )
+    per = e.groupBy("label").agg(F.count("*").alias("n_total"))
+    tgt = per.agg(F.min("n_total").alias("target"))
+    plan = per.crossJoin(F.broadcast(tgt)).select(
+        "label",
+        "n_total",
+        "target",
+        F.expr("target * 10000 DIV n_total").alias("rate_bp"),
+    )
+    joined = e.join(F.broadcast(plan), "label")
+    return joined.groupBy("label", "n_total", "target", "rate_bp").agg(
+        F.sum(F.when(F.col("gate") < F.col("rate_bp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.expr(
+            "CAST(SUM(CASE WHEN gate < rate_bp THEN 1 ELSE 0 END) "
+            "* 10000 DIV n_total AS BIGINT)"
+        ).alias("achieved_bp"),
+    )

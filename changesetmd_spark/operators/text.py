@@ -910,3 +910,123 @@ def q_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+_VOCAB_COVER_TARGETS_BP = (5000, 9000, 9900)
+
+
+@register(
+    "q_vocab_prune_coverage",
+    oracle=r"""
+    WITH d AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), freq AS (
+      SELECT term, COUNT(*) AS f
+      FROM (SELECT unnest(toks) AS term FROM d)
+      GROUP BY term
+    ), cls AS (
+      SELECT f, COUNT(*) AS types_c, f * COUNT(*) AS mass_c
+      FROM freq GROUP BY f
+    ), tot AS (
+      SELECT CAST(SUM(mass_c) AS BIGINT) AS t,
+             CAST(SUM(types_c) AS BIGINT) AS v
+      FROM cls
+    ), run AS (
+      SELECT f, types_c, mass_c,
+             COALESCE(SUM(mass_c) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS mass_before,
+             COALESCE(SUM(types_c) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS types_before
+      FROM cls
+    ), tgt AS (
+      SELECT t.bp, (tot.t * t.bp + 9999) // 10000 AS target_tokens,
+             tot.t, tot.v
+      FROM UNNEST([5000, 9000, 9900]) AS t(bp), tot
+    )
+    SELECT CAST(g.bp AS BIGINT) AS target_bp,
+           g.t AS total_tokens, g.v AS total_types,
+           CAST(r.types_before
+                + (g.target_tokens - r.mass_before + r.f - 1) // r.f
+                AS BIGINT) AS n_types_needed,
+           CAST(r.mass_before
+                + ((g.target_tokens - r.mass_before + r.f - 1) // r.f) * r.f
+                AS BIGINT) AS mass_covered
+    FROM tgt g JOIN run r
+      ON r.mass_before < g.target_tokens
+     AND r.mass_before + r.mass_c >= g.target_tokens
+    """,
+)
+def q_vocab_prune_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning plan: the minimum number of vocabulary types
+    (taken most-frequent-first) that covers 50% / 90% / 99% of the corpus
+    token mass — the coverage curve a tokenizer-vocab or stopword-pruning
+    decision reads.  All arithmetic is exact integers (ceil by
+    add-and-floor-divide), so the report hash-checks.
+
+    Scale shape — the deliberate part: ranking individual TYPES needs a
+    global sort of the vocabulary (millions of rows single-partition at
+    100 TB), but types with equal frequency are interchangeable for a
+    coverage count, so the plan aggregates the vocabulary into FREQUENCY
+    CLASSES first (distinct frequency values — Zipf-bounded, thousands at
+    most) and resolves the boundary class arithmetically:
+    n_needed = types_above + ceil((target − mass_above) / f).  The only
+    window runs over the tiny class frame; the corpus touches one
+    (term) aggregate with map-side combine and nothing else."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    freq = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    cls = freq.groupBy("f").agg(
+        F.count("*").alias("types_c"),
+        (F.col("f") * F.count("*")).alias("mass_c"),
+    )
+    tot = cls.agg(
+        F.sum("mass_c").cast("long").alias("t"),
+        F.sum("types_c").cast("long").alias("v"),
+    )
+    w = Window.orderBy(F.desc("f")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = cls.select(
+        "f",
+        "types_c",
+        "mass_c",
+        F.coalesce(F.sum("mass_c").over(w), F.lit(0)).alias("mass_before"),
+        F.coalesce(F.sum("types_c").over(w), F.lit(0)).alias("types_before"),
+    )
+    tgt = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(bp) for bp in _VOCAB_COVER_TARGETS_BP])
+            ).alias("bp")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bp", F.expr("(t * bp + 9999) DIV 10000").alias("target_tokens"),
+            "t", "v",
+        )
+    )
+    extra = F.expr("(target_tokens - mass_before + f - 1) DIV f")
+    return (
+        tgt.crossJoin(run)
+        .filter(
+            (F.col("mass_before") < F.col("target_tokens"))
+            & (F.col("mass_before") + F.col("mass_c") >= F.col("target_tokens"))
+        )
+        .select(
+            F.col("bp").cast("long").alias("target_bp"),
+            F.col("t").alias("total_tokens"),
+            F.col("v").alias("total_types"),
+            (F.col("types_before") + extra).cast("long").alias("n_types_needed"),
+            (F.col("mass_before") + extra * F.col("f"))
+            .cast("long")
+            .alias("mass_covered"),
+        )
+    )

@@ -260,6 +260,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_changeset_join_comments": "67e155a3df90",
     "q_cohort_retention": "0e48ae730a60",
     "q_contamination_ngram_overlap": "007fd8327408",
+    "q_context_window_plan": "55c715982d63",
     "q_countmin_estimates": "8797ed161fdc",
     "q_countmin_sketch_only": "fb8a34413f0a",
     "q_cross_source_leakage": "f120be5b52b6",
@@ -273,6 +274,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_doremi_mixture_step": "941e870b08f5",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_duplicate_substring_spans": "924f03a2e00c",
+    "q_ease_grid_project": "d99b140e38da",
     "q_embedding_ann_checked": "4702c5d0fb1f",
     "q_embedding_ann_ivf": "77f3261e726c",
     "q_embedding_ann_ivf_checked": "822e4062996d",
@@ -300,6 +302,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_jsonl_ingest_audit": "2f2bcb96b9b1",
     "q_kcore_items": "efdbd2d82e63",
     "q_kmeans_assign_update": "9303da178852",
+    "q_label_balance_downsample": "a691146629bd",
     "q_label_propagation": "61335c44533d",
     "q_like_part_types": "9d4e6f50083c",
     "q_line_dedup_c4": "38a12ec1b5bf",
@@ -315,6 +318,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_mmr_diversified_rerank": "b89cbf4fcd70",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "2bbb5633523b",
+    "q_multimodal_decode_real": "3e62be6c2fd5",
     "q_multimodal_resize": "7f480e96df0f",
     "q_neardup_canonical": "e2cad7f30322",
     "q_neardup_verify_jaccard": "46fe093eb244",
@@ -358,6 +362,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_stratified_sample_neyman": "55bc092384a9",
     "q_stream_dedup_first_seen": "76cbd611d070",
     "q_stream_incremental_dedup": "ed995d3b2341",
+    "q_stream_join_left_outer_expiry": "7b066a5169db",
     "q_stream_late_data_drop": "c1c07f319bc8",
     "q_stream_purchase_attribution": "b4c25510793c",
     "q_stream_rollup_hourly": "91bb1034b91c",
@@ -393,6 +398,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_value_percentiles_per_type": "db145439f0ba",
     "q_vocab_growth": "4702706bc4a5",
     "q_vocab_growth_sketched": "cb7d63b54367",
+    "q_vocab_prune_coverage": "eca768197e04",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "b9a862e5e873",
     "q_window_sliding": "1f71aa30c65f",
