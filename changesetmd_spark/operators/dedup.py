@@ -828,22 +828,22 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a substring-level dedup pass.
 
     Scale shape: windows fold to engine-portable 60-bit md5 longs before
-    any shuffle (the join key is a long, never the window text); the
-    duplicate-window set comes from a hash aggregate on the window hash
-    (map-side combine, uniform key — no skew) and rejoins the postings on
-    the same exchange; span merging is a per-document prefix-max window —
-    partitioned by doc_id, so the sort is per-document, never global.
-    Window count is ~|tokens|, the same order as the shingle postings the
-    Jaccard/MinHash family already shuffles."""
+    any shuffle (the shuffle key is a long, never the window text); the
+    duplicate test is a COUNT-over-window on one hash-exchange of the
+    postings — partitioned by the uniform 60-bit hash, so the "sort" is
+    within tiny same-hash groups — and span merging is a per-document
+    prefix-max window (per-document sort, never global).  Window count is
+    ~|tokens|, the same order as the shingle postings the Jaccard/MinHash
+    family already shuffles.
+
+    r13 A/B at 300× replicas (VERDICT r12 #5): the previous
+    aggregate-HAVING>1-then-rejoin plan recomputed every window md5 on
+    the probe side (the build side broadcast, so the postings never
+    materialized) — 94.4 s; this one-exchange count-over-window shape
+    computes each md5 once and rides the same exchange into the
+    duplicate filter — 60.5 s (1.56× faster; tie at sf0.1 where the md5
+    pass fits in cache either way)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # NOT persisted on purpose (VERDICT r9 #7): the duplicate-hash list is
-    # tiny (HAVING count>1 over a uniform 60-bit key), so Catalyst
-    # broadcasts it and the probe-side postings are never shuffled at all;
-    # past the broadcast threshold the join falls back to reusing the
-    # aggregate's exchange.  The old persist paid a 10 s cold
-    # materialization and its cache blocks interacted with the rest of the
-    # bench gauntlet (median/min 1.36, the suite's noisiest line); without
-    # it min≈median (ratio 1.00 measured over 7 runs).
     posts = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(toks) >= _SPAN_W)
@@ -860,14 +860,19 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
-    dup = (
-        posts.groupBy("h")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select("h")
-    )
-    hits = posts.join(dup, "h").select("doc_id", "pos")
     from pyspark.sql import Window
+
+    # duplicate windows via COUNT over the hash partition: one exchange of
+    # the postings, each md5 computed exactly once (the old agg+rejoin
+    # shape recomputed the full md5 pass on the probe side — see the
+    # docstring A/B)
+    hits = (
+        posts.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_n") > 1)
+        .select("doc_id", "pos")
+    )
 
     prev_end = F.max(F.col("pos") + (_SPAN_W - 1)).over(
         Window.partitionBy("doc_id")
