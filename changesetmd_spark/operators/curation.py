@@ -629,9 +629,13 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (c) now SHIPS behind ``spark.changesetmd.repetition.wireOptimal``
     (VERDICT r12 #3): set it true on a real cluster — where shuffle hits
     disk/network and the ~100 TB vs ~200 TB wire difference dominates —
-    and the one-exchange shape is selected with no code edit.  Default
-    keeps the plan the local measurements favor; both arms hash against
-    the same oracle and each shape is pinned by a plan pytest."""
+    and the one-exchange shape is selected with no code edit.  r13
+    re-measure at 300× replicas, collect-based: wire-optimal 83.4 s vs
+    default 108.6 s — (c) now wins locally too once data outgrows the
+    page cache; at the driver's sf0.1 the default arm stays faster
+    (0.8 s vs wire's small-input penalty), so default stays.  Both arms
+    hash against the same oracle and each shape is pinned by a plan
+    pytest."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -647,8 +651,13 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     if wire_optimal:
         # plan (c): one exchange of raw text hashed by doc_id; both
         # aggregations then combine map-side (4 stacked HashAggregates,
-        # zero further exchanges) — ~half the wire bytes of the default
-        src = src.repartition("doc_id")
+        # zero further exchanges) — ~half the wire bytes of the default.
+        # Width pinned explicitly: a bare repartition("doc_id") is
+        # AQE-coalescible and collapsed to ~1 partition at small inputs
+        # (measured 5.4 s vs 0.8 s at sf0.1), serializing the explode.
+        src = src.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
     else:
         src = fan_out(src, "doc_id")
     docs = (
