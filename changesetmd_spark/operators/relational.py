@@ -625,3 +625,109 @@ def q_grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "q_market_share_by_nation",
+    oracle="""
+    WITH vol AS (
+      SELECT YEAR(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                  THEN volume END), 0) AS DOUBLE)
+             AS nation_volume,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                        THEN volume END), 0) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's national-market-share shape (public benchmark spec) on
+    the synthetic warehouse: within EUROPE-customer ECONOMY-part order
+    volume, the share supplied by NATION_7, per order year.  Exercises the
+    full star: fact ⋈ orders ⋈ part ⋈ supplier ⋈ nation(×2 roles) ⋈
+    customer ⋈ region — the supplier- and customer-side nation dimensions
+    join under DIFFERENT roles, the classic alias-disambiguation case.
+    Money stays decimal-pinned through the conditional sum (NULL-skipping
+    SUM + coalesce, identical in both engines); the one double division
+    rounds at the end.
+
+    Scale shape: every dimension side (part, supplier+nation, customer+
+    nation+region) broadcasts; the fact table shuffles once for the
+    per-year aggregate after all filters (date range, part type, region)
+    are pushed into the probe side — same plan family as q5, two more
+    broadcast stages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.alias("cn")),
+            F.col("c_nationkey") == F.col("cn.n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("cn.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    volume = money("l_extendedprice") * one_minus(rate("l_discount"))
+    vol = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_sum = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))),
+        F.lit(0),
+    )
+    return vol.groupBy("o_year").agg(
+        as_double(F.sum("volume")).alias("total_volume"),
+        as_double(nation_sum).alias("nation_volume"),
+        F.round(
+            as_double(nation_sum) / as_double(F.sum("volume")), 6
+        ).alias("mkt_share"),
+    )

@@ -358,11 +358,13 @@ _LATE_DELAY_MS = 259_200_500
 def _staged_batch_events(
     spark: SparkSession, sf_dir: str, tag: str, batches: tuple
 ) -> str:
-    """Directory with one mtime-ordered parquet file per predicate in
-    ``batches`` (``F.lit(False)`` entries become EMPTY spacer batches —
-    needed because a batch's watermark takes effect one batch later).
-    Content-fingerprinted like the jsonl fixture so a regenerated corpus
-    invalidates staging."""
+    """Directory with one mtime-ordered parquet file per entry in
+    ``batches`` — each entry a predicate over the events table, a
+    DataFrame to write verbatim (must be a deterministic function of the
+    events table, since the cache key fingerprints only that file), or
+    ``F.lit(False)`` for an EMPTY spacer batch (needed because a batch's
+    watermark takes effect one batch later).  Content-fingerprinted like
+    the jsonl fixture so a regenerated corpus invalidates staging."""
     src = table_path(sf_dir, "events")
     st = os.stat(src)
     key = hashlib.sha1(
@@ -379,7 +381,8 @@ def _staged_batch_events(
 
     for i, pred in enumerate(batches):
         tmp = os.path.join(d, f"_tmp{i}")
-        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        b = pred if isinstance(pred, DataFrame) else ev.filter(pred)
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dest = os.path.join(d, f"batch-{i}.parquet")
         _shutil.move(part, dest)
@@ -466,3 +469,132 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         F.date_format("window.start", _TS).alias("window_start")
     ).agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "q_stream_dedup_reemit_after_expiry",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+             MIN(ts) AS first_ts
+      FROM events WHERE ts < TIMESTAMP '{_INC_CUTOFF}'
+      GROUP BY 1, 2
+    ), b2 AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events WHERE ts >= TIMESTAMP '{_INC_CUTOFF}'
+      GROUP BY 1, 2
+    ), wm AS (
+      SELECT MAX(first_ts) - INTERVAL '{_LATE_DELAY_MS} milliseconds' AS w
+      FROM b0
+    ), base_em AS (
+      SELECT item_id, COUNT(*) AS n FROM b0 GROUP BY item_id
+    ), delta AS (
+      -- probed + pinned dropDuplicatesWithinWatermark rules: state keeps
+      -- the FIRST accepted record's event time (an in-state duplicate
+      -- does NOT refresh it); the key re-emits iff that state expired
+      -- (first_ts + delay < watermark) or the key is new
+      SELECT d.item_id,
+             CASE WHEN b0.user_id IS NULL THEN 'new'
+                  WHEN b0.first_ts + INTERVAL '{_LATE_DELAY_MS} milliseconds'
+                       < wm.w THEN 'reemit'
+                  ELSE 'suppressed' END AS kind
+      FROM b2 d
+      LEFT JOIN b0 ON b0.user_id = d.user_id AND b0.item_id = d.item_id
+      CROSS JOIN wm
+    )
+    SELECT item_id,
+           COALESCE(b.n, 0) AS n_base,
+           CAST(SUM(CASE WHEN kind = 'reemit' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reemitted,
+           CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new
+    FROM delta LEFT JOIN base_em b USING (item_id)
+    GROUP BY item_id, b.n
+    HAVING SUM(CASE WHEN kind = 'reemit' THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_stream_dedup_reemit_after_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` state-expiry semantics,
+    hash-checked — the bounded-state dedup every 100 TB/day ingest runs,
+    and its sharp edge: a key whose state EXPIRED re-emits (at-least-once
+    per horizon, not exactly-once forever).  Probed + pinned rules: state
+    stores the FIRST accepted record's event time and an in-state
+    duplicate does not refresh it; the state is evicted once the
+    watermark (min over sources of max event time − delay, effective one
+    batch later) passes first_ts + delay; a later arrival of the same key
+    then emits again.  Staging removes the one nondeterminism: batch 0 is
+    the per-key MIN-ts history snapshot (one row per key, so "first
+    accepted" is well-defined regardless of shuffle arrival order), a
+    spacer lets the watermark take effect and evict, then batch 2 replays
+    the per-key min-ts recent delta.  Output classifies every delta
+    emission per item: re-emitted (history key whose state expired) vs
+    new (never-seen key) — history keys still inside the horizon are
+    provably suppressed (a referee asserts all three populations exist).
+
+    Scale shape: dedup state is one small row per live key, bounded by
+    the watermark horizon — the exact mechanism that makes streaming
+    dedup deployable at 100 TB/day where unbounded dropDuplicates state
+    is not; the rollup is a key-shuffle aggregate on the emitted rows
+    only."""
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ev = load_table(spark, sf_dir, "events")
+    b0 = (
+        ev.filter(F.col("ts") < F.lit(_INC_CUTOFF).cast("timestamp"))
+        .select("user_id", item.alias("item_id"), "ts")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    b2 = (
+        ev.filter(F.col("ts") >= F.lit(_INC_CUTOFF).cast("timestamp"))
+        .select("user_id", item.alias("item_id"), "ts")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    empty = b0.limit(0)
+    d = _staged_batch_events(
+        spark, sf_dir, "eventsddw", (b0, empty, b2, empty)
+    )
+    with _scoped_conf(spark, _RUNTIME_CONF):
+        schema = spark.read.parquet(os.path.join(d, "batch-0.parquet")).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+    ts_type = dict(sdf.dtypes)["ts"]
+    if ts_type == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    dd = sdf.withWatermark(
+        "ts", f"{_LATE_DELAY_MS} milliseconds"
+    ).dropDuplicatesWithinWatermark(["user_id", "item_id"])
+    out = run_stream_to_table(dd, output_mode="append")
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+    base_keys = b0.select("user_id", "item_id").withColumn(
+        "_in_base", F.lit(1)
+    )
+    is_delta = F.col("ts") >= cutoff
+    joined = out.join(base_keys, ["user_id", "item_id"], "left")
+    return (
+        joined.groupBy("item_id")
+        .agg(
+            F.sum(F.when(~is_delta, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(
+                F.when(is_delta & F.col("_in_base").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_reemitted"),
+            F.sum(F.when(is_delta & F.col("_in_base").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .filter(F.col("n_reemitted") + F.col("n_new") > 0)
+    )

@@ -81,3 +81,44 @@ def test_stream_left_outer_expiry_three_outcomes(spark, sf_dir):
     assert withheld > 0, "no purchase withheld inside the watermark horizon"
     # null rows must carry null minutes_before too (fully null-padded)
     assert all(r.minutes_before is None for r in null_emitted)
+
+
+def test_market_share_star_broadcasts_all_dims(spark, sf_dir):
+    """Q8-shape star: every dimension side must broadcast; the fact table
+    must never be shuffled for a dimension join (one aggregate exchange
+    only)."""
+    plan = (
+        registry.queries()["q_market_share_by_nation"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_reemit_has_suppressed_population(spark, sf_dir):
+    """The re-emission query is only a meaningful pin if some history keys
+    are SUPPRESSED (state still live) while others re-emit (state
+    expired) — otherwise the expiry rule is vacuously satisfied."""
+    from changesetmd_spark.streaming.events_stream import _INC_CUTOFF
+    from changesetmd_spark.tables import load_table
+
+    rows = registry.queries()["q_stream_dedup_reemit_after_expiry"](
+        spark, sf_dir
+    ).collect()
+    n_reemitted = sum(r.n_reemitted for r in rows)
+    n_new = sum(r.n_new for r in rows)
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", item.alias("item_id"), "ts"
+    )
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+    base = ev.filter(F.col("ts") < cutoff).select("user_id", "item_id").distinct()
+    delta = ev.filter(F.col("ts") >= cutoff).select("user_id", "item_id").distinct()
+    n_overlap = delta.join(base, ["user_id", "item_id"]).count()
+    assert n_reemitted > 0, "no expired key re-emitted"
+    assert n_new > 0, "no never-seen key emitted"
+    assert n_overlap > n_reemitted, (
+        "every history key re-emitted — no live-state suppression exercised"
+    )
