@@ -310,6 +310,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_key_existence": "8c8f6be9009b",
     "q_map_value_extract": "ff6e348356a3",
     "q_map_value_like": "e0dfef91f1e6",
+    "q_market_share_by_nation": "d003551182db",
     "q_matryoshka_truncation_audit": "a7836b0b556b",
     "q_media_shard_manifest": "75af061d14f8",
     "q_minhash_estimate_error_audit": "c7ae88851de6",
@@ -361,6 +362,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_source_quota_sample": "1f58f856167f",
     "q_stratified_sample_neyman": "55bc092384a9",
     "q_stream_dedup_first_seen": "76cbd611d070",
+    "q_stream_dedup_reemit_after_expiry": "c5644eb25b27",
     "q_stream_incremental_dedup": "ed995d3b2341",
     "q_stream_join_left_outer_expiry": "7b066a5169db",
     "q_stream_late_data_drop": "c1c07f319bc8",
