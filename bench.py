@@ -131,6 +131,19 @@ HEADLINE = [
     "q_txn_change_feed",
     "q_quality_rule_attribution",
     "q_jsonl_ingest_audit",
+    # r13 additions
+    "q_ease_grid_project",
+    "q_stream_join_left_outer_expiry",
+    "q_stream_dedup_reemit_after_expiry",
+    "q_multimodal_decode_real",
+    "q_context_window_plan",
+    "q_label_balance_downsample",
+    "q_vocab_prune_coverage",
+    "q_market_share_by_nation",
+    "q_small_quantity_revenue",
+    "q_dup_cluster_histogram",
+    "q_multitouch_attribution",
+    "q_session_two_phase_scalable",
 ]
 
 

@@ -1558,3 +1558,86 @@ def q_incremental_minhash_neardup(
         (F.col("inter") * 2 >= F.col("uni")).alias("is_neardup"),
     )
     return materialize_releasing(out, sig, docs)
+
+
+@register(
+    "q_dup_cluster_histogram",
+    oracle=r"""
+    WITH fp AS (
+      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS f
+      FROM documents
+    ), dcl AS (
+      SELECT f, COUNT(*) AS sz FROM fp GROUP BY f
+    ), d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), ch AS (
+      SELECT unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS chunk
+      FROM d
+    ), lcl AS (
+      SELECT chunk, COUNT(*) AS sz FROM ch GROUP BY chunk
+    )
+    SELECT 'document' AS granularity,
+           CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_members,
+           CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM dcl GROUP BY sz
+    UNION ALL
+    SELECT 'line' AS granularity,
+           CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_members,
+           CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM lcl GROUP BY sz
+    """,
+)
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution at BOTH dedup granularities —
+    the audit read BEFORE choosing a dedup strategy: whole-document
+    content clusters (would exact dedup help?) and C4-style 10-token line
+    clusters (is the duplication boilerplate shared across otherwise
+    distinct documents?).  Answers "is the corpus 2×-duplicated or is one
+    fragment repeated a million times", which the dedup outputs
+    themselves cannot; the n_removable column is each strategy's exact
+    keep-one removal count.
+
+    Scale shape: two fingerprint-shuffle aggregates with map-side combine
+    (uniform keys — sha256 / line text), each followed by a second
+    aggregate over |distinct clusters| rows grouped by size (few distinct
+    sizes).  Nothing but counts moves after the first exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    dcl = docs.groupBy(fingerprint(F.col("text")).alias("f")).agg(
+        F.count("*").alias("sz")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    lcl = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(chunks).alias("chunk"))
+        .groupBy("chunk")
+        .agg(F.count("*").alias("sz"))
+    )
+
+    def hist(cl: DataFrame, tag: str) -> DataFrame:
+        return cl.groupBy("sz").agg(
+            F.count("*").alias("n_clusters"),
+            (F.col("sz") * F.count("*")).cast("long").alias("n_members"),
+            ((F.col("sz") - 1) * F.count("*"))
+            .cast("long")
+            .alias("n_removable"),
+        ).select(
+            F.lit(tag).alias("granularity"),
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_members",
+            "n_removable",
+        )
+
+    return hist(dcl, "document").unionByName(hist(lcl, "line"))

@@ -731,3 +731,181 @@ def q_market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(nation_sum) / as_double(F.sum("volume")), 6
         ).alias("mkt_share"),
     )
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pq.l_partkey = lineitem.l_partkey
+    WHERE p_type = 'SMALL'
+      AND CAST(l_quantity AS DECIMAL(18,2)) * n * 5 < sum_qty
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated-scalar-subquery shape (public benchmark
+    spec): revenue from SMALL-part line items whose quantity is below 20%
+    of that part's average — the "small-order fragmentation" report.  The
+    correlated subquery ``l_quantity < (SELECT 0.2*AVG(l_quantity) ...)``
+    is decorrelated Spark-first into one per-part aggregate joined back to
+    the fact table, and the 20%-of-average test runs as an EXACT decimal
+    cross-multiplication (qty·n·5 < Σqty — no division, no doubles), so
+    boundary rows can't flip between engines.
+
+    Scale shape: the per-part (Σqty, n) aggregate is one partkey-shuffle
+    with map-side combine; the fact re-joins it on the SAME partkey
+    hashing (exchange reuse), the part dimension broadcasts, and the
+    final 1-row rollup is a partial aggregate — two fact passes, one
+    shuffle each, no correlated per-row subquery execution anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+    small = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    hit = (
+        li.join(small, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * F.col("n") * 5
+            < F.col("sum_qty")
+        )
+    )
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return hit.agg(
+        F.count("*").alias("n_small_lines"),
+        as_double(rev).alias("total_revenue"),
+        F.round(as_double(rev) / 7.0, 4).alias("avg_yearly"),
+    )
+
+
+@register(
+    "q_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(value AS DECIMAL(18,2)) AS val
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), touches AS (
+      SELECT p.purchase_id, p.val, c.click_id, c.c_ts,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS k,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.c_ts, c.click_id) AS pos
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL 72 HOUR
+       AND c.c_ts <= p.p_ts
+    ), credited AS (
+      SELECT purchase_id, val, k,
+             CASE
+               WHEN k = 1 THEN 10000
+               WHEN k = 2 AND pos = 1 THEN 6000
+               WHEN k = 2 THEN 4000
+               WHEN pos = 1 THEN 4000 + 2000 - (k - 2) * (2000 // (k - 2))
+               WHEN pos = k THEN 4000
+               ELSE 2000 // (k - 2)
+             END AS bp
+      FROM touches
+    )
+    SELECT CAST(k AS BIGINT) AS n_touches,
+           COUNT(DISTINCT purchase_id) AS n_purchases,
+           CAST(SUM(bp) AS BIGINT) AS total_bp,
+           CAST(SUM(CAST(val AS DECIMAL(18,2)) * bp) AS DOUBLE) / 10000
+             AS credited_value
+    FROM credited
+    GROUP BY k
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based ("U-shaped") multi-touch attribution — the
+    marketing-analytics sibling of last-touch attribution: each purchase's
+    credit splits 40% to the first click in the 72-hour lookback window, 40% to
+    the last, and the middle 20% evenly across interior clicks (public
+    method; every ads-measurement stack ships it).  Splits are EXACT
+    integer basis points: interior clicks get ``2000 DIV (k-2)`` bp and
+    the division remainder is assigned to the first touch (for k=2 the
+    whole middle share goes to the first touch: 6000/4000), so every
+    purchase's credits sum to exactly 10000 bp — pinned by the total_bp
+    column (10000 × purchases per group) that would expose any rounding
+    leak.  Credited value stays decimal until the single final division.
+
+    Scale shape: the touch set is the same user-keyed interval join as
+    purchase attribution (one shuffle per side); position and touch-count
+    come from one window over each purchase's bounded touch list (per-key
+    sort, never global); the rollup groups by touch count — a handful of
+    rows at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 72 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("purchase_id")
+    touches = touches.select(
+        "purchase_id",
+        "val",
+        F.count("*").over(wp).alias("k"),
+        F.row_number()
+        .over(wp.orderBy(F.asc("c_ts"), F.asc("click_id")))
+        .alias("pos"),
+    )
+    mid_bp = F.expr("2000 DIV (k - 2)")
+    bp = (
+        F.when(F.col("k") == 1, 10000)
+        .when((F.col("k") == 2) & (F.col("pos") == 1), 6000)
+        .when(F.col("k") == 2, 4000)
+        .when(
+            F.col("pos") == 1,
+            F.lit(4000) + F.lit(2000) - (F.col("k") - 2) * mid_bp,
+        )
+        .when(F.col("pos") == F.col("k"), 4000)
+        .otherwise(mid_bp)
+    )
+    credited = touches.select("purchase_id", "val", "k", bp.alias("bp"))
+    return credited.groupBy("k").agg(
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.sum("bp").cast("long").alias("total_bp"),
+        (
+            F.sum(F.col("val") * F.col("bp")).cast("double") / 10000
+        ).alias("credited_value"),
+    ).select(
+        F.col("k").cast("long").alias("n_touches"),
+        "n_purchases",
+        "total_bp",
+        "credited_value",
+    )

@@ -85,9 +85,9 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_window_session_per_user",
-    oracle="""
+# Shared by the native-session_window query and its two-phase scale twin:
+# one sessionization contract, one oracle, two physical strategies.
+_SESSION_ORACLE = """
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -108,8 +108,10 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM numbered
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@register("q_window_session_per_user", oracle=_SESSION_ORACLE)
 def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_window(gap): a new event extends the session while
     # event.ts < last.ts + gap, i.e. a gap >= 30min starts a new session —
@@ -122,6 +124,76 @@ def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register("q_session_two_phase_scalable", oracle=_SESSION_ORACLE)
+def q_session_two_phase_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof sessionization — the scale path the r13 skewed tier
+    exists to test (a viral user's whole timeline lands on ONE task under
+    plain session_window; at 100× key-collapsed replicas the naive plan
+    measured 98× — linear, but a single-task sort of the hot key's every
+    event).  Two phases, identical output to q_window_session_per_user
+    (same oracle, row-for-row):
+
+    1. sessionize within (user, calendar-day) chunks — the hot user's
+       events split across its days, so the expensive per-event sort runs
+       at per-(user, day) parallelism;
+    2. merge sessions across chunk boundaries with gaps-and-islands over
+       the SESSION frame (orders of magnitude smaller than the event
+       frame): adjacent chunk-sessions merge iff the next session's first
+       event precedes the previous session's end (last_ts + gap) — a new
+       island starts at s ≥ running-max(e), exactly the ≥-gap rule, so
+       midnight-spanning sessions reassemble bit-identically (min(s),
+       max(e), Σn).
+
+    The chunk key can be anything time-partitioning; calendar day keeps
+    it deterministic.  This is the standard production rewrite for
+    sessionizing power users (public pattern: partial sessionization +
+    boundary merge)."""
+    events = load_table(spark, sf_dir, "events")
+    ph1 = (
+        events.groupBy(
+            "user_id",
+            F.to_date("ts").alias("chunk"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            "n",
+        )
+    )
+    w_user = Window.partitionBy("user_id").orderBy("s")
+    prev_max_end = F.max("e").over(
+        w_user.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = ph1.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") >= prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+            F.sum("n").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("s", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("e", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
     )

@@ -273,6 +273,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_distinct_ngram_diversity": "56224d18b199",
     "q_doremi_mixture_step": "941e870b08f5",
     "q_dsir_importance_weights": "e894c9ce8d97",
+    "q_dup_cluster_histogram": "8c20111ed665",
     "q_duplicate_substring_spans": "924f03a2e00c",
     "q_ease_grid_project": "d99b140e38da",
     "q_embedding_ann_checked": "4702c5d0fb1f",
@@ -321,6 +322,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_multimodal_decode": "2bbb5633523b",
     "q_multimodal_decode_real": "3e62be6c2fd5",
     "q_multimodal_resize": "7f480e96df0f",
+    "q_multitouch_attribution": "17c1efa2254b",
     "q_neardup_canonical": "e2cad7f30322",
     "q_neardup_verify_jaccard": "46fe093eb244",
     "q_ngram_jaccard_pairs": "3e965c94242e",
@@ -352,12 +354,14 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_sequence_packing": "dcf8880efab6",
     "q_series_ewma": "35d891ee96e8",
     "q_series_linear_trend": "cb4906c6ba1d",
+    "q_session_two_phase_scalable": "db8c01e7e9f7",
     "q_set_ops_customer_cohorts": "c1752c02ad53",
     "q_simhash_checked": "5dbf1427fcac",
     "q_simhash_near_dup": "0f7849b5fcd3",
     "q_sketch_cardinality_and_quantiles": "cee511b11934",
     "q_skew_advised_salted_join": "23c88262d56b",
     "q_skew_key_advisor": "e36841a71795",
+    "q_small_quantity_revenue": "30c291f54d7a",
     "q_source_mixture_weights": "b86df1b022e7",
     "q_source_quota_sample": "1f58f856167f",
     "q_stratified_sample_neyman": "55bc092384a9",

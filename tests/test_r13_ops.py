@@ -122,3 +122,33 @@ def test_dedup_reemit_has_suppressed_population(spark, sf_dir):
     assert n_overlap > n_reemitted, (
         "every history key re-emitted — no live-state suppression exercised"
     )
+
+
+def test_multitouch_all_split_branches_exercised(spark, sf_dir):
+    """Attribution must see single-touch, two-touch, and >=3-touch
+    purchases at every SF (else the U-shaped split with remainder-to-first
+    is dead code), and every group's credits must sum to exactly
+    10000 bp x purchases."""
+    rows = registry.queries()["q_multitouch_attribution"](
+        spark, sf_dir
+    ).collect()
+    ks = {r.n_touches for r in rows}
+    assert 1 in ks and 2 in ks and any(k >= 3 for k in ks), ks
+    for r in rows:
+        assert r.total_bp == 10000 * r.n_purchases, r
+
+
+def test_two_phase_sessionization_row_identical_to_native(spark, sf_dir):
+    """The hot-key-proof two-phase plan must reproduce the native
+    session_window output row-for-row — chunk-boundary merges included
+    (midnight-spanning sessions are the failure mode)."""
+    two = registry.queries()["q_session_two_phase_scalable"](spark, sf_dir)
+    naive = registry.queries()["q_window_session_per_user"](spark, sf_dir)
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # non-vacuity: some session must actually cross a chunk boundary
+    crossing = two.filter(
+        F.to_date("session_start") != F.to_date("session_end")
+    ).count()
+    assert crossing > 0, "no midnight-spanning session: merge path untested"

@@ -182,7 +182,11 @@ def test_minhash_audit_properties(spark, sf_dir):
         grid = r.jaccard_est5 * _MH_CHECK_HASHES
         assert abs(grid - round(grid)) < 1e-6, r
         assert 0.0 <= r.jaccard5 <= 1.0, r
-        assert abs(r.err5 - round(r.jaccard_est5 - r.jaccard5, 5)) <= 1e-9, r
+        # err5 rounds the RAW difference; recomputing from the two rounded
+        # columns can land one ulp-at-5dp away when jaccard5 itself rounded
+        # a tie (e.g. exact=1/64: err5=round(0.484375)=0.48438 but
+        # round(0.5-0.01563)=0.48437) — allow that single-grid-step slack
+        assert abs(r.err5 - round(r.jaccard_est5 - r.jaccard5, 5)) <= 1.1e-5, r
         if r.jaccard5 == 1.0:
             assert r.jaccard_est5 == 1.0, r
 
