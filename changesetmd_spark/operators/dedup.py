@@ -836,29 +836,37 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|tokens|, the same order as the shingle postings the Jaccard/MinHash
     family already shuffles.
 
-    r13 A/B at 300× replicas (VERDICT r12 #5): the previous
-    aggregate-HAVING>1-then-rejoin plan recomputed every window md5 on
-    the probe side (the build side broadcast, so the postings never
-    materialized) — 94.4 s; this one-exchange count-over-window shape
-    computes each md5 once and rides the same exchange into the
-    duplicate filter — 60.5 s (1.56× faster; tie at sf0.1 where the md5
-    pass fits in cache either way)."""
+    r13 A/B at 300× replicas (VERDICT r12 #5), two stacked wins: (1) the
+    previous aggregate-HAVING>1-then-rejoin plan recomputed every window
+    md5 on the probe side — 94.4 s; the one-exchange count-over-window
+    shape computes each md5 once and rides the same exchange into the
+    duplicate filter — 60.5 s.  (2) generating postings by exploding
+    POSITIONS and hashing in a plain projection keeps the md5 in
+    whole-stage codegen, where the old posexplode(transform(md5(...)))
+    evaluated the lambda interpreted — 44.6 s vs 35.3 s on a warm-cache
+    re-measure.  Net: the 300× scale ratio fell 92× → ~20×."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # posting generation stays in whole-stage codegen: explode the
+    # POSITIONS, then hash in a plain projection — an md5 inside a
+    # transform() lambda evaluates as an interpreted higher-order function
+    # (A/B at 300x: 44.6 s transform vs 35.3 s this shape)
     posts = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(F.size(toks) >= _SPAN_W)
         .select(
             "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (_SPAN_W - 1)),
-                    lambda i: _md5_long(
-                        F.concat_ws(" ", F.slice(toks, i, _SPAN_W))
-                    ),
-                )
-            ).alias("pos0", "h"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks) - (_SPAN_W - 1))
+            ).alias("pos"),
+            toks.alias("toks"),
         )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .select(
+            "doc_id",
+            "pos",
+            _md5_long(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _SPAN_W))
+            ).alias("h"),
+        )
     )
     from pyspark.sql import Window
 

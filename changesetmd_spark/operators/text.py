@@ -304,7 +304,16 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one 61-bit integer so the window min is a single primitive-typed
     running comparison inside codegen; the per-doc aggregate rides the same
     exchange.  Fingerprint volume is ~2/(w+1) of the shingle volume the
-    Jaccard family already shuffles."""
+    Jaccard family already shuffles.
+
+    Measured-and-rejected (r13, targeting the 72x@300x scale row):
+    computing the keys INSIDE a transform(...) array and posexploding
+    scalars — which avoids carrying the toks array through the explode —
+    ran 98.8 s vs this plan's 65.8 s at 300x replicas: the lambda's
+    slice+concat+md5 evaluates as an interpreted higher-order function,
+    while this shape keeps the md5 inside whole-stage codegen after the
+    explode (the same codegen-beats-HOF result as repetition-quality's
+    rejected plan (a)).  Results verified identical before timing."""
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
