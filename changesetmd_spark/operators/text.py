@@ -786,10 +786,13 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document repetition filter (q_text_repetition_quality) cannot see.
     Exact integer counts and one rounded division, so it hash-checks.
 
-    Scale shape: one (source, gram) postings explode into a per-source
-    aggregate; COUNT(DISTINCT gram) is Spark's two-phase distinct
-    aggregate (partial distinct map-side), keyed by source — no corpus-
-    wide single partition."""
+    Scale shape (r13 rewrite): the old single aggregate ran TWO
+    countDistincts (doc_id + gram), which planned an Expand — every
+    posting duplicated per distinct column before the shuffle.  Now the
+    postings take one (source, gram) exchange with map-side combine
+    (repeated grams dedupe before the wire), the per-source rollup runs
+    over |distinct grams| rows, and n_docs comes from the base table
+    (doc_id is unique — no explode needed for it)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -797,18 +800,29 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(toks, i), F.element_at(toks, i + 1)
         ),
     )
-    posts = (
-        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    per_gram = (
+        fan_out(docs, "doc_id")
         .filter(F.size(toks) >= 2)
-        .select("doc_id", "source", F.explode(grams).alias("gram"))
+        .select("source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    return posts.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("total_bigrams"),
-        F.countDistinct("gram").alias("distinct_bigrams"),
-        F.round(
-            F.countDistinct("gram") * 1.0 / F.count(F.lit(1)), 6
-        ).alias("distinct_ratio"),
+    stats = per_gram.groupBy("source").agg(
+        F.sum("c").alias("total_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+    n_docs = (
+        docs.filter(F.size(toks) >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return stats.join(F.broadcast(n_docs), "source").select(
+        "source", "n_docs", "total_bigrams", "distinct_bigrams",
+        "distinct_ratio",
     )
 
 
