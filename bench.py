@@ -144,6 +144,8 @@ HEADLINE = [
     "q_dup_cluster_histogram",
     "q_multitouch_attribution",
     "q_session_two_phase_scalable",
+    "q_association_rules",
+    "q_seasonality_profile",
 ]
 
 

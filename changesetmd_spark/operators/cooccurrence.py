@@ -603,3 +603,132 @@ def q_kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.filter(F.col("deg") >= _KCORE_K).select(
         "item_id", F.col("deg").alias("core_degree")
     )
+
+
+_AR_TOP = 20  # rules reported, ranked by confidence
+
+
+@register(
+    "q_association_rules",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg USING (user_id)
+    ), tot AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM kept
+    ), sizes AS (
+      SELECT item_id, COUNT(*) AS n_users FROM kept GROUP BY item_id
+    ), pairs AS (
+      SELECT a.item_id AS item_1, b.item_id AS item_2,
+             COUNT(*) AS n_both
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+      HAVING COUNT(*) >= {_COOC_MIN_BOTH}
+    ), rules AS (
+      SELECT item_1 AS antecedent, item_2 AS consequent, n_both FROM pairs
+      UNION ALL
+      SELECT item_2 AS antecedent, item_1 AS consequent, n_both FROM pairs
+    ), scored AS (
+      SELECT r.antecedent, r.consequent, r.n_both,
+             sa.n_users AS n_ante, sc.n_users AS n_cons,
+             CAST(CAST(r.n_both AS HUGEINT) * 10000 // t.n AS BIGINT)
+               AS support_bp,
+             CAST(CAST(r.n_both AS HUGEINT) * 10000 // sa.n_users AS BIGINT)
+               AS confidence_bp,
+             CAST(CAST(r.n_both AS HUGEINT) * t.n * 10000
+                  // (CAST(sa.n_users AS HUGEINT) * sc.n_users) AS BIGINT)
+               AS lift_bp
+      FROM rules r
+      JOIN sizes sa ON sa.item_id = r.antecedent
+      JOIN sizes sc ON sc.item_id = r.consequent
+      CROSS JOIN tot t
+    )
+    SELECT * FROM scored
+    ORDER BY confidence_bp DESC, antecedent, consequent
+    LIMIT {_AR_TOP}
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994 Apriori
+    family — public method) over the user→item baskets: for every
+    directed rule A→B above the co-engagement floor, support, confidence
+    and lift — ALL in exact integer basis points via HUGEINT/DECIMAL
+    cross-multiplication (lift = n_both·N / (n_A·n_B), never a
+    double-vs-double ordering), so the top-{_AR_TOP}-by-confidence report
+    hash-checks bit-for-bit including its tie-breaks.
+
+    Scale shape: inherits the co-occurrence pipeline exactly — capped
+    user-keyed self-join (the degree cap bounds the per-user quadratic
+    term), map-side-combined pair aggregate — then directed rules double
+    the (tiny, post-floor) pair table, sizes re-join the pair frame (not
+    postings), and the report is a TakeOrdered {_AR_TOP}.  DECIMAL(38,0)
+    intermediates keep n_both·N·10⁴ exact at any corpus size (int64 wraps
+    near N~10⁹)."""
+    kept = _capped_user_items(spark, sf_dir)
+    tot = kept.agg(F.countDistinct("user_id").alias("n"))
+    sizes = kept.groupBy("item_id").agg(F.count("*").alias("n_users"))
+    pairs = (
+        _pair_counts(kept)
+        .withColumnRenamed("w", "n_both")
+        .filter(F.col("n_both") >= _COOC_MIN_BOTH)
+    )
+    rules = pairs.select(
+        F.col("item_1").alias("antecedent"),
+        F.col("item_2").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("item_2").alias("antecedent"),
+            F.col("item_1").alias("consequent"),
+            "n_both",
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("item_id").alias("antecedent"),
+                    F.col("n_users").alias("n_ante"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("item_id").alias("consequent"),
+                    F.col("n_users").alias("n_cons"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * 10000 DIV n AS BIGINT)"
+            ).alias("support_bp"),
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * 10000 DIV n_ante"
+                " AS BIGINT)"
+            ).alias("confidence_bp"),
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * n * 10000"
+                " DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("confidence_bp"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(_AR_TOP)

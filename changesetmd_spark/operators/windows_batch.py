@@ -869,3 +869,63 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_share"),
         )
     )
+
+
+@register(
+    "q_seasonality_profile",
+    oracle="""
+    WITH e AS (
+      SELECT dayofweek(ts) AS dow, EXTRACT(hour FROM ts) AS hod,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM e
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+           CAST(COUNT(*) * 10000 // t.n AS BIGINT) AS share_bp
+    FROM e CROSS JOIN tot t
+    GROUP BY dow, hod, t.n
+    """,
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality decomposition — the (day-of-week × hour-of-day)
+    activity/value profile a traffic forecaster or anomaly detector
+    baselines against.  Calendar pinning is the cross-engine edge here:
+    Spark's ``dayofweek`` is 1=Sunday..7 while DuckDB's is 0=Sunday..6,
+    so the engine subtracts 1 to land on one convention; value sums stay
+    decimal until one double division, activity share is an exact
+    integer basis-point cross-multiplication.
+
+    Scale shape: one partial-aggregated exchange onto at most 168
+    (dow, hour) keys plus a 1-row broadcast total — the profile is
+    constant-size output at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hour_of_day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    tot = e.agg(F.count("*").alias("n"))
+    return (
+        e.groupBy("dow", "hour_of_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("_sv"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            "n_events",
+            as_double(F.col("_sv")).alias("total_value"),
+            F.round(as_double(F.col("_sv")) / F.col("n_events"), 4).alias(
+                "avg_value"
+            ),
+            F.expr("CAST(n_events * 10000 DIV n AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+    )

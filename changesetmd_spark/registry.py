@@ -244,6 +244,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
     "q_asof_purchase_last_view": "2d40773351c1",
+    "q_association_rules": "5e8b46d3358a",
     "q_bbox_area_filter": "e115f940f1c9",
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
@@ -348,6 +349,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",
+    "q_seasonality_profile": "a5aea350f69d",
     "q_semdedup_clustered": "00c981bf5c8e",
     "q_semdedup_ivf": "8d8d8438d07d",
     "q_semi_join_active_customers": "887971e96ad2",

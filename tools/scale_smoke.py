@@ -243,6 +243,17 @@ QUERIES = [
     # r11: quality-rule attribution — (doc, token) count + per-doc rollup
     # on one partitioning, O(#sources) final aggregate
     "q_quality_rule_attribution",
+    # r13 operators over the replicated events table
+    "q_association_rules",
+    "q_seasonality_profile",
+    "q_multitouch_attribution",
+    "q_small_quantity_revenue",
+    "q_market_share_by_nation",
+    "q_dup_cluster_histogram",
+    "q_vocab_prune_coverage",
+    "q_context_window_plan",
+    "q_label_balance_downsample",
+    "q_ease_grid_project",
 ]
 
 # Skewed-tier gauntlet (VERDICT r12 #2): the user_id window/as-of family
