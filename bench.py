@@ -146,6 +146,7 @@ HEADLINE = [
     "q_session_two_phase_scalable",
     "q_association_rules",
     "q_seasonality_profile",
+    "q_prf_expansion_terms",
 ]
 
 

@@ -1011,3 +1011,124 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 5).alias("rrf5"),
         )
     )
+
+
+_PRF_TOP_TERMS = 15
+
+
+def _prf_oracle() -> str:
+    """Shares _bm25_oracle's CTE structure (same term list, same top-k
+    ranking SQL) so the pseudo-relevant set can never drift between the
+    retrieval query and the expansion step built on it."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    score = " + ".join(
+        f"(ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({_BM25_K1} + 1) / (tf_{i} + {norm}))"
+        for i in range(len(_BM25_TERMS))
+    )
+    exclude = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d
+    ), g AS (
+      SELECT {df_cols} FROM t
+    ), ranked AS (
+      SELECT doc_id, ROUND({score}, 4) AS bm25
+      FROM t CROSS JOIN s CROSS JOIN g
+      WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT {_TOP_K}
+    ), tfr AS (
+      SELECT term, COUNT(*) AS tf_r
+      FROM (SELECT unnest(d.toks) AS term
+            FROM d JOIN ranked USING (doc_id))
+      GROUP BY term
+    ), dfs AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+      WHERE term IN (SELECT term FROM tfr)
+      GROUP BY term
+    )
+    SELECT f.term, CAST(f.tf_r AS BIGINT) AS tf_relevant,
+           CAST(x.df AS BIGINT) AS df,
+           ROUND(f.tf_r * ln(1 + (s.n - x.df + 0.5) / (x.df + 0.5)), 6)
+             AS rocchio6
+    FROM tfr f JOIN dfs x USING (term) CROSS JOIN s
+    WHERE f.term NOT IN ({exclude})
+    ORDER BY rocchio6 DESC, f.term
+    LIMIT {_PRF_TOP_TERMS}
+    """
+
+
+@register("q_prf_expansion_terms", oracle=_prf_oracle())
+def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the Rocchio 1971 /
+    RM-family step every classic IR stack runs; public method): take the
+    BM25 top-{_TOP_K} as the pseudo-relevant set, weight every term it
+    contains by tf-in-relevant-set × BM25-idf, drop the original query
+    terms, and emit the top {_PRF_TOP_TERMS} expansion candidates.
+    Determinism recipe: integer tf/df, one ln per term, ROUND(…, 6)
+    before the ordering, term tie-break — the same
+    rounded-double-plus-tie-break contract as the BM25 ranking itself,
+    whose top-k this reuses verbatim (one ranking definition, no drift).
+
+    Scale shape: the pseudo-relevant set is {_TOP_K} rows (broadcast);
+    its term counts are a tiny aggregate; the corpus-side df pass
+    explodes tokens but CUTS to the relevant-set vocabulary with a
+    broadcast semi-join before the (term, doc) distinct — the same
+    postings-cut-to-query-vocab discipline as q_phrase_search.  Output
+    is a TakeOrdered {_PRF_TOP_TERMS}."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = F.broadcast(
+        q_bm25_keyword_search(spark, sf_dir).select("doc_id")
+    )
+    tfr = (
+        docs.join(top, "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf_r"))
+    )
+    n_row = docs.agg(F.count("*").alias("n"))
+    dfs = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .join(F.broadcast(tfr.select("term")), "term", "left_semi")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    out = (
+        tfr.join(dfs, "term")
+        .crossJoin(F.broadcast(n_row))
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .select(
+            "term",
+            F.col("tf_r").cast("long").alias("tf_relevant"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf_r")
+                * F.log(
+                    1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("rocchio6"),
+        )
+    )
+    return out.orderBy(F.desc("rocchio6"), F.asc("term")).limit(
+        _PRF_TOP_TERMS
+    )

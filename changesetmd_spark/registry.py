@@ -337,6 +337,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_pivot_status_by_priority": "8de452afe200",
     "q_ppjoin_similar_docs": "71cf21bce319",
     "q_pps_systematic_sample": "4d89e3d292ab",
+    "q_prf_expansion_terms": "2c975dc99f67",
     "q_priority_sample_topk": "99c7ac328f46",
     "q_quality_percentile_gate": "cff9f3163c44",
     "q_quality_rule_attribution": "ae3c2aeae9e9",

@@ -254,6 +254,7 @@ QUERIES = [
     "q_context_window_plan",
     "q_label_balance_downsample",
     "q_ease_grid_project",
+    "q_prf_expansion_terms",
 ]
 
 # Skewed-tier gauntlet (VERDICT r12 #2): the user_id window/as-of family
