@@ -147,6 +147,7 @@ HEADLINE = [
     "q_association_rules",
     "q_seasonality_profile",
     "q_prf_expansion_terms",
+    "q_asof_two_phase_scalable",
 ]
 
 

@@ -495,9 +495,9 @@ def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scalable union+window algorithm — one shuffle on user_id, no UDF, no
 # per-key pandas; this survives 100 TB where a merge_asof-per-key would not.
 # ---------------------------------------------------------------------------
-@register(
-    "q_asof_purchase_last_view",
-    oracle="""
+# One as-of contract, one oracle, two physical strategies (the skewed
+# scale tier's second advisor/mitigation pair).
+_ASOF_ORACLE = """
     SELECT p.event_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
            strftime(MAX(v.ts), '%Y-%m-%d %H:%M:%S') AS last_view_ts
@@ -506,8 +506,10 @@ def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id, p.ts
-    """,
-)
+    """
+
+
+@register("q_asof_purchase_last_view", oracle=_ASOF_ORACLE)
 def q_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
@@ -536,6 +538,83 @@ def q_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
             F.date_format("last_view", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
         )
+    )
+
+
+@register("q_asof_two_phase_scalable", oracle=_ASOF_ORACLE)
+def q_asof_two_phase_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof as-of join — the second mitigation twin the r13
+    skewed tier motivates (the union+window as-of sorts a hot user's
+    ENTIRE event timeline on one task; at 100× key-collapsed replicas the
+    naive plan measured 35×).  Same oracle as q_asof_purchase_last_view,
+    row-for-row identical output:
+
+    1. run the union+window as-of within (user, calendar-day) chunks —
+       the per-event sort gains per-day parallelism, and an intra-chunk
+       match is automatically the GLOBAL latest view (earlier chunks end
+       before this chunk begins);
+    2. purchases with no same-day prior view fall back to a running max
+       over per-(user, day) VIEW SUMMARIES (one row per user-day, far
+       smaller than events): probe rows sort before summary rows at the
+       same day, so the running max sees strictly-earlier days only.
+
+    Ties need no cross-phase convention: a view at exactly the purchase
+    timestamp is same-chunk by construction (phase-1's _is_left ordering
+    handles it), and cross-chunk candidates are strictly earlier days."""
+    events = load_table(spark, sf_dir, "events")
+    chunk = F.to_date("ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", chunk.alias("chunk"),
+        F.lit(1).alias("_is_left"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        chunk.alias("chunk"),
+        F.lit(0).alias("_is_left"),
+    )
+    unioned = purchases.unionByName(views).withColumn(
+        "_right_ts", F.when(F.col("_is_left") == 0, F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy(F.col("ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = (
+        unioned.withColumn(
+            "lv", F.last("_right_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("_is_left") == 1)
+        .select("event_id", "user_id", "ts", "chunk", "lv")
+    )
+    # phase 2: strictly-earlier-day fallback over (user, day) view summaries
+    summ = views.groupBy("user_id", "chunk").agg(F.max("ts").alias("cmax"))
+    probes = intra.select("user_id", "chunk").distinct().select(
+        "user_id", "chunk", F.lit(None).cast("timestamp").alias("cmax"),
+        F.lit(0).alias("kind"),  # probes sort BEFORE same-day summaries
+    )
+    timeline = probes.unionByName(
+        summ.withColumn("kind", F.lit(1))
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = (
+        timeline.withColumn("prev_view", F.max("cmax").over(w2))
+        .filter(F.col("kind") == 0)
+        .select("user_id", "chunk", "prev_view")
+    )
+    return intra.join(prev, ["user_id", "chunk"]).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format(
+            F.coalesce(F.col("lv"), F.col("prev_view")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("last_view_ts"),
     )
 
 

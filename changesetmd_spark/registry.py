@@ -244,6 +244,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
     "q_asof_purchase_last_view": "2d40773351c1",
+    "q_asof_two_phase_scalable": "4bc5acaebebe",
     "q_association_rules": "5e8b46d3358a",
     "q_bbox_area_filter": "e115f940f1c9",
     "q_bbox_area_topk": "7e12375eb8e2",

@@ -152,3 +152,17 @@ def test_two_phase_sessionization_row_identical_to_native(spark, sf_dir):
         F.to_date("session_start") != F.to_date("session_end")
     ).count()
     assert crossing > 0, "no midnight-spanning session: merge path untested"
+
+
+def test_two_phase_asof_row_identical_to_native(spark, sf_dir):
+    """The chunked as-of must reproduce the union+window plan row-for-row,
+    and the strictly-earlier-day fallback path must be non-vacuous."""
+    two = registry.queries()["q_asof_two_phase_scalable"](spark, sf_dir)
+    naive = registry.queries()["q_asof_purchase_last_view"](spark, sf_dir)
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    cross = two.filter(
+        F.to_date("purchase_ts") != F.to_date("last_view_ts")
+    ).count()
+    assert cross > 0, "no cross-day fallback exercised"

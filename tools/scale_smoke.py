@@ -264,6 +264,7 @@ SKEW_QUERIES = [
     "q_asof_purchase_last_view",
     "q_window_session_per_user",
     "q_session_two_phase_scalable",
+    "q_asof_two_phase_scalable",
     "q_user_value_deciles",
     "q_skew_key_advisor",
     "q_skew_advised_salted_join",
