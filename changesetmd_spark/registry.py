@@ -57,19 +57,21 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8, 11),
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8, 11),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8, 11),
-    "q_ann_recall_audit": (10,),
+    "q_ann_recall_audit": (10, 13),
     "q_ann_verify_rerank": (6, 9, 12),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9, 12),
+    "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9, 12, 13),
+    "q_asof_two_phase_scalable": (13,),
+    "q_association_rules": (13,),
     "q_bbox_area_filter": (2, 3, 4, 5, 8, 11),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bigram_lm_fluency": (7, 10),
-    "q_bitext_margin_mining": (9, 10),
-    "q_bitext_margin_mining_ivf": (10,),
+    "q_bitext_margin_mining": (9, 10, 13),
+    "q_bitext_margin_mining_ivf": (10, 13),
     "q_bloom_prefilter_join": (8, 11),
     "q_bm25_keyword_search": (2, 3, 4, 5, 8, 11),
-    "q_bpe_train_step": (9,),
+    "q_bpe_train_step": (9, 13),
     "q_calibration_ece_bins": (11,),
     "q_cdc_chunk_dedup": (7, 10),
     "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8, 11),
@@ -77,6 +79,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_cohort_retention": (7, 11),
     "q_contamination_ngram_overlap": (5, 8, 11),
+    "q_context_window_plan": (13,),
     "q_countmin_estimates": (9, 10),
     "q_countmin_sketch_only": (10,),
     "q_cross_source_leakage": (12,),
@@ -86,23 +89,25 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9, 12),
     "q_dedup_threshold_sweep": (11,),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_distinct_ngram_diversity": (12,),
-    "q_doremi_mixture_step": (12,),
+    "q_distinct_ngram_diversity": (12, 13),
+    "q_doremi_mixture_step": (12, 13),
     "q_dsir_importance_weights": (7, 10),
-    "q_duplicate_substring_spans": (7, 10),
+    "q_dup_cluster_histogram": (13,),
+    "q_duplicate_substring_spans": (7, 10, 13),
+    "q_ease_grid_project": (13,),
     "q_embedding_ann_checked": (6, 9, 12),
     "q_embedding_ann_ivf": (1, 7, 9, 12),
     "q_embedding_ann_ivf_checked": (8, 11),
     "q_embedding_ann_lsh": (1, 7, 9, 12),
     "q_embedding_binary_hamming": (12,),
     "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9, 12),
-    "q_embedding_dim_moments": (12,),
+    "q_embedding_dim_moments": (12, 13),
     "q_embedding_int8_quantize": (9, 12),
     "q_embedding_neardup_cosine": (1, 7, 9, 11),
     "q_embedding_pca_power": (7, 9, 12),
     "q_embedding_pq_adc": (8, 11),
     "q_embedding_random_projection": (8, 11),
-    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10),
+    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10, 13),
     "q_funnel_conversion": (7, 10),
     "q_fuzzy_name_pairs": (9, 12),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9, 12),
@@ -110,29 +115,33 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_heavy_hitter_terms": (7, 10),
     "q_hybrid_rrf_search": (11,),
     "q_incremental_hash_dedup": (11,),
-    "q_incremental_minhash_neardup": (12,),
+    "q_incremental_minhash_neardup": (12, 13),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8, 12),
     "q_item_cooccurrence": (7, 10),
-    "q_json_typed_extract": (6, 9),
+    "q_json_typed_extract": (6, 9, 13),
     "q_jsonl_ingest_audit": (11,),
     "q_kcore_items": (8, 11),
     "q_kmeans_assign_update": (7, 9, 12),
+    "q_label_balance_downsample": (13,),
     "q_label_propagation": (8, 11),
     "q_like_part_types": (2, 3, 4, 7, 10),
     "q_line_dedup_c4": (7, 10),
-    "q_map_explode_tag_histogram": (6, 9),
+    "q_map_explode_tag_histogram": (6, 9, 13),
     "q_map_key_existence": (1, 6, 9, 12),
-    "q_map_value_extract": (6, 9),
-    "q_map_value_like": (6, 9),
+    "q_map_value_extract": (6, 9, 13),
+    "q_map_value_like": (6, 9, 13),
+    "q_market_share_by_nation": (13,),
     "q_matryoshka_truncation_audit": (11,),
     "q_media_shard_manifest": (7, 9, 12),
-    "q_minhash_estimate_error_audit": (10, 11),
+    "q_minhash_estimate_error_audit": (10, 11, 13),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10),
-    "q_minhash_lsh_checked": (5, 6, 8, 10),
+    "q_minhash_lsh_checked": (5, 6, 8, 10, 13),
     "q_mmr_diversified_rerank": (11,),
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8, 11),
     "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11, 12),
+    "q_multimodal_decode_real": (13,),
     "q_multimodal_resize": (12,),
+    "q_multitouch_attribution": (13,),
     "q_neardup_canonical": (8, 9, 12),
     "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10),
@@ -146,6 +155,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9, 12),
     "q_ppjoin_similar_docs": (9, 10),
     "q_pps_systematic_sample": (9, 12),
+    "q_prf_expansion_terms": (13,),
     "q_priority_sample_topk": (10,),
     "q_quality_percentile_gate": (8, 11),
     "q_quality_rule_attribution": (11,),
@@ -154,34 +164,39 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9, 12),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8, 11),
-    "q_retrieval_ndcg_eval": (12,),
+    "q_retrieval_ndcg_eval": (12, 13),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_salted_join_skewed_types": (1, 7, 10),
     "q_scd2_priority_history": (9, 12),
+    "q_seasonality_profile": (13,),
     "q_semdedup_clustered": (7, 9, 12),
     "q_semdedup_ivf": (9, 12),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_sequence_packing": (7, 10),
     "q_series_ewma": (7, 10),
     "q_series_linear_trend": (7, 10),
+    "q_session_two_phase_scalable": (13,),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_simhash_checked": (5, 6, 8, 11),
     "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10),
     "q_sketch_cardinality_and_quantiles": (1, 7, 10),
     "q_skew_advised_salted_join": (12,),
     "q_skew_key_advisor": (11,),
+    "q_small_quantity_revenue": (13,),
     "q_source_mixture_weights": (5, 8, 11),
     "q_source_quota_sample": (2, 3, 4, 5, 8, 11),
     "q_stratified_sample_neyman": (10,),
-    "q_stream_dedup_first_seen": (6, 9),
+    "q_stream_dedup_first_seen": (6, 9, 13),
+    "q_stream_dedup_reemit_after_expiry": (13,),
     "q_stream_incremental_dedup": (11,),
-    "q_stream_late_data_drop": (12,),
-    "q_stream_purchase_attribution": (6, 9),
-    "q_stream_rollup_hourly": (6, 9),
-    "q_stream_session_windows": (6, 9),
-    "q_stream_sliding_2h_1h": (6, 9),
-    "q_stream_stateful_user_totals": (6, 9),
-    "q_stream_tumbling_hourly": (6, 9),
+    "q_stream_join_left_outer_expiry": (13,),
+    "q_stream_late_data_drop": (12, 13),
+    "q_stream_purchase_attribution": (6, 9, 13),
+    "q_stream_rollup_hourly": (6, 9, 13),
+    "q_stream_session_windows": (6, 9, 13),
+    "q_stream_sliding_2h_1h": (6, 9, 13),
+    "q_stream_stateful_user_totals": (6, 9, 13),
+    "q_stream_tumbling_hourly": (6, 9, 13),
     "q_table_profile": (9, 12),
     "q_temperature_mixture": (7, 10),
     "q_text_blocklist_scrub": (5, 8, 11),
@@ -189,7 +204,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10),
     "q_text_quality": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10),
-    "q_text_repetition_quality": (5, 8, 11, 12),
+    "q_text_repetition_quality": (5, 8, 11, 12, 13),
     "q_text_token_budget_by_source": (5, 7, 10),
     "q_text_token_stats": (2, 3, 4, 5, 7, 10),
     "q_tfidf_top_terms": (2, 3, 4, 5, 8, 11),
@@ -199,24 +214,25 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_train_test_split": (2, 3, 4, 5, 8, 11),
     "q_triangle_count": (7, 10),
     "q_txn_change_feed": (12,),
-    "q_txn_merge_snapshot": (6, 9),
+    "q_txn_merge_snapshot": (6, 9, 13),
     "q_type_transition_matrix": (7, 11),
     "q_unigram_drift_kl": (12,),
     "q_unigram_prob_mass": (7, 10),
     "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8, 11),
-    "q_user_value_deciles": (7, 9),
+    "q_user_value_deciles": (7, 9, 13),
     "q_value_mad_outliers": (7, 10),
     "q_value_percentiles_per_type": (1, 6, 9, 12),
     "q_vocab_growth": (8, 9, 10),
     "q_vocab_growth_sketched": (9, 10),
+    "q_vocab_prune_coverage": (13,),
     "q_window_running_total": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_window_session_per_user": (6, 9),
-    "q_window_sliding": (6, 9),
+    "q_window_session_per_user": (6, 9, 13),
+    "q_window_sliding": (6, 9, 13),
     "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_window_trailing_hour_sum": (6, 9),
-    "q_window_tumbling_hourly": (6, 9),
-    "q_winnowed_fingerprints": (7, 10),
+    "q_window_trailing_hour_sum": (6, 9, 13),
+    "q_window_tumbling_hourly": (6, 9, 13),
+    "q_winnowed_fingerprints": (7, 10, 13),
     "q_zipf_fit_audit": (12,),
     "q_zorder_layout": (8, 11),
 }
@@ -243,7 +259,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ann_recall_audit": "d352919eb19d",
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
-    "q_asof_purchase_last_view": "2d40773351c1",
+    "q_asof_purchase_last_view": "b1fdf5f673b3",
     "q_asof_two_phase_scalable": "4bc5acaebebe",
     "q_association_rules": "5e8b46d3358a",
     "q_bbox_area_filter": "e115f940f1c9",
@@ -272,11 +288,11 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dedup_groups": "178c907f8716",
     "q_dedup_threshold_sweep": "33a9886b4b20",
     "q_distinct_counts": "b7644aa98416",
-    "q_distinct_ngram_diversity": "56224d18b199",
-    "q_doremi_mixture_step": "941e870b08f5",
+    "q_distinct_ngram_diversity": "1d161ede35aa",
+    "q_doremi_mixture_step": "e9a8fa0524cb",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_dup_cluster_histogram": "8c20111ed665",
-    "q_duplicate_substring_spans": "924f03a2e00c",
+    "q_duplicate_substring_spans": "285b41ced123",
     "q_ease_grid_project": "d99b140e38da",
     "q_embedding_ann_checked": "4702c5d0fb1f",
     "q_embedding_ann_ivf": "77f3261e726c",
@@ -284,7 +300,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_ann_lsh": "2b316a9d38c5",
     "q_embedding_binary_hamming": "fc5c5c9b82e1",
     "q_embedding_centroid_per_label": "db3e96ecfdb8",
-    "q_embedding_dim_moments": "c9725b33701d",
+    "q_embedding_dim_moments": "61a8a029c2ec",
     "q_embedding_int8_quantize": "7e2ee87b3d9e",
     "q_embedding_neardup_cosine": "f5b442b72d4b",
     "q_embedding_pca_power": "a5c327894b93",
@@ -298,7 +314,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_heavy_hitter_terms": "7da4342493b1",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
-    "q_incremental_minhash_neardup": "111fcb1e1b8a",
+    "q_incremental_minhash_neardup": "d6e1bf0823a4",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
     "q_json_typed_extract": "c88841a31644",
@@ -316,9 +332,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_market_share_by_nation": "d003551182db",
     "q_matryoshka_truncation_audit": "a7836b0b556b",
     "q_media_shard_manifest": "75af061d14f8",
-    "q_minhash_estimate_error_audit": "c7ae88851de6",
+    "q_minhash_estimate_error_audit": "e9b5f216e257",
     "q_minhash_lsh_candidates": "c0b664190cc7",
-    "q_minhash_lsh_checked": "c7023bf67cf3",
+    "q_minhash_lsh_checked": "8a77d6e5b846",
     "q_mmr_diversified_rerank": "b89cbf4fcd70",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "2bbb5633523b",
@@ -347,7 +363,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
-    "q_retrieval_ndcg_eval": "84a2de9a54df",
+    "q_retrieval_ndcg_eval": "f6b9f5d76920",
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",
@@ -373,7 +389,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_stream_dedup_reemit_after_expiry": "c5644eb25b27",
     "q_stream_incremental_dedup": "ed995d3b2341",
     "q_stream_join_left_outer_expiry": "7b066a5169db",
-    "q_stream_late_data_drop": "c1c07f319bc8",
+    "q_stream_late_data_drop": "fa5d8f49da61",
     "q_stream_purchase_attribution": "b4c25510793c",
     "q_stream_rollup_hourly": "91bb1034b91c",
     "q_stream_session_windows": "67157ecc744e",
@@ -387,7 +403,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_text_lang_id_confusion": "b204de6407b2",
     "q_text_quality": "ec87d2dd2a86",
     "q_text_quality_by_source": "1ca2f822686d",
-    "q_text_repetition_quality": "06ec9136408e",
+    "q_text_repetition_quality": "a22aac06d466",
     "q_text_token_budget_by_source": "f4654a67165a",
     "q_text_token_stats": "07d0fcb5eba1",
     "q_tfidf_top_terms": "c87b20d513c1",
@@ -410,12 +426,12 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_vocab_growth_sketched": "cb7d63b54367",
     "q_vocab_prune_coverage": "eca768197e04",
     "q_window_running_total": "07f6b6a670fc",
-    "q_window_session_per_user": "b9a862e5e873",
+    "q_window_session_per_user": "1cb3d953f1c8",
     "q_window_sliding": "1f71aa30c65f",
     "q_window_topk_orders_per_customer": "9bd5767bcdc7",
     "q_window_trailing_hour_sum": "c63920d26d47",
     "q_window_tumbling_hourly": "1d16e1c77c37",
-    "q_winnowed_fingerprints": "88d8ec7ec153",
+    "q_winnowed_fingerprints": "424c117829ff",
     "q_zipf_fit_audit": "6b3a1847b9af",
     "q_zorder_layout": "562293014cd1",
 }
