@@ -335,6 +335,32 @@ def sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def contention_sentinel(spark) -> float:
+    """Fixed-work machine-health probe (VERDICT r13 #2): a pinned
+    CPU-bound, shuffle-free, IO-free plan — xxhash64 over a 32-partition
+    range, single-row partial-agg collect — whose wall time depends only
+    on available CPU.  Measured at bench start / middle / end; if the
+    sentinel itself drifts round-over-round (or within the run), the
+    per-query regression flags are annotated as contention-suspect rather
+    than treated as plan regressions.  Work size (~0.5 s on an idle
+    local[32]) is big enough to ride out scheduler jitter, small enough
+    to not perturb the bench."""
+    from pyspark.sql import functions as F
+
+    # modulo before the sum: 640M full-range xxhash64 longs overflow an
+    # ANSI BIGINT sum; |term| <= 2^20 keeps the total under 2^50.
+    # Min-of-2 because a single ~0.5s probe still sees ±15% scheduler
+    # jitter on a shared host — the min is the uncontended capability.
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 640_000_000, 1, 32).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_048_576)))
+        ).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="changesetmd-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -347,6 +373,9 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, schema="id long"
     ).collect()
+    # warm the sentinel's own codegen path so its start/mid/end samples
+    # are all steady-state (first compile of the probe plan costs ~2.5s)
+    contention_sentinel(spark)
 
     # measure ingest before the query gauntlet fragments the heap — the
     # rate is the headline comparison against the reference's 3.2-4.8k/s
@@ -372,7 +401,10 @@ def main() -> None:
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
+    sentinel = {"start": contention_sentinel(spark)}
     for name in HEADLINE:
+        if name == HEADLINE[len(HEADLINE) // 2]:
+            sentinel["mid"] = contention_sentinel(spark)
         samples: list[float] = []
         for _ in range(_RUNS):
             t0 = time.perf_counter()
@@ -399,6 +431,8 @@ def main() -> None:
             times[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
 
+    sentinel["end"] = contention_sentinel(spark)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -410,6 +444,13 @@ def main() -> None:
         "xml_ingest": ingest,
         "replication_steady_state": repl,
         "replication_steady_state_sec_per_diff": repl.get("sec_per_diff"),
+        "sentinel": sentinel,
+        # the pin below compares queries against the prior round only when
+        # their registry fingerprint is unchanged — a redefined query gets
+        # a fresh baseline instead of a bogus "regression" (VERDICT r13 #8)
+        "query_fingerprints": {
+            name: registry._fingerprint(name) for name in times
+        },
     }
     if errors:
         out["errors"] = errors
@@ -421,30 +462,66 @@ def main() -> None:
     # flagged four JVM-warm-up false positives on the driver's r12 re-run
     # (q5 at 2.49x) that the median columns already refuted; a real plan
     # regression moves the median as surely as the min.
-    regressions: dict[str, dict[str, float]] = {}
+    regressions: dict[str, dict] = {}
+    redefined: list[str] = []
     prev_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
     try:
         with open(prev_path) as f:
             prev = json.load(f)
+        # Contention sentinel (VERDICT r13 #2): if the fixed-work probe ran
+        # >1.3x slower than the prior round's (or drifted >1.3x within this
+        # run), per-query flags are environment-suspect, not plan evidence.
+        prev_sent = prev.get("sentinel") or {}
+        prev_sent_best = min(
+            (v for v in prev_sent.values() if isinstance(v, (int, float))),
+            default=None,
+        )
+        now_sent_best = min(sentinel.values())
+        sent_ratio = (
+            round(now_sent_best / prev_sent_best, 2) if prev_sent_best else None
+        )
+        intra_drift = round(max(sentinel.values()) / now_sent_best, 2)
+        out["sentinel_vs_prev_ratio"] = sent_ratio
+        out["sentinel_intra_run_drift"] = intra_drift
+        contended = (sent_ratio or 1.0) > 1.3 or intra_drift > 1.3
         if prev.get("sf") == out["sf"]:
             # older files may predate the median column; fall back to min
             prev_meds = prev.get("queries_median") or prev.get("queries", {})
+            prev_fps = prev.get("query_fingerprints", {})
             for name, now_t in medians.items():
                 prev_t = prev_meds.get(name)
-                if prev_t and prev_t > 0.2 and now_t > 1.5 * prev_t:
-                    regressions[name] = {
-                        "prev": prev_t,
-                        "now": now_t,
-                        "ratio": round(now_t / prev_t, 2),
-                    }
+                if not (prev_t and prev_t > 0.2 and now_t > 1.5 * prev_t):
+                    continue
+                # fingerprint-aware rebaseline (VERDICT r13 #8): a query
+                # whose implementation changed since the prior round is
+                # REDEFINED, not regressed — different work under the same
+                # name (the r13 q_dup_cluster_histogram 2.71x false pin)
+                prev_fp = prev_fps.get(name)
+                if prev_fp is not None and prev_fp != out[
+                    "query_fingerprints"
+                ].get(name):
+                    redefined.append(name)
+                    continue
+                regressions[name] = {
+                    "prev": prev_t,
+                    "now": now_t,
+                    "ratio": round(now_t / prev_t, 2),
+                    "suspect_contention": bool(contended),
+                }
     except (OSError, json.JSONDecodeError):
         pass
     out["regressions"] = regressions
+    out["rebaselined_redefined"] = sorted(redefined)
     if regressions:
+        tag = (
+            " (sentinel drifted — machine contention suspected)"
+            if any(r["suspect_contention"] for r in regressions.values())
+            else ""
+        )
         print(
-            f"REGRESSIONS vs previous round: {sorted(regressions)}",
+            f"REGRESSIONS vs previous round{tag}: {sorted(regressions)}",
             file=sys.stderr,
         )
     # Clip-proofing (VERDICT r8 #4): the driver stores only a tail of

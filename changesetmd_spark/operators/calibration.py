@@ -117,7 +117,12 @@ def q_calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"s_int div {_GRID // _N_BINS}"),
         F.lit(_N_BINS - 1).cast("long"),
     ).cast("int")
-    conf = F.sum("s_int") / (F.count(F.lit(1)) * F.lit(float(_GRID)))
+    # DECIMAL(38,0) accumulator (VERDICT r13 #7): Σ s_int ≤ rows × 10⁵ —
+    # only ~92× headroom in a BIGINT at 10¹² rows; the oracle's HUGEINT
+    # sum is exact either way
+    conf = F.sum(F.col("s_int").cast("decimal(38,0)")).cast("double") / (
+        F.count(F.lit(1)) * F.lit(float(_GRID))
+    )
     acc = F.sum("y") * F.lit(1.0) / F.count(F.lit(1))
     return (
         scored.withColumn("bin", bin_col)

@@ -978,7 +978,12 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     credited = touches.select("purchase_id", "val", "k", bp.alias("bp"))
     return credited.groupBy("k").agg(
         F.countDistinct("purchase_id").alias("n_purchases"),
-        F.sum("bp").cast("long").alias("total_bp"),
+        # DECIMAL(38,0) accumulator (VERDICT r13 #7): Σbp = 10000 ×
+        # purchases-per-k; a BIGINT sum has only ~920× headroom at 10^12
+        # purchases in one group — the final value still fits a long
+        F.sum(F.col("bp").cast("decimal(38,0)")).cast("long").alias(
+            "total_bp"
+        ),
         (
             F.sum(F.col("val") * F.col("bp")).cast("double") / 10000
         ).alias("credited_value"),

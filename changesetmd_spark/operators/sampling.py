@@ -157,7 +157,13 @@ def q_stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy("source").agg(
         F.count("*").alias("n_h"),
         F.sum("n_chars").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        # DECIMAL(38,0) accumulator (VERDICT r13 #7): Σ n_chars² in a
+        # BIGINT wraps near 2e10 docs × (2e4 chars)² ≈ 8e18 — inside one
+        # 100 TB stratum's reach (<10³ headroom); the oracle's HUGEINT
+        # sum is already exact, so only the Spark side could diverge
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        ).alias("sxx"),
     )
     nd = F.col("n_h").cast("double")
     w_h = F.when(

@@ -940,7 +940,10 @@ _VOCAB_COVER_TARGETS_BP = (5000, 9000, 9900)
 
 @register(
     "q_vocab_prune_coverage",
-    oracle=r"""
+    # rf-string: the UNNEST target list is interpolated from
+    # _VOCAB_COVER_TARGETS_BP so one definition feeds both engines —
+    # editing the Python constant can never silently desync the oracle
+    oracle=rf"""
     WITH d AS (
       SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
       FROM documents
@@ -967,7 +970,8 @@ _VOCAB_COVER_TARGETS_BP = (5000, 9000, 9900)
     ), tgt AS (
       SELECT t.bp, (tot.t * t.bp + 9999) // 10000 AS target_tokens,
              tot.t, tot.v
-      FROM UNNEST([5000, 9000, 9900]) AS t(bp), tot
+      FROM UNNEST([{', '.join(str(bp) for bp in _VOCAB_COVER_TARGETS_BP)}])
+        AS t(bp), tot
     )
     SELECT CAST(g.bp AS BIGINT) AS target_bp,
            g.t AS total_tokens, g.v AS total_types,

@@ -79,18 +79,33 @@ def stage_jsonl_fixture(sf_dir: str, shards: int = 4) -> str:
     out = os.path.join(_STAGE_ROOT, f"docs-{key}-s{shards}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
+        # bump the marker mtime on every cache hit so an in-use fixture
+        # never ages past the sweep cutoff below (a concurrent process —
+        # parallel pytest, a second bench on another corpus — may still be
+        # lazily reading shards staged >1 h ago)
+        try:
+            os.utime(marker)
+        except OSError:
+            pass
         return out
     # content-fingerprinted keys mean every corpus regeneration creates a
-    # fresh staged dir; sweep stale siblings (>1 h old, same pattern as the
-    # txn demo root) so repeated regens don't grow /tmp unboundedly
+    # fresh staged dir; sweep stale siblings so repeated regens don't grow
+    # /tmp unboundedly.  Only dirs that are BOTH >1 h idle (marker mtime,
+    # refreshed on each cache hit above) AND either incomplete (no _DONE)
+    # or orphaned are candidates — a complete fixture whose marker was
+    # touched recently is assumed live and left alone.
     if os.path.isdir(_STAGE_ROOT):
         cutoff = time.time() - 3600.0
         for d in os.listdir(_STAGE_ROOT):
             full = os.path.join(_STAGE_ROOT, d)
             if full == out:
                 continue
+            sib_marker = os.path.join(full, "_DONE")
             try:
-                if os.path.getmtime(full) < cutoff:
+                ts = os.path.getmtime(
+                    sib_marker if os.path.exists(sib_marker) else full
+                )
+                if ts < cutoff:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass

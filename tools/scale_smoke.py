@@ -47,6 +47,7 @@ Run:  PYTHONPATH=. python tools/scale_smoke.py
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -65,8 +66,13 @@ SCALE_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_DIR", f"/tmp/changesetmd_scale_x{REPLICAS}"
 )
 SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0") == "1"
+# celebrity collapse depth (VERDICT r13 #3): c > 0 ⇒ c% of users fold onto
+# a single id; 0 keeps the r12 1%-hot-tail regime (see build_skew_data)
+SKEW_COLLAPSE = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW_COLLAPSE", "0"))
 SKEW_DIR = os.environ.get(
-    "SPARK_GRAFT_SCALE_SKEW_DIR", f"/tmp/changesetmd_scale_skew_x{REPLICAS}"
+    "SPARK_GRAFT_SCALE_SKEW_DIR",
+    f"/tmp/changesetmd_scale_skew_x{REPLICAS}"
+    + (f"_c{SKEW_COLLAPSE}" if SKEW_COLLAPSE else ""),
 )
 # fraction of the user space that collapses: 1% of keys absorb R× hotness
 _SKEW_HOT_MOD = 100
@@ -269,6 +275,14 @@ SKEW_QUERIES = [
     "q_skew_key_advisor",
     "q_skew_advised_salted_join",
     "q_salted_join_skewed_types",
+    # VERDICT r13 #5: everything else that partitions by user_id is
+    # exactly as hot-key-exposed as sessionization — funnel/cohort/
+    # attribution/transition windows and the stateful streaming totals
+    "q_funnel_conversion",
+    "q_cohort_retention",
+    "q_multitouch_attribution",
+    "q_type_transition_matrix",
+    "q_stream_stateful_user_totals",
 ]
 
 # Optional comma-separated subset (long 100x sweeps run in batches under the
@@ -464,20 +478,57 @@ def build_skew_data(spark) -> None:
     exactly like the uniform tier.  Item ids and timestamps shift per
     replica as in the uniform tier, so only per-USER hotness changes.
     Every other table symlinks the uniform scale dir (fact tables
-    replicated there, dims at base)."""
-    marker = os.path.join(SKEW_DIR, "_DONE_v1")
+    replicated there, dims at base).
+
+    Collapse depth (VERDICT r13 #3): ``SPARK_GRAFT_SCALE_SKEW_COLLAPSE=c``
+    (c > 0) switches to the CELEBRITY regime — users with
+    ``user_id % 100 < c`` (c% of the population, and of the event mass)
+    all collapse onto the single id 0 in every replica, so one key
+    absorbs c% of the entire R×-scaled table (at R=100, c=30 over the
+    sf0.1 base: ~3M rows on one user).  This is the collapse depth where
+    a single-task per-user sort actually hurts and the two-phase
+    session/as-of twins are supposed to win; the default c=0 keeps the
+    r12 1%-hot-tail tier unchanged.  Results land in a separate
+    BENCH_scale.json entry keyed by ``skew_collapse``."""
+    # The marker is keyed on a content fingerprint of the INPUTS (base
+    # events parquet size/mtime + the uniform SCALE_DIR's completion
+    # marker mtime, since every other table symlinks there): regenerating
+    # the base corpus or the uniform tier invalidates the skew staging
+    # instead of silently serving stale replicas — same pattern as the
+    # jsonl/stream stagers' _staged_batch_events keys.
+    fp_parts = []
+    src = os.path.join(BASE, "events.parquet")
+    for path in ([os.path.join(src, n) for n in sorted(os.listdir(src))]
+                 if os.path.isdir(src) else [src]):
+        try:
+            st = os.stat(path)
+            fp_parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            pass
+    scale_marker = os.path.join(SCALE_DIR, "_DONE_v5")
+    if os.path.exists(scale_marker):
+        fp_parts.append(f"scale:{os.stat(scale_marker).st_mtime_ns}")
+    fp = hashlib.sha1("|".join(fp_parts).encode()).hexdigest()[:12]
+    marker = os.path.join(SKEW_DIR, f"_DONE_v2_{fp}")
     if os.path.exists(marker):
         return
     shutil.rmtree(SKEW_DIR, ignore_errors=True)
     os.makedirs(SKEW_DIR, exist_ok=True)
 
     ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
-    hot = F.col("user_id") % _SKEW_HOT_MOD == 0
+    if SKEW_COLLAPSE > 0:
+        # celebrity regime: c% of the user space (and event mass) lands
+        # on ONE key across every replica
+        hot = F.col("user_id") % _SKEW_HOT_MOD < SKEW_COLLAPSE
+        hot_id = F.lit(0)
+    else:
+        hot = F.col("user_id") % _SKEW_HOT_MOD == 0
+        hot_id = F.col("user_id")
     parts = []
     for k in range(REPLICAS):
         item = F.get_json_object(F.col("props"), "$.k").cast("long")
         user = (
-            F.when(hot, F.col("user_id"))  # hot tail collapses: R× per key
+            F.when(hot, hot_id)  # hot tail collapses: R× per key
             .otherwise(F.col("user_id") + F.lit(k * 1_000_000))
         )
         parts.append(
@@ -561,6 +612,7 @@ def main() -> None:
         "base_sf_dir": BASE,
         "replicas": REPLICAS,
         "skew": SKEW,
+        "skew_collapse": SKEW_COLLAPSE if SKEW else 0,
         "sf_equivalent": 0.1 * REPLICAS,
         "base_sec": base_t,
         "scale_sec": scale_t,
@@ -575,7 +627,12 @@ def main() -> None:
             with open(OUT_JSON) as fh:
                 prev = json.load(fh)
             for r in prev.get("runs", []):
-                if r["replicas"] == REPLICAS and bool(r.get("skew")) == SKEW:
+                if (
+                    r["replicas"] == REPLICAS
+                    and bool(r.get("skew")) == SKEW
+                    and r.get("skew_collapse", 0)
+                    == (SKEW_COLLAPSE if SKEW else 0)
+                ):
                     prev_same = r
                 else:
                     doc["runs"].append(r)
@@ -598,7 +655,11 @@ def main() -> None:
         if stale_skips:
             result.setdefault("skipped", {}).update(stale_skips)
     doc["runs"].append(result)
-    doc["runs"].sort(key=lambda r: (r["replicas"], bool(r.get("skew"))))
+    doc["runs"].sort(
+        key=lambda r: (
+            r["replicas"], bool(r.get("skew")), r.get("skew_collapse", 0)
+        )
+    )
     doc["pass"] = all(r["pass"] for r in doc["runs"])
     with open(OUT_JSON, "w") as fh:
         json.dump(doc, fh, indent=1)
