@@ -148,6 +148,13 @@ HEADLINE = [
     "q_seasonality_profile",
     "q_prf_expansion_terms",
     "q_asof_two_phase_scalable",
+    # r14 additions
+    "q_kanonymity_risk",
+    "q_retrieval_mrr_eval",
+    "q_hits_bipartite",
+    "q_containment_pairs",
+    "q_length_bucket_packing",
+    "q_kneser_ney_bigram",
 ]
 
 

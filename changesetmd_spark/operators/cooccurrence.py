@@ -732,3 +732,97 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("confidence_bp"), F.asc("antecedent"), F.asc("consequent")
     ).limit(_AR_TOP)
+
+
+# HITS top-list size: enough to show both mega-hubs and the mid-tail
+_HITS_TOP = 15
+
+
+@register(
+    "q_hits_bipartite",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id FROM ui GROUP BY user_id
+      HAVING COUNT(*) <= {_COOC_USER_CAP}
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id FROM ui JOIN deg USING (user_id)
+    ), a1 AS (
+      SELECT item_id, COUNT(*) AS degree FROM kept GROUP BY item_id
+    ), h1 AS (
+      SELECT k.user_id, SUM(CAST(a.degree AS HUGEINT)) AS h
+      FROM kept k JOIN a1 a USING (item_id)
+      GROUP BY k.user_id
+    ), a2 AS (
+      SELECT k.item_id, SUM(h1.h) AS auth
+      FROM kept k JOIN h1 USING (user_id)
+      GROUP BY k.item_id
+    ), mx AS (
+      SELECT MAX(auth) AS mx FROM a2
+    )
+    SELECT a2.item_id,
+           CAST(a1.degree AS BIGINT) AS degree,
+           CAST(a2.auth AS BIGINT) AS authority2,
+           ROUND(CAST(a2.auth AS DOUBLE) / CAST(mx.mx AS DOUBLE), 6)
+             AS score
+    FROM a2 JOIN a1 USING (item_id), mx
+    ORDER BY a2.auth DESC, a2.item_id
+    LIMIT {_HITS_TOP}
+    """,
+)
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999 — public method) on the
+    bipartite user→item engagement graph, two UNNORMALIZED power
+    iterations: a₁ = item degree (h₀ ≡ 1), h₁(u) = Σ a₁ over u's items,
+    a₂(i) = Σ h₁ over i's users.  HITS is scale-invariant, so skipping
+    the per-iteration L2 normalization keeps every intermediate an exact
+    INTEGER — the engines can't drift on float summation order — and one
+    final division by max(a₂) yields the reported score.  Authorities
+    differ from PageRank's stationary mass: a₂ weights an item by the
+    total engagement breadth of its audience, the curation signal for
+    "items popular among heavy multi-item users" vs merely high-degree.
+
+    Int64 headroom (PLANS.md audit): a₂ ≤ E·cap·max-degree can exceed
+    2⁶³ near 10¹³ edges, so both sums accumulate in DECIMAL(38,0) /
+    HUGEINT; only the ≤-top-{_HITS_TOP} output casts back to BIGINT.
+
+    Scale shape: three hash aggregates (item degree, user hub, item
+    authority), each map-side combined on its own key; the two joins are
+    equi-joins that reuse the aggregate's partitioning (kept ⋈ a1 on
+    item_id feeds the user_id exchange; kept ⋈ h1 on user_id feeds the
+    item_id exchange) — no window over events, no driver fold; the max
+    attaches as a broadcast 1-row aggregate ahead of a TakeOrdered
+    {_HITS_TOP}."""
+    kept = _capped_user_items(spark, sf_dir).persist()
+    a1 = kept.groupBy("item_id").agg(F.count("*").alias("degree"))
+    h1 = (
+        kept.join(a1, "item_id")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("degree").cast("decimal(38,0)")).alias("h"))
+    )
+    a2 = (
+        kept.join(h1, "user_id")
+        .groupBy("item_id")
+        .agg(F.sum("h").alias("auth"))
+    )
+    mx = a2.agg(F.max("auth").alias("mx"))
+    from .util import materialize_releasing
+
+    out = (
+        a2.join(a1, "item_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "item_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("auth").cast("long").alias("authority2"),
+            F.round(
+                F.col("auth").cast("double") / F.col("mx").cast("double"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("authority2"), F.asc("item_id"))
+        .limit(_HITS_TOP)
+    )
+    return materialize_releasing(out, kept)

@@ -352,6 +352,174 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_releasing(out, t)
 
 
+def _mrr_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    score = " + ".join(
+        f"(ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({_BM25_K1} + 1) / (tf_{i} + {norm}))"
+        for i in range(len(_BM25_TERMS))
+    )
+    mass = " + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    grade = (
+        f"CASE WHEN {mass} >= {_NDCG_G3_MASS} THEN 3 "
+        f"WHEN {mass} >= {_NDCG_G2_MASS} THEN 2 ELSE 1 END"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d
+    ), g AS (
+      SELECT {df_cols} FROM t
+    ), graded AS (
+      SELECT doc_id, ROUND({score}, 4) AS bm25, {grade} AS gd
+      FROM t CROSS JOIN s CROSS JOIN g
+      WHERE {mass} > 0
+    ), totals AS (
+      SELECT CAST(SUM(CASE WHEN gd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS total_rel
+      FROM graded
+    ), ranked AS (
+      SELECT gd, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM graded ORDER BY bm25 DESC, doc_id LIMIT {_TOP_K}
+    ), atk AS (
+      SELECT COALESCE(CAST(MIN(CASE WHEN gd >= 2 THEN r END) AS BIGINT), 0)
+               AS first_rel_rank,
+             CAST(SUM(CASE WHEN gd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_at_k
+      FROM ranked
+    )
+    SELECT CAST({_TOP_K} AS BIGINT) AS k,
+           first_rel_rank,
+           ROUND(CASE WHEN first_rel_rank > 0
+                      THEN 1.0 / first_rel_rank ELSE 0.0 END, 6) AS mrr,
+           n_rel_at_k,
+           total_rel,
+           ROUND(n_rel_at_k * 1.0 / total_rel, 6) AS recall_at_k,
+           ROUND(n_rel_at_k * 1.0 / {_TOP_K}, 6) AS precision_at_k
+    FROM atk, totals
+    """
+
+
+@register("q_retrieval_mrr_eval", oracle=_mrr_oracle())
+def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 / recall@10 / precision@10 of the BM25 arm against the same
+    graded term-coverage relevance as the NDCG eval (grade ≥ 2 =
+    relevant) — the second retrieval-eval lens a RAG tier reports
+    (Voorhees 1999 reciprocal rank; public method).  MRR answers "how
+    deep must a reader scroll for the first good hit", which NDCG's
+    graded discounting deliberately blurs; recall@k vs the corpus-wide
+    relevant count catches a ranker that wins the top slot but starves
+    the pool.
+
+    Determinism: rank ties break on doc_id before the LIMIT; counts are
+    exact integers; the three ratios are single rounded IEEE divisions of
+    integer counts — no float summation anywhere.
+
+    Scale shape: identical to the NDCG eval — fixed query terms make tf a
+    per-row projection (no inverted index), corpus constants one
+    broadcast 1-row aggregate, the pool a TakeOrdered {_TOP_K}; the only
+    full-corpus aggregate is the total-relevant count, map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        *[
+            F.size(
+                F.filter(
+                    tokens(F.col("text")),
+                    (lambda tm: lambda x: x == F.lit(tm))(term),
+                )
+            ).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    norm = _BM25_K1 * (1 - _BM25_B) + F.lit(_BM25_B * _BM25_K1) * F.col(
+        "dl"
+    ) / F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        part = idf * F.col(f"tf_{i}") * (_BM25_K1 + 1) / (F.col(f"tf_{i}") + norm)
+        score = part if score is None else score + part
+    mass = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    grade = (
+        F.when(mass >= _NDCG_G3_MASS, 3)
+        .when(mass >= _NDCG_G2_MASS, 2)
+        .otherwise(1)
+    )
+    t = t.persist()
+    graded = (
+        t.crossJoin(F.broadcast(stats))
+        .filter(mass > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"), grade.alias("gd"))
+    )
+    totals = graded.agg(
+        F.sum(F.when(F.col("gd") >= 2, 1).otherwise(0)).cast("long").alias(
+            "total_rel"
+        )
+    )
+    ranked = (
+        graded.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_TOP_K)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+    )
+    atk = ranked.agg(
+        F.coalesce(
+            F.min(F.when(F.col("gd") >= 2, F.col("r"))).cast("long"), F.lit(0)
+        ).alias("first_rel_rank"),
+        F.sum(F.when(F.col("gd") >= 2, 1).otherwise(0)).cast("long").alias(
+            "n_rel_at_k"
+        ),
+    )
+    out = atk.crossJoin(F.broadcast(totals)).select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "first_rel_rank",
+        F.round(
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.lit(1.0) / F.col("first_rel_rank"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        "n_rel_at_k",
+        "total_rel",
+        F.round(F.col("n_rel_at_k") * 1.0 / F.col("total_rel"), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(F.col("n_rel_at_k") * 1.0 / _TOP_K, 6).alias(
+            "precision_at_k"
+        ),
+    )
+    return materialize_releasing(out, t)
+
+
 @register(
     "q_tfidf_top_terms",
     oracle=r"""

@@ -1398,3 +1398,220 @@ def q_context_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_kept",
         "utilization",
     )
+
+
+# power-of-2 length buckets up to 2^20 tokens — covers any single document
+_LEN_BUCKET_MAX_EXP = 20
+
+
+@register(
+    "q_length_bucket_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT CAST(POW(2, i) AS BIGINT) AS bucket_max
+      FROM UNNEST(generate_series(0, {_LEN_BUCKET_MAX_EXP})) t(i)
+    ), assigned AS (
+      SELECT d.doc_id, d.n_tokens, b.bucket_max
+      FROM d JOIN b
+        ON d.n_tokens <= b.bucket_max AND d.n_tokens > b.bucket_max // 2
+      WHERE d.n_tokens >= 1
+    ), per AS (
+      SELECT bucket_max,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) * bucket_max AS BIGINT) AS capacity
+      FROM assigned GROUP BY bucket_max
+    ), gl AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS g_tokens,
+             CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS g_capacity
+      FROM assigned
+    )
+    SELECT bucket_max, n_docs, total_tokens, capacity,
+           CAST((capacity - total_tokens) * 10000 // capacity AS BIGINT)
+             AS padding_waste_bp,
+           CAST((g_capacity - g_tokens) * 10000 // g_capacity AS BIGINT)
+             AS unbucketed_waste_bp
+    FROM per, gl
+    """,
+)
+def q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-LENGTH-BUCKETED batch planning: assign every document to
+    the smallest power-of-2 token-length bucket and report, per bucket,
+    the padding waste (basis points of pad tokens if each doc pads to the
+    bucket ceiling) against the single-bucket alternative (every doc
+    padded to the corpus max — the `unbucketed_waste_bp` column every
+    row carries).  This is the standard pre-batching transform for
+    fixed-shape training kernels when full bin-packing
+    (q_sequence_packing) is too strict — the report quantifies how much
+    of packing's win bucketing alone recovers.
+
+    Exactness: the bucket assignment is a broadcast join against the 21
+    power-of-2 rows with integer range predicates — NO float log2 whose
+    libm rounding could differ between engines at a power-of-2 boundary —
+    and both waste ratios are exact integer basis points
+    (``x·10000 // capacity``).
+
+    Scale shape: one broadcast nested-loop against 21 rows (map-side),
+    one hash aggregate on ≤21 bucket keys, and a broadcast 1-row global
+    aggregate — the corpus is scanned once and never shuffled by more
+    than the 21-key aggregate."""
+    # token COUNT only is needed: \S+ match count ≡ the oracle's
+    # split-on-\s+ length, so the cheap regexp_extract_all counter works
+    from .text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    buckets = spark.range(0, _LEN_BUCKET_MAX_EXP + 1).select(
+        # pyspark's shiftleft only takes a literal shift — go through expr
+        F.expr("shiftleft(1L, cast(id AS int))").cast("long").alias(
+            "bucket_max"
+        )
+    )
+    assigned = docs.filter(F.col("n_tokens") >= 1).join(
+        F.broadcast(buckets),
+        (F.col("n_tokens") <= F.col("bucket_max"))
+        & (F.col("n_tokens") > F.expr("bucket_max div 2")),
+    )
+    per = assigned.groupBy("bucket_max").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count("*") * F.max("bucket_max")).alias("capacity"),
+    )
+    glob = assigned.agg(
+        F.sum("n_tokens").alias("g_tokens"),
+        (F.count("*") * F.max("n_tokens")).alias("g_capacity"),
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "bucket_max",
+            "n_docs",
+            "total_tokens",
+            "capacity",
+            F.expr("(capacity - total_tokens) * 10000 div capacity").alias(
+                "padding_waste_bp"
+            ),
+            F.expr("(g_capacity - g_tokens) * 10000 div g_capacity").alias(
+                "unbucketed_waste_bp"
+            ),
+        )
+    )
+
+
+# Kneser-Ney absolute-discount constant (the standard 0.75 of Chen &
+# Goodman 1999) and the size of the reported top-bigram panel
+_KN_D = "0.75"  # literal string so both engines parse the identical double
+_KN_TOP = 20
+
+
+@register(
+    "q_kneser_ney_bigram",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+    ), bg AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+    ), c2 AS (
+      SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b
+    ), c1 AS (
+      SELECT a, CAST(SUM(n2) AS BIGINT) AS n1,
+             COUNT(*) AS fanout_a
+      FROM c2 GROUP BY a
+    ), pre AS (
+      SELECT b, COUNT(*) AS precede_b FROM c2 GROUP BY b
+    ), tot AS (
+      SELECT COUNT(*) AS n_types FROM c2
+    ), top AS (
+      SELECT a, b, n2 FROM c2
+      ORDER BY n2 DESC, a, b LIMIT {_KN_TOP}
+    )
+    SELECT t.a, t.b, CAST(t.n2 AS BIGINT) AS n2, c1.n1,
+           CAST(c1.fanout_a AS BIGINT) AS fanout_a,
+           CAST(pre.precede_b AS BIGINT) AS precede_b,
+           ROUND(t.n2 * 1.0 / c1.n1, 6) AS p_mle,
+           ROUND((t.n2 - {_KN_D}) / c1.n1
+                 + {_KN_D} * c1.fanout_a / c1.n1
+                   * pre.precede_b / tot.n_types, 6) AS p_kn
+    FROM top t JOIN c1 USING (a) JOIN pre USING (b), tot
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995 /
+    Chen & Goodman 1999 — the public smoothing behind KenLM-style corpus
+    LMs) for the corpus's top-{_KN_TOP} bigrams: P_KN(b|a) =
+    (c(ab) − D)/c(a·) + D·N₁₊(a·)/c(a·) · N₁₊(·b)/N₁₊(··), D = {_KN_D}.
+    Reported beside raw MLE so the panel shows the smoothing transfer:
+    continuation probability (how many DISTINCT contexts precede b)
+    replacing raw frequency is exactly what distinguishes KN from the
+    add-k/MLE scoring in q_bigram_lm_fluency.
+
+    Determinism: every input to the formula is an exact integer aggregate
+    (pair counts, fanout/precede TYPE counts, total type count); the
+    probability is ONE identically-parenthesized double expression per
+    row, rounded to 6 — no float summation anywhere.  Top-{_KN_TOP} ties
+    break lexicographically on (a, b) before the LIMIT.
+
+    Scale shape: one (a,b) hash aggregate over the exploded bigrams
+    (map-side combined — the only corpus-sized exchange); c(a·)/N₁₊(a·)
+    and N₁₊(·b) are aggregates OVER THE TYPE TABLE c2 (vocab²-bounded,
+    ≪ corpus); the type total is a broadcast 1-row aggregate and the
+    panel a TakeOrdered {_KN_TOP} joined back against the tiny
+    aggregates."""
+    bg = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2")).persist()
+    c1 = c2.groupBy("a").agg(
+        F.sum("n2").cast("long").alias("n1"),
+        F.count("*").alias("fanout_a"),
+    )
+    pre = c2.groupBy("b").agg(F.count("*").alias("precede_b"))
+    tot = c2.agg(F.count("*").alias("n_types"))
+    top = c2.orderBy(F.desc("n2"), F.asc("a"), F.asc("b")).limit(_KN_TOP)
+    d = float(_KN_D)
+    out = (
+        top.join(c1, "a")
+        .join(pre, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("n2").cast("long").alias("n2"),
+            "n1",
+            F.col("fanout_a").cast("long").alias("fanout_a"),
+            F.col("precede_b").cast("long").alias("precede_b"),
+            F.round(F.col("n2") * 1.0 / F.col("n1"), 6).alias("p_mle"),
+            F.round(
+                (F.col("n2") - d) / F.col("n1")
+                + F.lit(d)
+                * F.col("fanout_a")
+                / F.col("n1")
+                * F.col("precede_b")
+                / F.col("n_types"),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    return materialize_releasing(out, c2)

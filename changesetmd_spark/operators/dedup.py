@@ -1649,3 +1649,128 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return hist(dcl, "document").unionByName(hist(lcl, "line"))
+
+
+# containment flag threshold: the smaller document must share this fraction
+# of ITS shingles with the larger to count as (near-)contained — the quote/
+# excerpt regime symmetric Jaccard under-scores (a 50-shingle doc inside a
+# 5000-shingle doc has C = 1.0 but J ≈ 0.01)
+_CONTAIN_MIN = 0.8
+
+
+@register(
+    "q_containment_pairs",
+    oracle=rf"""
+    WITH st AS (
+      SELECT (COUNT(*) + {_JACCARD_EXACT_MAX_DOCS} - 1)
+             // {_JACCARD_EXACT_MAX_DOCS} AS stride
+      FROM documents
+    ), d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents, st WHERE doc_id % st.stride = 0
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM d WHERE len(toks) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS sg FROM s
+    ), kept AS (
+      SELECT doc_id, sg
+      FROM (SELECT doc_id, sg, COUNT(*) OVER (PARTITION BY sg) AS df FROM posts)
+      WHERE df <= {_JACCARD_DF_CAP}
+    ), ks AS (
+      SELECT doc_id, list(sg) AS sh FROM kept GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS sz1, len(b.sh) AS sz2
+      FROM ks a JOIN ks b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT CASE WHEN sz1 < sz2 OR (sz1 = sz2 AND id1 < id2)
+                THEN id1 ELSE id2 END AS contained_doc,
+           CASE WHEN sz1 < sz2 OR (sz1 = sz2 AND id1 < id2)
+                THEN id2 ELSE id1 END AS container_doc,
+           ROUND(inter * 1.0 / LEAST(sz1, sz2), 4) AS containment,
+           ROUND(inter * 1.0 / (sz1 + sz2 - inter), 4) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / LEAST(sz1, sz2) >= {_CONTAIN_MIN}
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (Broder 1997's containment
+    measure, the companion to resemblance — public method): C(A→B) =
+    |A∩B| / |A| for the smaller shingle set A.  This is the quote /
+    excerpt / boilerplate-inclusion detector every dedup pipeline needs
+    BESIDE Jaccard: a short doc fully embedded in a long one scores
+    C = 1.0 but a Jaccard so low every resemblance threshold misses it.
+    Emits (contained_doc, container_doc, containment, jaccard) for pairs
+    with C ≥ {_CONTAIN_MIN}; the contained side is the smaller filtered
+    set (ties break on doc_id), so the direction is deterministic.
+
+    Dataflow is the exact-Jaccard inverted index verbatim (postings
+    equi-join, df ≤ {_JACCARD_DF_CAP} boilerplate cap, SF-aware doc_id
+    stride mirrored in the oracle) — only the final measure and its
+    threshold differ, so the 100 TB shape is already proven: work is
+    Σ_s min(df(s), cap)², never corpus-pairs."""
+    stride = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.floor(
+                (F.count("*") + (_JACCARD_EXACT_MAX_DOCS - 1))
+                / _JACCARD_EXACT_MAX_DOCS
+            )
+            .cast("long")
+            .alias("_stride")
+        )
+    )
+    sampled = (
+        load_table(spark, sf_dir, "documents")
+        .crossJoin(F.broadcast(stride))
+        .filter(F.col("doc_id") % F.col("_stride") == 0)
+        .drop("_stride")
+    )
+    docs = hashed_shingle_docs(spark, sf_dir, sampled)
+    posts = docs.select("doc_id", F.explode("sh").alias("s"))
+    occ = drop_oversized_groups(posts, "s", _JACCARD_DF_CAP).persist()
+    sizes = occ.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        occ.alias("a")
+        .join(occ.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1")),
+            "id1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2")),
+            "id2",
+        )
+    )
+    small_first = (F.col("sz1") < F.col("sz2")) | (
+        (F.col("sz1") == F.col("sz2")) & (F.col("id1") < F.col("id2"))
+    )
+    cont = F.col("inter") * 1.0 / F.least(F.col("sz1"), F.col("sz2"))
+    jac = F.col("inter") * 1.0 / (
+        F.col("sz1") + F.col("sz2") - F.col("inter")
+    )
+    out = (
+        pairs.filter(cont >= _CONTAIN_MIN)
+        .select(
+            F.when(small_first, F.col("id1")).otherwise(F.col("id2")).alias(
+                "contained_doc"
+            ),
+            F.when(small_first, F.col("id2")).otherwise(F.col("id1")).alias(
+                "container_doc"
+            ),
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+    return materialize_releasing(out, occ)

@@ -1,0 +1,118 @@
+"""Privacy / re-identification governance operators (E5 extension).
+
+A training-data pipeline that ships user-derived corpora owes its governance
+review a re-identification risk report: k-anonymity (Sweeney 2002, public
+method) asks, for a chosen quasi-identifier tuple, how many records share
+each combination — a record in a group of size k < threshold is
+re-identifiable by linking those attributes to an outside dataset.  The
+reference delegates all querying to Postgres (ref changesetmd.py:1-274);
+this report is the same GROUP BY surface applied to the governance question
+a 100 TB corpus actually faces before release.
+
+Scale shape: one hash exchange on the QI tuple with map-side partial
+aggregation, then an O(#distinct-k) second aggregate — no window over the
+data, no driver collect.  At 10¹² rows this is exactly the q1-style
+two-level rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# k-anonymity threshold: groups smaller than this are "at risk" (the k=5
+# convention from the public health-data de-identification literature)
+_K_THRESHOLD = 5
+
+# account-balance generalization width: raw c_acctbal is near-unique (a
+# direct identifier); the QI models the released, generalized column
+_BAL_BUCKET = 1000
+
+
+@register(
+    "q_kanonymity_risk",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(FLOOR(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket
+      FROM customer
+    ), grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS k
+      FROM qi GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT CASE WHEN k = 1 THEN '1'
+                  WHEN k < {_K_THRESHOLD} THEN '2-4'
+                  WHEN k < 10 THEN '5-9'
+                  ELSE '10+' END AS k_class,
+             k
+      FROM grp
+    ), tot AS (
+      SELECT CAST(SUM(k) AS BIGINT) AS n_rows FROM cls
+    )
+    SELECT k_class,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_records,
+           CAST(SUM(k) * 10000 // MAX(tot.n_rows) AS BIGINT) AS share_bp,
+           CAST(MAX(CASE WHEN k < {_K_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS at_risk
+    FROM cls, tot
+    GROUP BY k_class
+    """,
+)
+def q_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the ``customer`` entity table: QI =
+    (nation, market segment, account balance generalized to $1000
+    buckets).  Emits the k-class histogram (singletons / 2-4 / 5-9 / 10+)
+    with record counts, basis-point share (exact integer arithmetic —
+    ``k·10000 // total``, never a float percent that could hash-diverge),
+    and an at-risk flag for classes under k={_K_THRESHOLD}.
+
+    Spark-first shape: two stacked hash aggregates (QI tuple → group
+    sizes → k-class rollup), both map-side combined; the total-rows
+    scalar attaches as a broadcast single-row aggregate, so nothing is
+    ever single-partition except the ≤4-row result."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _BAL_BUCKET).cast("long").alias(
+            "bal_bucket"
+        ),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count("*").alias("k")
+    )
+    k_class = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") < _K_THRESHOLD, "2-4")
+        .when(F.col("k") < 10, "5-9")
+        .otherwise("10+")
+    )
+    cls = grp.select(k_class.alias("k_class"), "k")
+    tot = cls.agg(F.sum("k").alias("n_rows"))
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy("k_class")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_records"),
+            (F.sum("k") * 10000)
+            .cast("long")
+            .alias("_num"),
+            F.max("n_rows").alias("_den"),
+            F.max(
+                F.when(F.col("k") < _K_THRESHOLD, 1).otherwise(0)
+            ).cast("long").alias("at_risk"),
+        )
+        .select(
+            "k_class",
+            "n_groups",
+            "n_records",
+            F.expr("_num div _den").alias("share_bp"),
+            "at_risk",
+        )
+    )

@@ -543,10 +543,15 @@ def q_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_asof_two_phase_scalable", oracle=_ASOF_ORACLE)
 def q_asof_two_phase_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-proof as-of join — the second mitigation twin the r13
-    skewed tier motivates (the union+window as-of sorts a hot user's
-    ENTIRE event timeline on one task; at 100× key-collapsed replicas the
-    naive plan measured 35×).  Same oracle as q_asof_purchase_last_view,
+    """Hot-key-proof as-of join — the second mitigation twin the skewed
+    tier motivates (the union+window as-of sorts a hot user's ENTIRE
+    event timeline on one task).  Recorded A/B (BENCH_scale.json, r14):
+    at the 100× CELEBRITY tier (SPARK_GRAFT_SCALE_SKEW_COLLAPSE=30 — 30%
+    of all events on one user_id, ~3M rows on one key) the naive plan
+    runs at 31.26× the base time vs 12.92× for this twin — a 2.4× win.
+    At the milder 1%-hot-tail tier (~7k rows per hot key) the two are
+    equal (10.9× vs 11.5×): deploy the twin for celebrity-scale keys,
+    the naive plan elsewhere.  Same oracle as q_asof_purchase_last_view,
     row-for-row identical output:
 
     1. run the union+window as-of within (user, calendar-day) chunks —

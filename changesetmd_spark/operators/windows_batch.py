@@ -131,12 +131,19 @@ def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_session_two_phase_scalable", oracle=_SESSION_ORACLE)
 def q_session_two_phase_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-proof sessionization — the scale path the r13 skewed tier
+    """Hot-key-proof sessionization — the scale path the skewed tier
     exists to test (a viral user's whole timeline lands on ONE task under
-    plain session_window; at 100× key-collapsed replicas the naive plan
-    measured 98× — linear, but a single-task sort of the hot key's every
-    event).  Two phases, identical output to q_window_session_per_user
-    (same oracle, row-for-row):
+    plain session_window).  Recorded A/B (BENCH_scale.json, r14): at the
+    100× CELEBRITY tier (SPARK_GRAFT_SCALE_SKEW_COLLAPSE=30 — 30% of all
+    events on a single user_id, ~3M rows on one key) the naive plan runs
+    at 63.95× the base time vs 37.73× for this twin — a 1.48× win from
+    splitting the hot key's sort across its days.  At the milder 1%-hot-
+    tail tier (R× rows per hot key, ~7k rows each at R=100) both plans
+    are equal (24.8× vs 25.1×) — per-key volume there is far too small
+    for a single-task sort to matter, so deploy this twin when a key can
+    absorb millions of rows, not for merely-popular keys.  Two phases,
+    identical output to q_window_session_per_user (same oracle,
+    row-for-row):
 
     1. sessionize within (user, calendar-day) chunks — the hot user's
        events split across its days, so the expensive per-event sort runs

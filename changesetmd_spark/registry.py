@@ -494,6 +494,7 @@ def _load_all() -> None:
         multimodal,
         phrase,
         pii,
+        privacy,
         profile,
         quantize,
         rangejoin,

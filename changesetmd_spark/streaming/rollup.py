@@ -72,6 +72,17 @@ def run_hourly_rollup(
         .start()
     )
     q.awaitTermination()
+    # mirror run_stream_to_table's state telemetry for the scale smoke
+    from . import events_stream as _es
+
+    try:
+        prog = q.lastProgress or {}
+        _es.last_state_rows = sum(
+            int(op.get("numRowsTotal", 0))
+            for op in prog.get("stateOperators", [])
+        )
+    except Exception:  # noqa: BLE001
+        _es.last_state_rows = None
 
 
 _TS = "yyyy-MM-dd HH:mm:ss"

@@ -1,0 +1,219 @@
+"""Referees for the round-14 operators, beyond the DuckDB oracle checks in
+test_oracle_queries.py: invariant proofs and pure-Python recounts that would
+catch a bug the (structurally similar) oracle might share.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+from pyspark.sql import functions as F
+
+from changesetmd_spark import registry
+from changesetmd_spark.tables import load_table
+
+
+def test_kanonymity_totality_and_flags(spark, sf_dir):
+    """Every customer row lands in exactly one k-class; shares sum to
+    ~10000 bp (floor rounding loses < #classes bp); at_risk marks exactly
+    the classes under the threshold."""
+    rows = registry.queries()["q_kanonymity_risk"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_records for r in rows) == n_total
+    share = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) <= share <= 10000, share
+    for r in rows:
+        assert r.at_risk == (1 if r.k_class in ("1", "2-4") else 0), r
+        assert r.n_groups <= r.n_records, r
+
+
+def test_mrr_identities(spark, sf_dir):
+    """MRR must equal 1/first_rel_rank exactly; recall/precision re-derive
+    from the integer counts; all bounded by construction."""
+    [r] = registry.queries()["q_retrieval_mrr_eval"](spark, sf_dir).collect()
+    assert r.k == 10
+    if r.first_rel_rank > 0:
+        assert abs(r.mrr - round(1.0 / r.first_rel_rank, 6)) < 1e-12
+        assert 1 <= r.first_rel_rank <= r.k
+    else:
+        assert r.mrr == 0.0 and r.n_rel_at_k == 0
+    assert r.n_rel_at_k <= min(r.k, r.total_rel)
+    assert abs(r.recall_at_k - round(r.n_rel_at_k / r.total_rel, 6)) < 1e-12
+    assert abs(r.precision_at_k - round(r.n_rel_at_k / r.k, 6)) < 1e-12
+
+
+def test_hits_pure_python_referee(spark, sf_dir):
+    """Recompute both HITS iterations from the raw capped edge list in
+    plain Python dicts and require the top panel to agree exactly."""
+    from changesetmd_spark.operators.cooccurrence import (
+        _HITS_TOP,
+        _capped_user_items,
+    )
+
+    edges = [
+        (r.user_id, r.item_id)
+        for r in _capped_user_items(spark, sf_dir).collect()
+    ]
+    a1 = Counter(i for _, i in edges)
+    h1 = defaultdict(int)
+    for u, i in edges:
+        h1[u] += a1[i]
+    a2 = defaultdict(int)
+    for u, i in edges:
+        a2[i] += h1[u]
+    mx = max(a2.values())
+    expect = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
+    got = registry.queries()["q_hits_bipartite"](spark, sf_dir).collect()
+    assert [(r.item_id, r.authority2) for r in got] == expect
+    for r in got:
+        assert r.degree == a1[r.item_id]
+        assert abs(r.score - round(r.authority2 / mx, 6)) < 1e-12
+    assert max(r.score for r in got) == 1.0
+
+
+def test_containment_invariants(spark, sf_dir):
+    """Containment >= Jaccard always (|A∩B|/min >= |A∩B|/|A∪B|), every
+    emitted pair clears the gate, and the orientation points at a doc
+    whose FILTERED shingle set is no larger than its container's —
+    checked by recomputing both sizes from the same postings."""
+    from changesetmd_spark.operators.dedup import (
+        _CONTAIN_MIN,
+        _JACCARD_DF_CAP,
+        hashed_shingle_docs,
+    )
+    from changesetmd_spark.operators.util import drop_oversized_groups
+
+    rows = registry.queries()["q_containment_pairs"](spark, sf_dir).collect()
+    assert rows, "fixture has no containment pairs: test is vacuous"
+    for r in rows:
+        assert r.containment >= r.jaccard - 1e-9, r
+        assert r.containment >= _CONTAIN_MIN, r
+    posts = hashed_shingle_docs(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    sz = {
+        r.doc_id: r.sz
+        for r in drop_oversized_groups(posts, "s", _JACCARD_DF_CAP)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+        .collect()
+    }
+    for r in rows:
+        a, b = sz[r.contained_doc], sz[r.container_doc]
+        assert a < b or (a == b and r.contained_doc < r.container_doc), r
+
+
+def test_length_bucketing_partition_of_corpus(spark, sf_dir):
+    """Buckets partition the (non-empty) corpus exactly once; capacity and
+    both waste columns re-derive from the integer counts; bucket bounds
+    are true powers of two."""
+    rows = registry.queries()["q_length_bucket_packing"](
+        spark, sf_dir
+    ).collect()
+    from changesetmd_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).alias("n")
+    )
+    n_docs = docs.filter(F.col("n") >= 1).count()
+    max_n = docs.agg(F.max("n")).first()[0]
+    tot = docs.filter(F.col("n") >= 1).agg(F.sum("n")).first()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_tokens for r in rows) == tot
+    g_waste = (n_docs * max_n - tot) * 10000 // (n_docs * max_n)
+    for r in rows:
+        assert r.bucket_max & (r.bucket_max - 1) == 0, r
+        assert r.capacity == r.n_docs * r.bucket_max
+        assert (
+            r.padding_waste_bp
+            == (r.capacity - r.total_tokens) * 10000 // r.capacity
+        )
+        assert r.unbucketed_waste_bp == g_waste
+
+
+def test_kneser_ney_pure_python_referee(spark, sf_dir):
+    """Recompute every panel column from raw token lists in plain Python:
+    integer columns must match exactly, probabilities to 1e-9, and the
+    smoothing must actually transfer mass (p_kn != p_mle somewhere)."""
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    c2: Counter = Counter()
+    for t in texts:
+        toks = t.strip().lower().split()
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    n1: Counter = Counter()
+    fan: Counter = Counter()
+    pre: Counter = Counter()
+    for (a, b), n in c2.items():
+        n1[a] += n
+        fan[a] += 1
+        pre[b] += 1
+    n_types = len(c2)
+    top = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = registry.queries()["q_kneser_ney_bigram"](spark, sf_dir).collect()
+    got = sorted(got, key=lambda r: (-r.n2, r.a, r.b))
+    assert [(r.a, r.b, r.n2) for r in got] == [
+        (a, b, n) for (a, b), n in top
+    ]
+    moved = False
+    for r in got:
+        assert r.n1 == n1[r.a] and r.fanout_a == fan[r.a]
+        assert r.precede_b == pre[r.b]
+        pkn = (r.n2 - 0.75) / r.n1 + 0.75 * r.fanout_a / r.n1 * (
+            r.precede_b / n_types
+        )
+        assert abs(r.p_kn - round(pkn, 6)) < 1e-9, r
+        assert 0.0 < r.p_kn < 1.0
+        if abs(r.p_kn - r.p_mle) > 1e-6:
+            moved = True
+    assert moved, "KN smoothing changed nothing: vacuous panel"
+
+
+def test_r14_oracle_fidelity_sf001(spark):
+    """Driver-fidelity pass at sf0.01 for all six r14 queries (the suite
+    default sf0.001 can hide decimal/rounding divergences)."""
+    names = [
+        "q_kanonymity_risk",
+        "q_retrieval_mrr_eval",
+        "q_hits_bipartite",
+        "q_containment_pairs",
+        "q_length_bucket_packing",
+        "q_kneser_ney_bigram",
+    ]
+    sf = "/root/testdata/sf0.01"
+    qs, osql = registry.queries(), registry.oracles()
+    con = duckdb.connect()
+    for t in (
+        "customer",
+        "documents",
+        "events",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in names:
+        got = sorted(
+            map(
+                lambda r: tuple(
+                    round(v, 6) if isinstance(v, float) else v for v in r
+                ),
+                qs[name](spark, sf).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                lambda r: tuple(
+                    round(v, 6) if isinstance(v, float) else v for v in r
+                ),
+                con.execute(osql[name]).fetchall(),
+            )
+        )
+        assert got == want, name
