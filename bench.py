@@ -155,6 +155,9 @@ HEADLINE = [
     "q_containment_pairs",
     "q_length_bucket_packing",
     "q_kneser_ney_bigram",
+    "q_pmi_collocations",
+    "q_charclass_entropy",
+    "q_semantic_outlier_docs",
 ]
 
 

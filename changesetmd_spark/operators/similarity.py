@@ -2191,3 +2191,106 @@ def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn") * 1.0 / sc, 6).alias("min6"),
         F.round(F.col("mx") * 1.0 / sc, 6).alias("max6"),
     )
+
+
+# semantic-outlier panel: farthest vectors from their label centroid
+_OUTLIER_TOP = 3
+
+
+@register(
+    "q_semantic_outlier_docs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ), px AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(ROUND(e[i] * {_DM_SCALE}) AS BIGINT) AS s6
+      FROM v, UNNEST(generate_series(1, {_DIM})) t(i)
+    ), cent AS (
+      SELECT label, dim,
+             SUM(CAST(s6 AS HUGEINT)) AS s,
+             COUNT(*) AS n
+      FROM px GROUP BY label, dim
+    ), dist AS (
+      SELECT px.vec_id, px.label,
+             SUM((CAST(cent.n AS HUGEINT) * px.s6 - cent.s)
+                 * (CAST(cent.n AS HUGEINT) * px.s6 - cent.s)) AS dd,
+             ANY_VALUE(cent.n) AS n
+      FROM px JOIN cent USING (label, dim)
+      GROUP BY px.vec_id, px.label
+    ), ranked AS (
+      SELECT label, vec_id, dd, n,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dd DESC, vec_id) AS rnk
+      FROM dist
+    )
+    SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(sqrt(CAST(dd AS DOUBLE)) / (n * {_DM_SCALE}.0), 6)
+             AS dist6
+    FROM ranked WHERE rnk <= {_OUTLIER_TOP}
+    """,
+)
+def q_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier mining: the {_OUTLIER_TOP} vectors FARTHEST from
+    their own label's centroid, per label — the curation panel that
+    surfaces mislabeled or off-topic items before contrastive training
+    (the complement of SemDeDup: instead of pruning the cluster core,
+    inspect its fringe).
+
+    Exactness: coordinates scale to 1e6 integers; the squared distance to
+    the centroid is cross-multiplied into the EXACT integer
+    D = Σ_d (n·s6_d − S_d)² = n²·‖x − c‖²·10¹² (DECIMAL(38,0)/HUGEINT —
+    headroom bound: safe to ~6·10¹¹ vectors per label, noted in the
+    PLANS.md audit), so the per-label ranking can never flip on a float
+    ulp; only the reported dist6 = √D/(n·10⁶) is a rounded double.
+
+    Scale shape: posexplode ships (label, dim, int) triples into a
+    64·#labels-key centroid aggregate (map-side combined); the distance
+    join re-uses the same (label, dim) partitioning; the per-vector
+    reduce is a second map-side-combined aggregate; the final per-label
+    top-{_OUTLIER_TOP} is a rank window over a frame ALREADY reduced to
+    one row per vector (the quota-sample shape)."""
+    px = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(to_double_vec(F.col("embedding"))).alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.round(F.col("x") * _DM_SCALE, 0).cast("long").alias("s6"),
+        )
+    )
+    cent = px.groupBy("label", "dim").agg(
+        F.sum(F.col("s6").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    term = (F.col("n").cast("decimal(38,0)") * F.col("s6") - F.col("s"))
+    dist = (
+        px.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((term * term).cast("decimal(38,0)")).alias("dd"),
+            F.first("n").alias("n"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dd"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _OUTLIER_TOP)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round(
+                F.sqrt(F.col("dd").cast("double"))
+                / (F.col("n") * float(_DM_SCALE)),
+                6,
+            ).alias("dist6"),
+        )
+    )

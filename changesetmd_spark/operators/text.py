@@ -1057,3 +1057,124 @@ def q_vocab_prune_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mass_covered"),
         )
     )
+
+
+# char classes for the entropy profile; patterns must tokenize identically
+# in Spark regexp_replace and DuckDB regexp_replace(g) — plain ASCII
+# classes, no shorthand that differs between RE2 and Java regex
+_ENTROPY_CLASSES = (
+    ("letters", "[a-zA-Z]"),
+    ("digits", "[0-9]"),
+    ("spaces", "[ \\t\\n]"),
+)
+
+
+@register(
+    "q_charclass_entropy",
+    oracle=r"""
+    WITH cls AS (
+      SELECT doc_id, source,
+             length(text) AS len,
+             length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+               AS c_letters,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS c_digits,
+             length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g'))
+               AS c_spaces
+      FROM documents WHERE length(text) > 0
+    ), h AS (
+      SELECT doc_id, source, len,
+             c_letters, c_digits, c_spaces,
+             len - c_letters - c_digits - c_spaces AS c_other
+      FROM cls
+    ), ent AS (
+      SELECT doc_id, source,
+             ROUND(
+               (CASE WHEN c_letters > 0 THEN
+                 -(c_letters * 1.0 / len) * log2(c_letters * 1.0 / len)
+                ELSE 0 END)
+               + (CASE WHEN c_digits > 0 THEN
+                 -(c_digits * 1.0 / len) * log2(c_digits * 1.0 / len)
+                ELSE 0 END)
+               + (CASE WHEN c_spaces > 0 THEN
+                 -(c_spaces * 1.0 / len) * log2(c_spaces * 1.0 / len)
+                ELSE 0 END)
+               + (CASE WHEN c_other > 0 THEN
+                 -(c_other * 1.0 / len) * log2(c_other * 1.0 / len)
+                ELSE 0 END), 6) AS h
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_entropy,
+           ROUND(MIN(h), 6) AS min_entropy,
+           ROUND(MAX(h), 6) AS max_entropy,
+           CAST(SUM(CASE WHEN h < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def q_charclass_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class Shannon entropy (letters / digits /
+    whitespace / other), rolled up per source — the cheap structural
+    quality signal that flags machine-generated tables, number dumps and
+    whitespace art without tokenizing (a natural-text doc sits near
+    H ≈ 1.0–1.5 bits over these 4 classes; ``n_low_entropy`` counts docs
+    under 1.0 bit, the "one class dominates" degenerate shape).
+
+    Determinism recipe: class counts are exact length-difference
+    integers; each document's entropy is ONE identically-parenthesized
+    expression rounded to 6; the per-source mean folds those rounded
+    values through DECIMAL(28,12) so shuffle order can't perturb the
+    double sum (the house float-mean pattern).
+
+    Scale shape: pure map-side projection (4 regexp_replace + length per
+    row — whole-stage codegen, no UDF) into one ≤-#sources hash
+    aggregate; nothing is exchanged except the tiny rollup."""
+    text = F.col("text")
+    ln = F.length(text)
+    counts = {
+        name: (ln - F.length(F.regexp_replace(text, pat, ""))).alias(
+            f"c_{name}"
+        )
+        for name, pat in _ENTROPY_CLASSES
+    }
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(ln > 0)
+        .select("doc_id", "source", ln.alias("len"), *counts.values())
+        .withColumn(
+            "c_other",
+            F.col("len")
+            - sum(F.col(f"c_{n}") for n, _ in _ENTROPY_CLASSES),
+        )
+    )
+    def term(c):
+        p = c * 1.0 / F.col("len")
+        return F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+
+    h = F.round(
+        term(F.col("c_letters"))
+        + term(F.col("c_digits"))
+        + term(F.col("c_spaces"))
+        + term(F.col("c_other")),
+        6,
+    )
+    return (
+        base.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("h").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+            F.sum(F.when(F.col("h") < 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_entropy"),
+        )
+    )

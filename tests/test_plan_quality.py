@@ -652,3 +652,48 @@ def test_repetition_quality_plan_arms(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
         spark.conf.unset("spark.sql.files.openCostInBytes")
+
+
+def test_length_bucketing_broadcast_21_rows(spark, sf_dir):
+    """r14: the bucket assignment must be a BROADCAST join against the 21
+    power-of-2 rows (a shuffled range join over the corpus would be the
+    scale killer), and the corpus is exchanged only by the ≤21-key
+    aggregate — shuffles stay ≤ 3 (bucket agg + global agg + the tiny
+    broadcast's own exchange never counts)."""
+    df = QS["q_length_bucket_packing"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3, shuffle_count(df)
+    cols = read_schema_columns(df)
+    assert all("text" in c or "doc_id" in c or len(c) <= 2 for c in cols)
+
+
+def test_kneser_ney_single_corpus_exchange(spark, sf_dir):
+    """r14: the bigram TYPE table c2 is the only corpus-sized exchange;
+    everything downstream (c1 / pre / tot / the top panel) aggregates the
+    persisted type table.  The returned frame is materialized, so pin the
+    pre-materialization shape: build the same plan inline and assert the
+    explode feeds exactly one wide exchange."""
+    from pyspark.sql import functions as F
+
+    from changesetmd_spark.operators.util import fan_out
+    from changesetmd_spark.tables import load_table
+
+    bg = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    assert shuffle_count(c2) <= 2, shuffle_count(c2)

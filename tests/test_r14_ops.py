@@ -186,6 +186,9 @@ def test_r14_oracle_fidelity_sf001(spark):
         "q_containment_pairs",
         "q_length_bucket_packing",
         "q_kneser_ney_bigram",
+        "q_pmi_collocations",
+        "q_charclass_entropy",
+        "q_semantic_outlier_docs",
     ]
     sf = "/root/testdata/sf0.01"
     qs, osql = registry.queries(), registry.oracles()
@@ -194,6 +197,7 @@ def test_r14_oracle_fidelity_sf001(spark):
         "customer",
         "documents",
         "events",
+        "embeddings",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -217,3 +221,107 @@ def test_r14_oracle_fidelity_sf001(spark):
             )
         )
         assert got == want, name
+
+
+def test_pmi_floor_and_rounded_ordering(spark, sf_dir):
+    """Every panel row clears the hapax floor; the ordering key is the
+    ROUNDED pmi (recompute and re-sort in Python); PMI re-derives from
+    the integer counts."""
+    rows = registry.queries()["q_pmi_collocations"](spark, sf_dir).collect()
+    assert rows
+    from changesetmd_spark.operators.curation import _PMI_MIN_N2
+
+    docs = [
+        r.text.strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    tb = sum(max(len(t) - 1, 0) for t in docs if len(t) >= 2)
+    tu = sum(len(t) for t in docs if len(t) >= 2)
+    for r in rows:
+        assert r.n2 >= _PMI_MIN_N2
+        expect = math.log(
+            (r.n2 / tb) / ((r.n_a / tu) * (r.n_b / tu))
+        )
+        assert abs(r.pmi - round(expect, 6)) < 1e-9, r
+    keys = [(-r.pmi, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_charclass_entropy_bounds_and_recount(spark, sf_dir):
+    """Entropy over 4 classes is bounded by log2(4)=2; per-source doc
+    counts must cover the corpus; recount one source's mean from raw
+    text in pure Python."""
+    rows = registry.queries()["q_charclass_entropy"](spark, sf_dir).collect()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r.min_entropy <= r.mean_entropy <= r.max_entropy <= 2.0
+    src0 = min(r.source for r in rows)
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter((F.col("source") == src0) & (F.length("text") > 0))
+        .select("text")
+        .collect()
+    ]
+
+    def ent(t: str) -> float:
+        import re as _re
+
+        L = len(t)
+        cl = len(_re.findall(r"[a-zA-Z]", t))
+        cd = len(_re.findall(r"[0-9]", t))
+        cs = len(_re.findall(r"[ \t\n]", t))
+        co = L - cl - cd - cs
+        h = 0.0
+        for c in (cl, cd, cs, co):
+            if c > 0:
+                p = c / L
+                h -= p * math.log2(p)
+        return round(h, 6)
+
+    want = sum(ent(t) for t in texts) / len(texts)
+    got = next(r.mean_entropy for r in rows if r.source == src0)
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_semantic_outliers_numpy_referee(spark, sf_dir):
+    """numpy recompute: for every label, the reported vecs must be the
+    top-3 by distance to the label mean of the 1e6-quantized coords, and
+    dist6 must match the closed form."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.round(np.array(r.embedding, dtype=np.float64) * 1e6))
+        )
+    got = registry.queries()["q_semantic_outlier_docs"](
+        spark, sf_dir
+    ).collect()
+    by_got: dict[int, list] = {}
+    for r in got:
+        by_got.setdefault(r.label, []).append(r)
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        s = np.sum([v for _, v in vecs], axis=0)
+        scored = sorted(
+            (
+                (int(((n * v - s) ** 2).sum()), vid)
+                for vid, v in vecs
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        panel = sorted(by_got[label], key=lambda r: r.rnk)
+        assert [r.vec_id for r in panel] == [vid for _, vid in scored], label
+        for r, (dd, _) in zip(panel, scored):
+            assert abs(r.dist6 - round(math.sqrt(dd) / (n * 1e6), 6)) < 1e-9

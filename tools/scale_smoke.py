@@ -268,6 +268,9 @@ QUERIES = [
     "q_containment_pairs",
     "q_length_bucket_packing",
     "q_kneser_ney_bigram",
+    "q_pmi_collocations",
+    "q_charclass_entropy",
+    "q_semantic_outlier_docs",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
@@ -320,8 +323,9 @@ _STATE_EXEMPT = {
     # (user, item) keys, bounded by streamed rows: 699,505 state rows at
     # 16.5x is SUB-linear vs the ~19x streamed-input growth.  A generator
     # artifact of the fixed cutoff, not state leakage.
-    "q_stream_incremental_dedup": "state bounded by streamed rows "
-    "(~19x input growth at R=10 from the pinned cutoff); 16.5x is sublinear"
+    "q_stream_incremental_dedup": "state bounded by streamed rows: the "
+    "pinned cutoff makes the streamed side grow ~2R x (R=10: ~19x input, "
+    "state 16.5x; R=100: ~199x input, state 171x) - sublinear vs input"
 }
 
 # Conf-switched alternate arms (VERDICT r13 #6): each entry measures an
