@@ -158,6 +158,9 @@ HEADLINE = [
     "q_pmi_collocations",
     "q_charclass_entropy",
     "q_semantic_outlier_docs",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_share",
+    "q7_nation_volume_shipping",
 ]
 
 

@@ -998,3 +998,192 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_bp",
         "credited_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue ranking (who returns the most
+# value) — J3/A3 composition over customer x orders x lineitem x nation.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (ref README.md:106-124 delegates this whole family
+    to Postgres): top-20 customers by revenue LOST to returns in one
+    year.  The returnflag filter pushes to the lineitem scan; customer ⋈
+    nation broadcasts as one prebuilt dim (the fact table never shuffles
+    for a dimension); the only exchange is the (custkey…) aggregate with
+    map-side combine; DECIMAL money math with one final double cast, so
+    the top-20 cut is exact.  Deterministic tie-break on c_custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    dims = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name")
+    )
+    revenue = money("l_extendedprice") * one_minus(rate("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            as_double(F.sum(revenue)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share — conditional aggregate ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
+    FROM j
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: what share of a half-year's revenue came from
+    PROMO parts — the conditional-aggregate ratio pattern (A2/A3).  The
+    shipdate range pushes to the lineitem scan, part broadcasts (only
+    p_partkey + p_type read — column pruning matters at a 100 TB part
+    table), both sums fold exact DECIMAL and the percent is one rounded
+    double division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    rev = money("l_extendedprice") * one_minus(rate("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            as_double(F.sum(promo)).alias("promo_revenue"),
+            as_double(F.sum(rev)).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+            ).alias("promo_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations by year.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_nation_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+             AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: NATION_1↔NATION_2 shipping volume per year (the
+    fixture's nation dimension uses synthetic names) — the
+    two-sided dimension filter (supplier nation vs customer nation, both
+    restricted, unequal).  Both nation-filtered dims broadcast as
+    prebuilt (key → nation) maps, so the fact table joins two tiny maps
+    and never shuffles for a dimension; the DECIMAL volume sums
+    map-side-combine on the 4-row (nation, nation, year) key space."""
+    nations = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = money("l_extendedprice") * one_minus(rate("l_discount"))
+    return (
+        li.join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(as_double(F.sum(rev)).alias("volume"))
+    )

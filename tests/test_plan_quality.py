@@ -697,3 +697,23 @@ def test_kneser_ney_single_corpus_exchange(spark, sf_dir):
     )
     c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
     assert shuffle_count(c2) <= 2, shuffle_count(c2)
+
+
+def test_q10_pushes_returnflag_and_broadcasts_dims(spark, sf_dir):
+    """r14: the returnflag filter must reach the lineitem scan and the
+    customer x nation dim must broadcast (the fact table never shuffles
+    for a dimension)."""
+    df = QS["q10_returned_item_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert any("l_returnflag" in p for p in pushed_filters(df)), (
+        pushed_filters(df)
+    )
+
+
+def test_q14_part_scan_prunes_to_two_columns(spark, sf_dir):
+    """r14: the part side must read only (p_partkey, p_type) — a 100 TB
+    part table scanned for all columns would dwarf the query."""
+    df = QS["q14_promo_revenue_share"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    part_cols = [c for c in read_schema_columns(df) if "p_partkey" in c]
+    assert part_cols and all(len(c) <= 2 for c in part_cols), part_cols

@@ -271,6 +271,9 @@ QUERIES = [
     "q_pmi_collocations",
     "q_charclass_entropy",
     "q_semantic_outlier_docs",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_share",
+    "q7_nation_volume_shipping",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
