@@ -161,6 +161,7 @@ HEADLINE = [
     "q10_returned_item_revenue",
     "q14_promo_revenue_share",
     "q7_nation_volume_shipping",
+    "q_ks_value_drift",
 ]
 
 

@@ -13,7 +13,7 @@ PII-shaped spans, so an oracled query over it would be a vacuous 0 == 0
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1727,3 +1727,112 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOP)
     )
     return materialize_releasing(out, base)
+
+
+@register(
+    "q_ks_value_drift",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             event_id % 2 AS half
+      FROM events
+    ), per AS (
+      SELECT event_type, cents,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+      FROM v GROUP BY event_type, cents
+    ), tot AS (
+      SELECT event_type,
+             CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2
+      FROM per GROUP BY event_type
+    ), cum AS (
+      SELECT event_type, cents,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS f2
+      FROM per
+    ), gaps AS (
+      SELECT c.event_type,
+             MAX(ABS(t.n2 * c.f1 - t.n1 * c.f2)) AS d_num
+      FROM cum c JOIN tot t USING (event_type)
+      GROUP BY c.event_type
+    )
+    SELECT g.event_type,
+           CAST(t.n1 AS BIGINT) AS n_base,
+           CAST(t.n2 AS BIGINT) AS n_incoming,
+           CAST(g.d_num AS BIGINT) AS d_num,
+           ROUND(CAST(g.d_num AS DOUBLE)
+                 / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks
+    FROM gaps g JOIN tot t USING (event_type)
+    """,
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type —
+    base snapshot (even event_ids) vs incoming (odd), the same
+    split convention as the unigram KL monitor but over the VALUE
+    DISTRIBUTION: KS catches a shifted or reshaped numeric column (a
+    price-scale bug, a unit change) that token-level KL can't see.
+
+    Exactness: D = max |F₁ − F₂| is evaluated in EXACT INTEGER
+    cross-multiplied form — values quantize to integer cents (the
+    groupBy key is never a double), cumulative counts per distinct cent
+    ride one per-type window, and the gap numerator |n₂·cum₁ − n₁·cum₂|
+    is a DECIMAL/HUGEINT product (n₁·n₂ exceeds int64 at 10¹² rows per
+    side — PLANS.md audit), so the max can never flip on a float ulp;
+    only the reported ks = D_num/(n₁·n₂) is a rounded double.
+
+    Scale shape: one hash aggregate to distinct (type, cent) rows
+    (map-side combined — the frame shrinks to the value cardinality),
+    one per-type window over that REDUCED frame, one per-type max; no
+    window ever touches raw events."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    per = v.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "event_type",
+        "cents",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    gaps = (
+        cum.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2")
+                ).cast("decimal(38,0)")
+            ).alias("d_num"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    return gaps.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_base"),
+        F.col("n2").cast("long").alias("n_incoming"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            6,
+        ).alias("ks"),
+    )

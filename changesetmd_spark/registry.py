@@ -253,9 +253,12 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
 # code); otherwise the old stamp is carried forward, preserving the
 # mismatch for code edited after its last witness.
 WITNESSED_FINGERPRINTS: dict[str, str] = {
+    "q10_returned_item_revenue": "fb740dc41912",
+    "q14_promo_revenue_share": "bee08938dc59",
     "q1_pricing_summary": "924990a78492",
     "q3_top_revenue_orders": "5c4ef681d492",
     "q5_revenue_by_nation": "04cb5b299f24",
+    "q7_nation_volume_shipping": "a60d0221c1ec",
     "q_ann_recall_audit": "d352919eb19d",
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
@@ -276,7 +279,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_changeset_comments_explode": "e28cdf81faff",
     "q_changeset_ingest_normalize": "91a73d69bd16",
     "q_changeset_join_comments": "67e155a3df90",
+    "q_charclass_entropy": "3a322737188e",
     "q_cohort_retention": "0e48ae730a60",
+    "q_containment_pairs": "5f082ca0cb16",
     "q_contamination_ngram_overlap": "007fd8327408",
     "q_context_window_plan": "55c715982d63",
     "q_countmin_estimates": "8797ed161fdc",
@@ -312,6 +317,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
+    "q_hits_bipartite": "0ca8507576ec",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
     "q_incremental_minhash_neardup": "d6e1bf0823a4",
@@ -319,10 +325,14 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_item_cooccurrence": "ef3c12c8c51b",
     "q_json_typed_extract": "c88841a31644",
     "q_jsonl_ingest_audit": "2f2bcb96b9b1",
+    "q_kanonymity_risk": "3b19a6b60514",
     "q_kcore_items": "efdbd2d82e63",
     "q_kmeans_assign_update": "9303da178852",
+    "q_kneser_ney_bigram": "bf7ea302fa77",
+    "q_ks_value_drift": "ffbc49ca03bc",
     "q_label_balance_downsample": "a691146629bd",
     "q_label_propagation": "61335c44533d",
+    "q_length_bucket_packing": "ac08ce365c41",
     "q_like_part_types": "9d4e6f50083c",
     "q_line_dedup_c4": "38a12ec1b5bf",
     "q_map_explode_tag_histogram": "e00e31aa3c4b",
@@ -352,6 +362,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_pii_redaction_stats": "f5899ceda80a",
     "q_pipeline_curate_end_to_end": "619268fad749",
     "q_pivot_status_by_priority": "8de452afe200",
+    "q_pmi_collocations": "6cf695c72413",
     "q_ppjoin_similar_docs": "71cf21bce319",
     "q_pps_systematic_sample": "4d89e3d292ab",
     "q_prf_expansion_terms": "2c975dc99f67",
@@ -363,11 +374,13 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
+    "q_retrieval_mrr_eval": "90d9fee5d164",
     "q_retrieval_ndcg_eval": "f6b9f5d76920",
     "q_rollup_nation_segment": "fcaca532c4ef",
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",
     "q_seasonality_profile": "a5aea350f69d",
+    "q_semantic_outlier_docs": "dd201c7db2da",
     "q_semdedup_clustered": "00c981bf5c8e",
     "q_semdedup_ivf": "8d8d8438d07d",
     "q_semi_join_active_customers": "887971e96ad2",

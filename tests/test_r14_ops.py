@@ -189,6 +189,10 @@ def test_r14_oracle_fidelity_sf001(spark):
         "q_pmi_collocations",
         "q_charclass_entropy",
         "q_semantic_outlier_docs",
+        "q10_returned_item_revenue",
+        "q14_promo_revenue_share",
+        "q7_nation_volume_shipping",
+        "q_ks_value_drift",
     ]
     sf = "/root/testdata/sf0.01"
     qs, osql = registry.queries(), registry.oracles()
@@ -198,6 +202,11 @@ def test_r14_oracle_fidelity_sf001(spark):
         "documents",
         "events",
         "embeddings",
+        "orders",
+        "lineitem",
+        "nation",
+        "part",
+        "supplier",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -325,3 +334,36 @@ def test_semantic_outliers_numpy_referee(spark, sf_dir):
         assert [r.vec_id for r in panel] == [vid for _, vid in scored], label
         for r, (dd, _) in zip(panel, scored):
             assert abs(r.dist6 - round(math.sqrt(dd) / (n * 1e6), 6)) < 1e-9
+
+
+def test_ks_drift_pure_python_referee(spark, sf_dir):
+    """Recompute the per-type KS statistic from raw events in pure
+    Python (cent-quantized, cross-multiplied integers) and require exact
+    agreement; KS must be in [0, 1]."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    per: dict[str, Counter] = {}
+    for r in ev:
+        c = per.setdefault(r.event_type, Counter())
+        c[(round(r.value * 100), r.event_id % 2)] += 1
+    got = {
+        r.event_type: r
+        for r in registry.queries()["q_ks_value_drift"](
+            spark, sf_dir
+        ).collect()
+    }
+    for t, c in per.items():
+        cents = sorted({k for k, _ in c})
+        n1 = sum(v for (k, h), v in c.items() if h == 0)
+        n2 = sum(v for (k, h), v in c.items() if h == 1)
+        f1 = f2 = 0
+        d = 0
+        for k in cents:
+            f1 += c.get((k, 0), 0)
+            f2 += c.get((k, 1), 0)
+            d = max(d, abs(n2 * f1 - n1 * f2))
+        r = got[t]
+        assert (r.n_base, r.n_incoming, r.d_num) == (n1, n2, d), t
+        assert 0.0 <= r.ks <= 1.0
+        assert abs(r.ks - round(d / (n1 * n2), 6)) < 1e-12

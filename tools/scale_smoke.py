@@ -274,6 +274,7 @@ QUERIES = [
     "q10_returned_item_revenue",
     "q14_promo_revenue_share",
     "q7_nation_volume_shipping",
+    "q_ks_value_drift",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
