@@ -43,6 +43,9 @@ in BENCH_scale.json as a separate ``"skew": true`` run entry.
 
 Run:  PYTHONPATH=. python tools/scale_smoke.py
       SPARK_GRAFT_SCALE_SKEW=1 PYTHONPATH=. python tools/scale_smoke.py
+      # celebrity tier (VERDICT r13 #3): 30% of events on ONE user id
+      SPARK_GRAFT_SCALE_SKEW=1 SPARK_GRAFT_SCALE_SKEW_COLLAPSE=30 \
+          PYTHONPATH=. python tools/scale_smoke.py
 """
 
 from __future__ import annotations
