@@ -162,6 +162,9 @@ HEADLINE = [
     "q14_promo_revenue_share",
     "q7_nation_volume_shipping",
     "q_ks_value_drift",
+    "q_winsorized_stats",
+    "q_gini_user_concentration",
+    "q_funnel_time_to_convert",
 ]
 
 

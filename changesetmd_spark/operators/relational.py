@@ -1187,3 +1187,207 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(as_double(F.sum(rev)).alias("volume"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Concentration analytics: Gini / Lorenz over per-user activity.
+# ---------------------------------------------------------------------------
+@register(
+    "q_gini_user_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per
+    ), tots AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             SUM(CAST(i AS HUGEINT) * x) AS ix
+      FROM ranked
+    ), topcut AS (
+      SELECT CAST(SUM(CASE WHEN i > n - (n + 99) // 100 THEN x ELSE 0 END)
+                  AS HUGEINT) AS top_x
+      FROM ranked, tots
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_users,
+           CAST(t.s AS BIGINT) AS total_events,
+           ROUND(CAST(2 * t.ix - (t.n + 1) * t.s AS DOUBLE)
+                 / CAST(t.n * t.s AS DOUBLE), 6) AS gini,
+           CAST(c.top_x * 10000 // t.s AS BIGINT) AS top1pct_share_bp
+    FROM tots t, topcut c
+    """,
+)
+def q_gini_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-1% share of per-user event volume — the
+    concentration report behind every "how dependent is this corpus on
+    its power users" curation decision (Gini 1912 / Lorenz-order
+    statistics — public method; G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    over ascending-sorted counts).
+
+    Exactness: everything up to the final division is integer — per-user
+    counts, the ascending rank (ties share equal x, so Σ i·x over a tie
+    block is order-free), Σ i·x in DECIMAL(38,0)/HUGEINT (i·x products
+    exceed int64 near 10¹² users — PLANS.md audit), and the top-1% share
+    in floor basis points.  The Gini itself is one rounded double
+    division of exact integers.
+
+    Scale shape: one hash aggregate to the per-user frame (map-side
+    combined), one rank window over that USER-CARDINALITY frame (the
+    deciles shape — never over raw events), one 1-row reduce."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    ranked = per.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("user_id")))
+        .alias("i"),
+    )
+    tots = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("i").cast("decimal(38,0)") * F.col("x"))).alias("ix"),
+    )
+    topcut = (
+        ranked.crossJoin(F.broadcast(tots))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i")
+                    > F.col("n") - F.expr("CAST((n + 99) div 100 AS BIGINT)"),
+                    F.col("x"),
+                ).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("top_x")
+        )
+    )
+    return (
+        tots.crossJoin(F.broadcast(topcut))
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            F.col("s").cast("long").alias("total_events"),
+            F.round(
+                (2 * F.col("ix") - (F.col("n") + 1) * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("s")).cast("double"),
+                6,
+            ).alias("gini"),
+            (F.col("top_x") * 10000)
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("_tx"),
+        )
+        .select(
+            "n_users",
+            "total_events",
+            "gini",
+            F.expr("_tx div total_events").alias("top1pct_share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: view→purchase time-to-convert distribution.
+# ---------------------------------------------------------------------------
+@register(
+    "q_funnel_time_to_convert",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), w AS (
+      SELECT event_id, is_p, ts,
+             MAX(CASE WHEN is_p = 0 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, is_p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_view
+      FROM u
+    ), d AS (
+      SELECT CAST(epoch_us(ts) - epoch_us(last_view) AS BIGINT) // 1000000
+               AS dt_sec
+      FROM w WHERE is_p = 1 AND last_view IS NOT NULL
+    ), np AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM u WHERE is_p = 1
+    )
+    SELECT np.n_purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(np.n_purchases - COUNT(*) AS BIGINT) AS n_no_prior_view,
+           ROUND(quantile_cont(dt_sec, 0.5), 4) AS p50_sec,
+           ROUND(quantile_cont(dt_sec, 0.9), 4) AS p90_sec,
+           CAST(MAX(dt_sec) AS BIGINT) AS max_sec
+    FROM d, np
+    GROUP BY np.n_purchases
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase with a prior
+    view by the same user, the seconds since that LAST view — the
+    latency histogram the funnel count (q_funnel_conversion) can't show
+    (two funnels with identical conversion rates can hide a 10× latency
+    difference).  The as-of machinery (union + running MAX window over
+    (ts, is_p)-ordered rows — view rows sort before a same-ts purchase)
+    feeds WHOLE-SECOND integer deltas (epoch microseconds floor-divided,
+    exact in both engines) into one interpolated-percentile aggregate.
+
+    Scale shape: one user_id exchange for the window (the hot-key-proof
+    two-phase rewrite applies verbatim if a celebrity user needs it —
+    see q_asof_two_phase_scalable), then a single 1-row percentile
+    reduce over the purchases-only frame."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("is_p")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last_view = F.max(
+        F.when(F.col("is_p") == 0, F.col("ts"))
+    ).over(w)
+    d = (
+        u.withColumn("last_view", last_view)
+        .filter((F.col("is_p") == 1) & F.col("last_view").isNotNull())
+        .select(
+            F.expr(
+                "CAST(unix_micros(ts) - unix_micros(last_view) AS BIGINT)"
+                " div 1000000"
+            ).alias("dt_sec")
+        )
+    )
+    np_ = u.filter(F.col("is_p") == 1).agg(
+        F.count("*").cast("long").alias("n_purchases")
+    )
+    return (
+        d.crossJoin(F.broadcast(np_))
+        .groupBy("n_purchases")
+        .agg(
+            F.count("*").cast("long").alias("n_converted"),
+            (F.first("n_purchases") - F.count("*"))
+            .cast("long")
+            .alias("n_no_prior_view"),
+            F.round(F.percentile("dt_sec", F.lit(0.5)), 4).alias("p50_sec"),
+            F.round(F.percentile("dt_sec", F.lit(0.9)), 4).alias("p90_sec"),
+            F.max("dt_sec").cast("long").alias("max_sec"),
+        )
+        .select(
+            "n_purchases",
+            "n_converted",
+            "n_no_prior_view",
+            "p50_sec",
+            "p90_sec",
+            "max_sec",
+        )
+    )

@@ -417,3 +417,77 @@ def q_countmin_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("i", "bucket").agg(
         F.count("*").cast("long").alias("counter")
     )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.01), 4) AS p01,
+             ROUND(quantile_cont(value, 0.99), 4) AS p99
+      FROM events GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type, b.p01, b.p99,
+             LEAST(GREATEST(e.value, b.p01), b.p99) AS w,
+             CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END AS lo,
+             CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END AS hi
+      FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(p01), 4) AS p01,
+           ROUND(MIN(p99), 4) AS p99,
+           CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+                 6) AS winsorized_mean
+    FROM c GROUP BY event_type
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type (Tukey/Hastings 1947
+    winsorization — public method): clip values to the exact
+    interpolated [p01, p99] band, report the clipped mean and how many
+    observations each tail lost.  The robust companion to the MAD
+    outlier detector: MAD *flags* tail points, winsorization *bounds
+    their leverage* — the pair is the standard pre-aggregation treatment
+    for telemetry means a single sensor glitch would otherwise drag.
+
+    Determinism: both bounds are ROUNDED to 4 before the clip, so the
+    boundary comparison is over identical doubles in both engines; the
+    winsorized mean folds each clipped value through DECIMAL(28,12)
+    (order-free exact sum) into one rounded division.
+
+    Scale shape: one percentile aggregate per type (group-key exchange,
+    in-buffer sort), bounds re-join the events scan as a broadcast
+    ≤-#types frame, then one map-side-combined final aggregate — two
+    scans, no window over the data."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.round(F.percentile("value", F.lit(0.01)), 4).alias("p01"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(b, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p01"), 4).alias("p01"),
+            F.round(F.min("p99"), 4).alias("p99"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum(w.cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -313,7 +313,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_random_projection": "cbb1337a04df",
     "q_embedding_topk_cosine": "934645d48971",
     "q_funnel_conversion": "4937330f3d66",
+    "q_funnel_time_to_convert": "fef06c905236",
     "q_fuzzy_name_pairs": "9916cde5e5df",
+    "q_gini_user_concentration": "b29fbf386a78",
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
@@ -445,6 +447,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_window_trailing_hour_sum": "c63920d26d47",
     "q_window_tumbling_hourly": "1d16e1c77c37",
     "q_winnowed_fingerprints": "424c117829ff",
+    "q_winsorized_stats": "3fb7c38862c2",
     "q_zipf_fit_audit": "6b3a1847b9af",
     "q_zorder_layout": "562293014cd1",
 }

@@ -193,6 +193,9 @@ def test_r14_oracle_fidelity_sf001(spark):
         "q14_promo_revenue_share",
         "q7_nation_volume_shipping",
         "q_ks_value_drift",
+        "q_winsorized_stats",
+        "q_gini_user_concentration",
+        "q_funnel_time_to_convert",
     ]
     sf = "/root/testdata/sf0.01"
     qs, osql = registry.queries(), registry.oracles()
@@ -367,3 +370,44 @@ def test_ks_drift_pure_python_referee(spark, sf_dir):
         assert (r.n_base, r.n_incoming, r.d_num) == (n1, n2, d), t
         assert 0.0 <= r.ks <= 1.0
         assert abs(r.ks - round(d / (n1 * n2), 6)) < 1e-12
+
+
+def test_gini_pure_python_referee(spark, sf_dir):
+    """Recompute Gini + top-1% share from raw per-user counts."""
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    xs = sorted((r["count"], r.user_id) for r in ev.collect())
+    n = len(xs)
+    s = sum(x for x, _ in xs)
+    ix = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+    gini = round((2 * ix - (n + 1) * s) / (n * s), 6)
+    top = sum(x for x, _ in xs[n - (n + 99) // 100:])
+    [r] = registry.queries()["q_gini_user_concentration"](
+        spark, sf_dir
+    ).collect()
+    assert (r.n_users, r.total_events) == (n, s)
+    assert abs(r.gini - gini) < 1e-12
+    assert r.top1pct_share_bp == top * 10000 // s
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_winsorized_mean_bounded_by_raw_extremes(spark, sf_dir):
+    """The winsorized mean must sit inside [p01, p99]; clip counts are
+    consistent with n; clipping must actually fire somewhere (the
+    fixture has 1% tails by construction)."""
+    rows = registry.queries()["q_winsorized_stats"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_clipped_low + r.n_clipped_high > 0 for r in rows)
+    for r in rows:
+        assert r.p01 <= r.winsorized_mean <= r.p99, r
+        assert r.n_clipped_low + r.n_clipped_high <= r.n
+
+
+def test_funnel_ttc_consistency(spark, sf_dir):
+    """Conversions + no-prior-view must cover all purchases; the
+    percentiles are ordered; every delta is non-negative by the as-of
+    contract (a prior view precedes its purchase)."""
+    [r] = registry.queries()["q_funnel_time_to_convert"](
+        spark, sf_dir
+    ).collect()
+    assert r.n_converted + r.n_no_prior_view == r.n_purchases
+    assert 0 <= r.p50_sec <= r.p90_sec <= r.max_sec

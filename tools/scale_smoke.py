@@ -278,6 +278,9 @@ QUERIES = [
     "q14_promo_revenue_share",
     "q7_nation_volume_shipping",
     "q_ks_value_drift",
+    "q_winsorized_stats",
+    "q_gini_user_concentration",
+    "q_funnel_time_to_convert",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
