@@ -165,6 +165,7 @@ HEADLINE = [
     "q_winsorized_stats",
     "q_gini_user_concentration",
     "q_funnel_time_to_convert",
+    "q_multimodal_audio_stats",
 ]
 
 

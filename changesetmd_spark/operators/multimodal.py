@@ -909,3 +909,183 @@ def q_media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("first_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio container: RIFF/WAVE PCM16 (dependency-free, like PPM/BMP).
+# ---------------------------------------------------------------------------
+WAV_MIME = "audio/wav"
+
+
+def encode_wav_pcm16(
+    sample_rate: int, samples: list[int], tag: str | None = None
+) -> bytes:
+    """Serialize mono 16-bit PCM into a real RIFF/WAVE container.  When
+    ``tag`` is given, a LIST/INFO metadata chunk is planted BETWEEN fmt
+    and data — a correct reader must walk chunks by declared size, not
+    assume data starts at byte 44."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, 16-bit
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if tag is not None:
+        info = b"INFO" + b"INAM" + struct.pack(
+            "<I", len(tag) + 1 + (len(tag) % 2 == 0)
+        ) + tag.encode() + b"\x00" * (1 + (len(tag) % 2 == 0))
+        chunks.append(b"LIST" + struct.pack("<I", len(info)) + info)
+    chunks.append(b"data" + struct.pack("<I", len(data)) + data)
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a RIFF/WAVE file: walk the chunk list (honoring declared
+    sizes and RIFF's even-byte padding rule, skipping LIST/metadata),
+    validate PCM16 mono, return (sample_rate, samples)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic {payload[:4]!r})")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    sr = None
+    samples: list[int] | None = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, "
+                    f"channels={n_ch}, bits={bits})"
+                )
+        elif cid == b"data":
+            if len(body) < sz:
+                raise ValueError("truncated WAV data chunk")
+            samples = [
+                struct.unpack_from("<h", body, 2 * i)[0]
+                for i in range(sz // 2)
+            ]
+        pos += 8 + sz + (sz % 2)  # chunks pad to even length
+    if sr is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return (sr, samples)
+
+
+@register(
+    "q_multimodal_audio_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             (doc_id % 4 + 1) * 8000 AS sr,
+             n_chars % 32 + 8 AS n,
+             (doc_id * 31) % 256 AS a
+      FROM documents
+    ), s AS (
+      SELECT sr, n,
+             n * 1000 // sr AS dur_ms,
+             list_reduce(list_transform(generate_series(0, n - 1),
+                           i -> (a + 7 * i) % 4096 - 2048),
+                         (x, y) -> x + y) AS amp_sum,
+             list_reduce(list_transform(generate_series(0, n - 1),
+                           i -> abs((a + 7 * i) % 4096 - 2048)),
+                         (x, y) -> GREATEST(x, y)) AS peak
+      FROM m
+    )
+    SELECT CAST(sr AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(n) AS BIGINT) AS total_samples,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_duration_ms,
+           CAST(SUM(amp_sum) AS BIGINT) AS sum_amplitude,
+           CAST(MAX(peak) AS BIGINT) AS peak_amplitude
+    FROM s GROUP BY sr
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container round-trip, the WAV sibling of the BMP/PPM
+    image path (E3): one mono PCM16 RIFF/WAVE clip per document —
+    sample rate (doc_id%4+1)·8 kHz, n_chars%32+8 samples of the
+    closed-form waveform s_i = (a+7i) mod 4096 − 2048, every 5th clip
+    carrying a planted LIST/INFO metadata chunk so a byte-44 shortcut
+    decoder gets those rows WRONG — encoded with ``encode_wav_pcm16``,
+    decoded back by walking the RIFF chunk list (``decode_wav_pcm16``,
+    dependency-free struct parsing inside an Arrow-batched mapInPandas),
+    then aggregated per sample rate: clip count, total samples, exact
+    integer duration (n·1000 // sr per clip), amplitude sum and peak.
+    The oracle recomputes every number analytically from the fixture
+    construction — the codec must round-trip EXACTLY to hash-match.
+
+    Scale shape: synth and decode are both map-only Arrow stages (no
+    shuffle until the 4-key rollup); payload bytes stay inside the
+    partition — at 100 TB of audio this is the embarrassingly-parallel
+    decode→feature shape, with the real-codec plug point exercised by an
+    actual container format rather than a stub."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 4 + 1) * 8000).cast("int").alias("sr"),
+        (F.col("n_chars") % 32 + 8).cast("int").alias("n"),
+        ((F.col("doc_id") * 31) % 256).cast("int").alias("a"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("sample_rate", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("duration_ms", LongType(), False),
+            StructField("amp_sum", LongType(), False),
+            StructField("peak", LongType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, sr, n, a in zip(
+                pdf["media_id"], pdf["sr"], pdf["n"], pdf["a"]
+            ):
+                samples = [
+                    (int(a) + 7 * i) % 4096 - 2048 for i in range(int(n))
+                ]
+                payload = encode_wav_pcm16(
+                    int(sr),
+                    samples,
+                    tag=f"clip {mid}" if mid % 5 == 0 else None,
+                )
+                got_sr, got = decode_wav_pcm16(payload)
+                rows.append(
+                    (
+                        got_sr,
+                        len(got),
+                        len(got) * 1000 // got_sr,
+                        sum(got),
+                        max(abs(s) for s in got),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "amp_sum",
+                    "peak",
+                ],
+            )
+
+    decoded = meta.mapInPandas(roundtrip, schema=out_schema)
+    return decoded.groupBy("sample_rate").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.sum("amp_sum").alias("sum_amplitude"),
+        F.max("peak").alias("peak_amplitude"),
+    )

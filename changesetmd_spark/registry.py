@@ -348,6 +348,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_minhash_lsh_candidates": "c0b664190cc7",
     "q_minhash_lsh_checked": "8a77d6e5b846",
     "q_mmr_diversified_rerank": "b89cbf4fcd70",
+    "q_multimodal_audio_stats": "cb61d3adab76",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "2bbb5633523b",
     "q_multimodal_decode_real": "3e62be6c2fd5",

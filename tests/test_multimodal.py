@@ -238,3 +238,33 @@ def test_ppm_resize_real_pixel_math(spark, sf_dir):
     assert (out[0, 0] == src[0, 0]).all()
     assert (out[0, 1] == src[0, 2]).all()
     assert row.pixel_sum == int(out.sum())
+
+
+def test_wav_pcm16_roundtrip_and_chunk_walking():
+    """RIFF/WAVE codec: exact sample round-trip, the planted LIST chunk
+    must be skipped by size (byte-44 shortcut would corrupt), malformed
+    and unsupported variants rejected."""
+    import struct
+
+    import pytest
+
+    from changesetmd_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    for tag in (None, "x", "ab"):  # odd and even tag lengths pad differently
+        payload = encode_wav_pcm16(22050, samples, tag=tag)
+        sr, got = decode_wav_pcm16(payload)
+        assert (sr, got) == (22050, samples), tag
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_pcm16(b"RIFX" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_pcm16(payload[:-3])
+    # stereo must be rejected, not silently mis-parsed
+    stereo = bytearray(encode_wav_pcm16(8000, samples))
+    fmt_off = stereo.index(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav_pcm16(bytes(stereo))

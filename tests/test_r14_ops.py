@@ -196,6 +196,7 @@ def test_r14_oracle_fidelity_sf001(spark):
         "q_winsorized_stats",
         "q_gini_user_concentration",
         "q_funnel_time_to_convert",
+        "q_multimodal_audio_stats",
     ]
     sf = "/root/testdata/sf0.01"
     qs, osql = registry.queries(), registry.oracles()
