@@ -320,6 +320,12 @@ SKEW_QUERIES = [
     "q_multitouch_attribution",
     "q_type_transition_matrix",
     "q_stream_stateful_user_totals",
+    # r14 user-partitioned additions: the as-of-shaped time-to-convert is
+    # exactly as hot-key-exposed as sessionization; Gini aggregates to one
+    # row per user FIRST, so a hot key collapses to one rank-frame row —
+    # included to prove that shape survives the collapse
+    "q_funnel_time_to_convert",
+    "q_gini_user_concentration",
 ]
 
 # State-ratio pass-line exemptions (with the evidence for each): the
