@@ -166,6 +166,7 @@ HEADLINE = [
     "q_gini_user_concentration",
     "q_funnel_time_to_convert",
     "q_multimodal_audio_stats",
+    "q_hourly_ohlc",
 ]
 
 

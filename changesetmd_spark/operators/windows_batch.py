@@ -936,3 +936,52 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_hourly_ohlc",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((MIN({'t': ts, 'e': event_id, 'v': value})).v, 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND((MAX({'t': ts, 'e': event_id, 'v': value})).v, 4) AS close
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the open/high/low/close rollup
+    every market-data and telemetry downsampler materializes (the
+    continuous-aggregate staple TimescaleDB ships as candlestick
+    helpers).  Open/close are STRUCT-extremum aggregates over
+    (ts, event_id, value) — deterministic under same-timestamp ties via
+    the event_id component, and computed map-side like any min/max (no
+    first()/last() window over raw events, no per-group sort).  One hash
+    exchange on the (type, hour) key space; at 100 TB this is the q1
+    shape with four extra extremum columns."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id", F.col("value").alias("v"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(key)["v"], 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(key)["v"], 4).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )

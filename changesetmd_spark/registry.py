@@ -320,6 +320,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
     "q_hits_bipartite": "0ca8507576ec",
+    "q_hourly_ohlc": "8bc8718a7dfa",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
     "q_incremental_minhash_neardup": "d6e1bf0823a4",

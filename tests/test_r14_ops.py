@@ -197,6 +197,7 @@ def test_r14_oracle_fidelity_sf001(spark):
         "q_gini_user_concentration",
         "q_funnel_time_to_convert",
         "q_multimodal_audio_stats",
+        "q_hourly_ohlc",
     ]
     sf = "/root/testdata/sf0.01"
     qs, osql = registry.queries(), registry.oracles()
@@ -412,3 +413,17 @@ def test_funnel_ttc_consistency(spark, sf_dir):
     ).collect()
     assert r.n_converted + r.n_no_prior_view == r.n_purchases
     assert 0 <= r.p50_sec <= r.p90_sec <= r.max_sec
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """low <= open, close <= high for every bar; bar event counts must
+    cover the corpus exactly once; open==close wherever n==1."""
+    rows = registry.queries()["q_hourly_ohlc"](spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    for r in rows:
+        assert r.low <= r.open <= r.high, r
+        assert r.low <= r.close <= r.high, r
+        if r.n == 1:
+            assert r.open == r.close == r.high == r.low, r

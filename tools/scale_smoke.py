@@ -282,6 +282,7 @@ QUERIES = [
     "q_gini_user_concentration",
     "q_funnel_time_to_convert",
     "q_multimodal_audio_stats",
+    "q_hourly_ohlc",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
