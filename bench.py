@@ -511,7 +511,16 @@ def main() -> None:
             prev_fps = prev.get("query_fingerprints", {})
             for name, now_t in medians.items():
                 prev_t = prev_meds.get(name)
-                if not (prev_t and prev_t > 0.2 and now_t > 1.5 * prev_t):
+                # ratio alone flags sub-second wobble (observed: 0.29s ->
+                # 0.45s reads as "1.54x regressed"); require a material
+                # absolute delta too — a real plan regression on any query
+                # that matters moves the median by far more than 0.3s
+                if not (
+                    prev_t
+                    and prev_t > 0.2
+                    and now_t > 1.5 * prev_t
+                    and now_t - prev_t > 0.3
+                ):
                     continue
                 # fingerprint-aware rebaseline (VERDICT r13 #8): a query
                 # whose implementation changed since the prior round is
