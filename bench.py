@@ -538,6 +538,37 @@ def main() -> None:
                     "ratio": round(now_t / prev_t, 2),
                     "suspect_contention": bool(contended),
                 }
+        # Cross-round drift attribution (VERDICT r14 #3/#8): the totals of
+        # the queries COMMON to both files, raw and sentinel-normalized.
+        # Two consecutive rounds drifted ~10% uniformly close-to-close with
+        # a flat intra-run sentinel; an r15 same-machine back-to-back A/B
+        # (r13-close checkout vs HEAD, 10 common queries, both orders)
+        # measured engine-ratio 1.00/0.88 — the drift is measurement-
+        # context (host contention, page cache), NOT engine code, and the
+        # registry-size/fixed-overhead hypothesis is refuted (r13's
+        # 180-query registry times equal HEAD's 199-query one).  These
+        # fields make the same attribution mechanical for future rounds:
+        # `vs_prev_common_ratio_sentinel_normalized` ≈ 1.0 ⇒ machine;
+        # materially > 1.0 with a flat sentinel ⇒ engine, dig in.  When the
+        # prev file is a committed close and this run is the driver's
+        # post-commit rerun, `vs_prev_common_ratio_raw` IS the
+        # close-vs-rerun gap the rounds must be compared on.
+        common = [n for n in medians if n in prev_meds and prev_meds[n]]
+        if common:
+            now_c = round(sum(medians[n] for n in common), 3)
+            prev_c = round(sum(prev_meds[n] for n in common), 3)
+            raw = round(now_c / prev_c, 3) if prev_c else None
+            out["vs_prev_common"] = {
+                "n_queries": len(common),
+                "prev_total": prev_c,
+                "now_total": now_c,
+                "vs_prev_common_ratio_raw": raw,
+                "vs_prev_common_ratio_sentinel_normalized": (
+                    round(raw / sent_ratio, 3)
+                    if raw is not None and sent_ratio
+                    else None
+                ),
+            }
     except (OSError, json.JSONDecodeError):
         pass
     out["regressions"] = regressions

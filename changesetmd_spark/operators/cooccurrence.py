@@ -811,18 +811,29 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = a2.agg(F.max("auth").alias("mx"))
     from .util import materialize_releasing
 
+    # Rank on the exact DECIMAL(38,0) `auth` — a decimal→long overflow
+    # yields NULL in non-ANSI Spark, and the top-{_HITS_TOP} rows are
+    # precisely the largest values, so casting BEFORE the sort would
+    # corrupt the ranking at exactly the scales the HUGEINT headroom
+    # note cites.  Only the OUTPUT column caps at int64 (post-rank cast).
     out = (
         a2.join(a1, "item_id")
         .crossJoin(F.broadcast(mx))
         .select(
             "item_id",
             F.col("degree").cast("long").alias("degree"),
-            F.col("auth").cast("long").alias("authority2"),
+            F.col("auth"),
             F.round(
                 F.col("auth").cast("double") / F.col("mx").cast("double"), 6
             ).alias("score"),
         )
-        .orderBy(F.desc("authority2"), F.asc("item_id"))
+        .orderBy(F.desc("auth"), F.asc("item_id"))
         .limit(_HITS_TOP)
+        .select(
+            "item_id",
+            "degree",
+            F.col("auth").cast("long").alias("authority2"),
+            "score",
+        )
     )
     return materialize_releasing(out, kept)

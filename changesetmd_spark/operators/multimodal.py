@@ -968,10 +968,17 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
         elif cid == b"data":
             if len(body) < sz:
                 raise ValueError("truncated WAV data chunk")
-            samples = [
-                struct.unpack_from("<h", body, 2 * i)[0]
-                for i in range(sz // 2)
-            ]
+            # vectorized little-endian int16 decode (VERDICT r14 #5) —
+            # byte-identical to per-sample struct.unpack_from("<h"), but
+            # O(1) Python ops per clip instead of O(n): real PCM runs at
+            # 16k samples/s, where a per-sample loop would crawl
+            import numpy as np
+
+            samples = (
+                np.frombuffer(body, dtype="<i2", count=sz // 2)
+                .astype(int)
+                .tolist()
+            )
         pos += 8 + sz + (sz % 2)  # chunks pad to even length
     if sr is None or samples is None:
         raise ValueError("WAV missing fmt or data chunk")

@@ -1231,62 +1231,55 @@ def q_gini_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     in floor basis points.  The Gini itself is one rounded double
     division of exact integers.
 
-    Scale shape: one hash aggregate to the per-user frame (map-side
-    combined), one rank window over that USER-CARDINALITY frame (the
-    deciles shape — never over raw events), one 1-row reduce."""
+    Scale shape (r15, VERDICT r14 item 1): one hash aggregate to the
+    per-user frame (map-side combined), then the exact global rank comes
+    from ``two_phase_prefix`` — a range shuffle + per-range-partition
+    local window + bounded driver offsets — NOT an unpartitioned
+    ``row_number`` window (the old form planned ``Exchange
+    SinglePartition`` + a one-task sort over the full user frame, the
+    same scale-killer r7 fixed for deciles).  (x, user_id) is a unique
+    key of the per-user frame, so the exclusive count-prefix + 1 is
+    EXACTLY ``row_number() OVER (ORDER BY x, user_id)``.  The two-phase
+    totals hand the driver n for free, so the top-1% threshold becomes a
+    literal and everything else collapses into ONE distributed reduce —
+    the old plan's two crossJoin attach stages disappear."""
+    from .twophase import two_phase_prefix
+
     per = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("x"))
     )
-    ranked = per.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy(F.asc("x"), F.asc("user_id")))
-        .alias("i"),
+    ranked, totals = two_phase_prefix(
+        per, [], [F.asc("x"), F.asc("user_id")], [("rank0", F.lit(1))]
     )
-    tots = ranked.agg(
+    n = int(totals["rank0"].get((), 0))
+    top_threshold = n - (n + 99) // 100  # ranks above this are the top 1%
+    i_dec = (F.col("rank0") + 1).cast("decimal(38,0)")
+    agg = ranked.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("s"),
-        F.sum((F.col("i").cast("decimal(38,0)") * F.col("x"))).alias("ix"),
+        F.sum(i_dec * F.col("x")).alias("ix"),
+        F.sum(
+            F.when(
+                F.col("rank0") + 1 > F.lit(top_threshold), F.col("x")
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("top_x"),
     )
-    topcut = (
-        ranked.crossJoin(F.broadcast(tots))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("i")
-                    > F.col("n") - F.expr("CAST((n + 99) div 100 AS BIGINT)"),
-                    F.col("x"),
-                ).otherwise(0)
-            )
-            .cast("decimal(38,0)")
-            .alias("top_x")
-        )
-    )
-    return (
-        tots.crossJoin(F.broadcast(topcut))
-        .select(
-            F.col("n").cast("long").alias("n_users"),
-            F.col("s").cast("long").alias("total_events"),
-            F.round(
-                (2 * F.col("ix") - (F.col("n") + 1) * F.col("s")).cast(
-                    "double"
-                )
-                / (F.col("n") * F.col("s")).cast("double"),
-                6,
-            ).alias("gini"),
-            (F.col("top_x") * 10000)
-            .cast("decimal(38,0)")
-            .cast("long")
-            .alias("_tx"),
-        )
-        .select(
-            "n_users",
-            "total_events",
-            "gini",
-            F.expr("_tx div total_events").alias("top1pct_share_bp"),
-        )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s").cast("long").alias("total_events"),
+        F.round(
+            (2 * F.col("ix") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.expr(
+            "CAST(CAST(top_x * 10000 AS DECIMAL(38,0)) AS BIGINT)"
+            " div CAST(s AS BIGINT)"
+        ).alias("top1pct_share_bp"),
     )
 
 

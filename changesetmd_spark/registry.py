@@ -54,30 +54,35 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # priority list is gone; there is nothing to tune — landing a new query or
 # a new driver round updates the order mechanically.
 WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
+    "q10_returned_item_revenue": (14,),
+    "q14_promo_revenue_share": (14,),
     "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8, 11),
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8, 11),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q7_nation_volume_shipping": (14,),
     "q_ann_recall_audit": (10, 13),
     "q_ann_verify_rerank": (6, 9, 12),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9, 12, 13),
-    "q_asof_two_phase_scalable": (13,),
+    "q_asof_two_phase_scalable": (13, 14),
     "q_association_rules": (13,),
     "q_bbox_area_filter": (2, 3, 4, 5, 8, 11),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8, 11),
-    "q_bigram_lm_fluency": (7, 10),
+    "q_bigram_lm_fluency": (7, 10, 14),
     "q_bitext_margin_mining": (9, 10, 13),
     "q_bitext_margin_mining_ivf": (10, 13),
     "q_bloom_prefilter_join": (8, 11),
     "q_bm25_keyword_search": (2, 3, 4, 5, 8, 11),
     "q_bpe_train_step": (9, 13),
-    "q_calibration_ece_bins": (11,),
-    "q_cdc_chunk_dedup": (7, 10),
+    "q_calibration_ece_bins": (11, 14),
+    "q_cdc_chunk_dedup": (7, 10, 14),
     "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_charclass_entropy": (14,),
     "q_cohort_retention": (7, 11),
+    "q_containment_pairs": (14,),
     "q_contamination_ngram_overlap": (5, 8, 11),
     "q_context_window_plan": (13,),
     "q_countmin_estimates": (9, 10),
@@ -85,13 +90,13 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_cross_source_leakage": (12,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8, 11),
-    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10),
+    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9, 12),
     "q_dedup_threshold_sweep": (11,),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_distinct_ngram_diversity": (12, 13),
     "q_doremi_mixture_step": (12, 13),
-    "q_dsir_importance_weights": (7, 10),
+    "q_dsir_importance_weights": (7, 10, 14),
     "q_dup_cluster_histogram": (13,),
     "q_duplicate_substring_spans": (7, 10, 13),
     "q_ease_grid_project": (13,),
@@ -109,23 +114,31 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_embedding_random_projection": (8, 11),
     "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10, 13),
     "q_funnel_conversion": (7, 10),
+    "q_funnel_time_to_convert": (14,),
     "q_fuzzy_name_pairs": (9, 12),
+    "q_gini_user_concentration": (14,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9, 12),
     "q_hard_negative_mining": (8, 11),
     "q_heavy_hitter_terms": (7, 10),
+    "q_hits_bipartite": (14,),
+    "q_hourly_ohlc": (14,),
     "q_hybrid_rrf_search": (11,),
     "q_incremental_hash_dedup": (11,),
     "q_incremental_minhash_neardup": (12, 13),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8, 12),
-    "q_item_cooccurrence": (7, 10),
+    "q_item_cooccurrence": (7, 10, 14),
     "q_json_typed_extract": (6, 9, 13),
     "q_jsonl_ingest_audit": (11,),
+    "q_kanonymity_risk": (14,),
     "q_kcore_items": (8, 11),
     "q_kmeans_assign_update": (7, 9, 12),
+    "q_kneser_ney_bigram": (14,),
+    "q_ks_value_drift": (14,),
     "q_label_balance_downsample": (13,),
     "q_label_propagation": (8, 11),
+    "q_length_bucket_packing": (14,),
     "q_like_part_types": (2, 3, 4, 7, 10),
-    "q_line_dedup_c4": (7, 10),
+    "q_line_dedup_c4": (7, 10, 14),
     "q_map_explode_tag_histogram": (6, 9, 13),
     "q_map_key_existence": (1, 6, 9, 12),
     "q_map_value_extract": (6, 9, 13),
@@ -134,58 +147,62 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_matryoshka_truncation_audit": (11,),
     "q_media_shard_manifest": (7, 9, 12),
     "q_minhash_estimate_error_audit": (10, 11, 13),
-    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10),
+    "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_minhash_lsh_checked": (5, 6, 8, 10, 13),
     "q_mmr_diversified_rerank": (11,),
+    "q_multimodal_audio_stats": (14,),
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8, 11),
     "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11, 12),
     "q_multimodal_decode_real": (13,),
     "q_multimodal_resize": (12,),
-    "q_multitouch_attribution": (13,),
+    "q_multitouch_attribution": (13, 14),
     "q_neardup_canonical": (8, 9, 12),
-    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10),
-    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10),
-    "q_ngram_novelty": (7, 10),
+    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10, 14),
+    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10, 14),
+    "q_ngram_novelty": (7, 10, 14),
     "q_orders_per_month": (1, 2, 3, 4, 7, 10),
     "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_pagerank_items": (7, 10),
+    "q_pagerank_items": (7, 10, 14),
     "q_phrase_search": (9, 12),
     "q_pii_redaction_stats": (9, 12),
     "q_pipeline_curate_end_to_end": (5, 6, 8, 11),
     "q_pivot_status_by_priority": (1, 2, 3, 4, 6, 9, 12),
-    "q_ppjoin_similar_docs": (9, 10),
+    "q_pmi_collocations": (14,),
+    "q_ppjoin_similar_docs": (9, 10, 14),
     "q_pps_systematic_sample": (9, 12),
     "q_prf_expansion_terms": (13,),
     "q_priority_sample_topk": (10,),
     "q_quality_percentile_gate": (8, 11),
     "q_quality_rule_attribution": (11,),
-    "q_rag_chunk_overlap": (7, 10),
+    "q_rag_chunk_overlap": (7, 10, 14),
     "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9, 12),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8, 11),
+    "q_retrieval_mrr_eval": (14,),
     "q_retrieval_ndcg_eval": (12, 13),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_salted_join_skewed_types": (1, 7, 10),
     "q_scd2_priority_history": (9, 12),
     "q_seasonality_profile": (13,),
+    "q_semantic_outlier_docs": (14,),
     "q_semdedup_clustered": (7, 9, 12),
     "q_semdedup_ivf": (9, 12),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_sequence_packing": (7, 10),
+    "q_sequence_packing": (7, 10, 14),
     "q_series_ewma": (7, 10),
     "q_series_linear_trend": (7, 10),
-    "q_session_two_phase_scalable": (13,),
+    "q_session_two_phase_scalable": (13, 14),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_simhash_checked": (5, 6, 8, 11),
-    "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10),
+    "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_sketch_cardinality_and_quantiles": (1, 7, 10),
     "q_skew_advised_salted_join": (12,),
     "q_skew_key_advisor": (11,),
     "q_small_quantity_revenue": (13,),
     "q_source_mixture_weights": (5, 8, 11),
     "q_source_quota_sample": (2, 3, 4, 5, 8, 11),
-    "q_stratified_sample_neyman": (10,),
+    "q_stratified_sample_neyman": (10, 14),
     "q_stream_dedup_first_seen": (6, 9, 13),
     "q_stream_dedup_reemit_after_expiry": (13,),
     "q_stream_incremental_dedup": (11,),
@@ -200,32 +217,32 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_table_profile": (9, 12),
     "q_temperature_mixture": (7, 10),
     "q_text_blocklist_scrub": (5, 8, 11),
-    "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10),
-    "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10),
+    "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10, 14),
+    "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_text_quality": (1, 2, 3, 4, 5, 6, 8, 11),
-    "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10),
-    "q_text_repetition_quality": (5, 8, 11, 12, 13),
-    "q_text_token_budget_by_source": (5, 7, 10),
-    "q_text_token_stats": (2, 3, 4, 5, 7, 10),
+    "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10, 14),
+    "q_text_repetition_quality": (5, 8, 11, 12, 13, 14),
+    "q_text_token_budget_by_source": (5, 7, 10, 14),
+    "q_text_token_stats": (2, 3, 4, 5, 7, 10, 14),
     "q_tfidf_top_terms": (2, 3, 4, 5, 8, 11),
     "q_time_gapfill_interpolate": (7, 10),
     "q_time_gapfill_locf": (7, 10),
-    "q_token_len_histogram": (7, 10),
+    "q_token_len_histogram": (7, 10, 14),
     "q_train_test_split": (2, 3, 4, 5, 8, 11),
-    "q_triangle_count": (7, 10),
+    "q_triangle_count": (7, 10, 14),
     "q_txn_change_feed": (12,),
     "q_txn_merge_snapshot": (6, 9, 13),
     "q_type_transition_matrix": (7, 11),
     "q_unigram_drift_kl": (12,),
-    "q_unigram_prob_mass": (7, 10),
+    "q_unigram_prob_mass": (7, 10, 14),
     "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_user_value_deciles": (7, 9, 13),
     "q_value_mad_outliers": (7, 10),
     "q_value_percentiles_per_type": (1, 6, 9, 12),
-    "q_vocab_growth": (8, 9, 10),
-    "q_vocab_growth_sketched": (9, 10),
-    "q_vocab_prune_coverage": (13,),
+    "q_vocab_growth": (8, 9, 10, 14),
+    "q_vocab_growth_sketched": (9, 10, 14),
+    "q_vocab_prune_coverage": (13, 14),
     "q_window_running_total": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_window_session_per_user": (6, 9, 13),
     "q_window_sliding": (6, 9, 13),
@@ -233,6 +250,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_window_trailing_hour_sum": (6, 9, 13),
     "q_window_tumbling_hourly": (6, 9, 13),
     "q_winnowed_fingerprints": (7, 10, 13),
+    "q_winsorized_stats": (14,),
     "q_zipf_fit_audit": (12,),
     "q_zorder_layout": (8, 11),
 }
@@ -263,7 +281,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
     "q_asof_purchase_last_view": "b1fdf5f673b3",
-    "q_asof_two_phase_scalable": "4bc5acaebebe",
+    "q_asof_two_phase_scalable": "6237fa649e5e",
     "q_association_rules": "5e8b46d3358a",
     "q_bbox_area_filter": "e115f940f1c9",
     "q_bbox_area_topk": "7e12375eb8e2",
@@ -274,8 +292,8 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "c04762ebe930",
-    "q_calibration_ece_bins": "a2603cce774a",
-    "q_cdc_chunk_dedup": "54b08c6f158c",
+    "q_calibration_ece_bins": "841ee0f96dd7",
+    "q_cdc_chunk_dedup": "2d9ef2dd35b9",
     "q_changeset_comments_explode": "e28cdf81faff",
     "q_changeset_ingest_normalize": "91a73d69bd16",
     "q_changeset_join_comments": "67e155a3df90",
@@ -315,11 +333,11 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_funnel_conversion": "4937330f3d66",
     "q_funnel_time_to_convert": "fef06c905236",
     "q_fuzzy_name_pairs": "9916cde5e5df",
-    "q_gini_user_concentration": "b29fbf386a78",
+    "q_gini_user_concentration": "1aa2519fc92a",
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
-    "q_hits_bipartite": "0ca8507576ec",
+    "q_hits_bipartite": "fec53ec5b7e9",
     "q_hourly_ohlc": "8bc8718a7dfa",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
@@ -335,7 +353,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ks_value_drift": "ffbc49ca03bc",
     "q_label_balance_downsample": "a691146629bd",
     "q_label_propagation": "61335c44533d",
-    "q_length_bucket_packing": "ac08ce365c41",
+    "q_length_bucket_packing": "5f5c45809b4e",
     "q_like_part_types": "9d4e6f50083c",
     "q_line_dedup_c4": "38a12ec1b5bf",
     "q_map_explode_tag_histogram": "e00e31aa3c4b",
@@ -354,7 +372,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_multimodal_decode": "2bbb5633523b",
     "q_multimodal_decode_real": "3e62be6c2fd5",
     "q_multimodal_resize": "7f480e96df0f",
-    "q_multitouch_attribution": "17c1efa2254b",
+    "q_multitouch_attribution": "d74ed0f4a02f",
     "q_neardup_canonical": "e2cad7f30322",
     "q_neardup_verify_jaccard": "46fe093eb244",
     "q_ngram_jaccard_pairs": "3e965c94242e",
@@ -391,7 +409,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_sequence_packing": "dcf8880efab6",
     "q_series_ewma": "35d891ee96e8",
     "q_series_linear_trend": "cb4906c6ba1d",
-    "q_session_two_phase_scalable": "db8c01e7e9f7",
+    "q_session_two_phase_scalable": "d53d1a69ee72",
     "q_set_ops_customer_cohorts": "c1752c02ad53",
     "q_simhash_checked": "5dbf1427fcac",
     "q_simhash_near_dup": "0f7849b5fcd3",
@@ -401,7 +419,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_small_quantity_revenue": "30c291f54d7a",
     "q_source_mixture_weights": "b86df1b022e7",
     "q_source_quota_sample": "1f58f856167f",
-    "q_stratified_sample_neyman": "55bc092384a9",
+    "q_stratified_sample_neyman": "c5bd5627e0df",
     "q_stream_dedup_first_seen": "76cbd611d070",
     "q_stream_dedup_reemit_after_expiry": "c5644eb25b27",
     "q_stream_incremental_dedup": "ed995d3b2341",
@@ -420,7 +438,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_text_lang_id_confusion": "b204de6407b2",
     "q_text_quality": "ec87d2dd2a86",
     "q_text_quality_by_source": "1ca2f822686d",
-    "q_text_repetition_quality": "a22aac06d466",
+    "q_text_repetition_quality": "0456b7a7d879",
     "q_text_token_budget_by_source": "f4654a67165a",
     "q_text_token_stats": "07d0fcb5eba1",
     "q_tfidf_top_terms": "c87b20d513c1",
@@ -441,7 +459,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_value_percentiles_per_type": "db145439f0ba",
     "q_vocab_growth": "4702706bc4a5",
     "q_vocab_growth_sketched": "cb7d63b54367",
-    "q_vocab_prune_coverage": "eca768197e04",
+    "q_vocab_prune_coverage": "a580b3659a43",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "1cb3d953f1c8",
     "q_window_sliding": "1f71aa30c65f",

@@ -84,14 +84,21 @@ def _staged_dir(sf_dir: str, name: str) -> str:
             if not part.endswith(".parquet"):
                 continue
             link = os.path.join(d, part)
-            if not os.path.exists(link):
+            # lexists, not exists: a dangling symlink (source part file
+            # deleted after staging within the same mtime key) makes
+            # exists() return False and the re-create raise FileExistsError
+            if os.path.lexists(link) and not os.path.exists(link):
+                os.unlink(link)
+            if not os.path.lexists(link):
                 os.symlink(os.path.join(src, part), link)
         return d
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     d = os.path.join(_STAGE_ROOT, f"{name}-{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(src, link)
     return d
 

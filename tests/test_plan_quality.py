@@ -717,3 +717,28 @@ def test_q14_part_scan_prunes_to_two_columns(spark, sf_dir):
     assert has_broadcast_join(df)
     part_cols = [c for c in read_schema_columns(df) if "p_partkey" in c]
     assert part_cols and all(len(c) <= 2 for c in part_cols), part_cols
+
+
+def test_gini_no_single_partition_rank(spark, sf_dir):
+    """q_gini_user_concentration must rank via the two-phase prefix
+    machinery (VERDICT r14 #1): the old unpartitioned
+    `row_number() OVER (ORDER BY x, user_id)` planned `Exchange
+    SinglePartition` + a ONE-TASK sort over the full per-user frame — a
+    driver-of-the-job bottleneck at 10⁹–10¹² users.  The rank window must
+    be partitioned by the pinned range-partition id; the only
+    SinglePartition exchange allowed is the final 1-row global aggregate
+    over CONSTANT-SIZE partials (4 values × #partitions), never one
+    feeding a Sort or Window."""
+    df = QS["q_gini_user_concentration"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Window" in plan and "_pid" in plan, plan  # two-phase rank
+    # every SinglePartition exchange must feed a final HashAggregate over
+    # partials, not a Sort/Window over data
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        consumer = lines[idx - 1] if idx else ""
+        assert "HashAggregate" in consumer, plan
+        producer = lines[idx + 1] if idx + 1 < len(lines) else ""
+        assert "partial_" in producer, plan

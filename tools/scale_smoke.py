@@ -763,7 +763,13 @@ def main() -> None:
         result["pass"] = all(
             r <= REPLICAS for r in result["time_ratio"].values()
         ) and all(
-            s["state_ratio"] <= REPLICAS
+            # merged-in entries may predate the state_ratio key; fall back
+            # to recomputing from base/scale (0 base → treat as in-bound)
+            s.get(
+                "state_ratio",
+                (s.get("scale", 0) / s["base"]) if s.get("base") else 0,
+            )
+            <= REPLICAS
             for q, s in result["state_rows"].items()
             if q not in _STATE_EXEMPT
         )

@@ -123,6 +123,53 @@ def main() -> int:
         print("ledger up to date")
         return 0
     if check:
+        # Driver-cycle awareness (VERDICT r14 #4): the driver writes
+        # CORRECTNESS_r{N}.json AFTER the round's close commit, so at every
+        # round start the committed ledger trails the newest file by
+        # exactly that window.  That staleness is benign by construction —
+        # pass with a note when the ENTIRE delta is "round N appended"
+        # (plus the fingerprint refreshes those appends imply); anything
+        # else (dropped rounds, hand edits, fp drift on untouched queries)
+        # still fails.
+        from changesetmd_spark import registry
+
+        old_rounds = registry.WITNESSED_ROUNDS
+        old_fps = registry.WITNESSED_FINGERPRINTS
+        newest = max(
+            (
+                int(re.search(r"_r(\d+)\.json$", f).group(1))
+                for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            ),
+            default=None,
+        )
+        delta = {
+            q
+            for q in set(rounds) | set(old_rounds)
+            if tuple(rounds.get(q, ())) != tuple(old_rounds.get(q, ()))
+        }
+        fps_delta = {
+            q
+            for q in set(fps) | set(old_fps)
+            if fps.get(q) != old_fps.get(q)
+        }
+        benign = (
+            newest is not None
+            and bool(delta)
+            and fps_delta <= delta
+            and all(
+                newest in rounds.get(q, ())
+                and tuple(r for r in rounds.get(q, ()) if r != newest)
+                == tuple(old_rounds.get(q, ()))
+                for q in delta
+            )
+        )
+        if benign:
+            print(
+                f"ledger trails the newest driver window only (r{newest}, "
+                f"{len(delta)} queries) — benign by the driver cycle; "
+                "run without --check to fold it in"
+            )
+            return 0
         print("ledger STALE — run without --check to rewrite", file=sys.stderr)
         return 1
     # replace the later block first so the earlier match spans stay valid
