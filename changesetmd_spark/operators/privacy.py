@@ -119,3 +119,81 @@ def q_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import materialize_releasing
 
     return materialize_releasing(out, per)
+
+
+# l-diversity threshold: QI groups whose sensitive attribute shows fewer
+# than this many distinct values are attribute-disclosure risks even when
+# k-anonymous (Machanavajjhala et al. 2007, public method)
+_L_THRESHOLD = 3
+
+
+@register(
+    "q_ldiversity_risk",
+    oracle=f"""
+    WITH grp AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS k,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_records,
+           CAST(MIN(k) AS BIGINT) AS min_group_size,
+           CAST(CASE WHEN l < {_L_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk
+    FROM grp
+    GROUP BY l
+    ORDER BY l
+    """,
+)
+def q_ldiversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007, public method) — the
+    companion to q_kanonymity_risk: a QI group can be k-anonymous yet
+    still leak its sensitive attribute if every member SHARES it
+    (homogeneity attack).  Here the QI is (nation, generalized balance
+    bucket) and the sensitive attribute is the market segment; the
+    report histograms groups by their distinct-sensitive-value count l,
+    flagging l < {_L_THRESHOLD}.
+
+    Exactness: pure integer counting — group sizes, exact distinct
+    counts, and the threshold flag; nothing fractional.
+
+    Scale shape: the COUNT(DISTINCT) plans as Spark's expand + two-level
+    aggregate — both exchanges keyed on the QI tuple (the k-anonymity
+    exchange) with map-side partials, then an O(#distinct-l) rollup.  No
+    window, no collect; the 10¹²-row form is identical."""
+    grp = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / _BAL_BUCKET)
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    return (
+        grp.groupBy(F.col("l").cast("long").alias("l"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_records"),
+            F.min("k").cast("long").alias("min_group_size"),
+        )
+        .select(
+            "l",
+            "n_groups",
+            "n_records",
+            "min_group_size",
+            F.when(F.col("l") < _L_THRESHOLD, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("at_risk"),
+        )
+        .orderBy("l")
+    )

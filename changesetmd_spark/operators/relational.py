@@ -1384,3 +1384,257 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sec",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — HAVING on an aggregate, join-back.
+# ---------------------------------------------------------------------------
+_Q18_MIN_QTY = 250  # ≈ the top ~1% of orders by total quantity
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_MIN_QTY}
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (the HAVING-on-aggregate + join-back pattern the
+    reference delegates to Postgres, ref README.md:106-124): orders whose
+    TOTAL lineitem quantity exceeds a volume threshold, decorated with
+    customer and order attributes, top-100 by order value.
+
+    Exactness: the quantity sum is DECIMAL(18,2) (order-independent), so
+    the HAVING cut can never flip on a float ulp; o_totalprice is only an
+    output column and the tie-break is the unique o_orderkey.
+
+    Scale shape: one map-side-combined aggregate on l_orderkey, the
+    HAVING filter slashes the frame to the top ~1% of orders BEFORE any
+    join, the orders join is an equi-join on the same key (AQE turns the
+    post-HAVING side into a broadcast at real selectivity), customer
+    attaches as a broadcast dim, and the top-100 is a TakeOrdered — no
+    global sort materializes."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .filter(F.col("sq") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_name"
+                )
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            fmt_date("o_orderdate").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            as_double(F.col("sq")).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: share-of-global-value cut (HAVING vs a scalar subquery).
+# ---------------------------------------------------------------------------
+# keep parts whose revenue share exceeds 1/_Q11_SHARE_DEN of the global —
+# expressed as an exact integer-scaled DECIMAL cross-multiplication so the
+# cut can never flip on a float ulp in either engine
+_Q11_SHARE_DEN = 1600
+
+
+@register(
+    "q_part_value_share",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS val
+      FROM lineitem
+      GROUP BY l_partkey
+    ), g AS (
+      SELECT SUM(val) AS tot FROM pv
+    )
+    SELECT l_partkey AS partkey,
+           CAST(val AS DOUBLE) AS part_value,
+           -- exact floor(val*1e6/tot): go through integer micros — on
+           -- DECIMAL operands DuckDB's // is not an integral division
+           CAST(CAST(val * 1000000 AS HUGEINT) * 1000000
+                // CAST(tot * 1000000 AS HUGEINT) AS BIGINT) AS share_ppm
+    FROM pv, g
+    WHERE val * {_Q11_SHARE_DEN} > tot
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts that individually carry more than
+    1/{_Q11_SHARE_DEN} of total lineitem revenue — the HAVING-vs-scalar-
+    subquery pattern (inventory concentration, the "which SKUs matter"
+    report).
+
+    Exactness: per-part value and the global total are DECIMAL sums; the
+    share cut is the integer cross-multiplication ``val·DEN > tot`` and
+    the reported share is exact floor parts-per-million — no double
+    enters until the output cast.
+
+    Scale shape: one map-side-combined aggregate on l_partkey (the part
+    cardinality frame, ~200k·SF rows), one CONSTANT-SIZE global reduce of
+    that frame, the scalar total re-attached as a broadcast 1-row frame —
+    the part frame is scanned once more for the cut, never re-shuffled."""
+    # Tighten the sum's inferred DECIMAL(36,6) to DECIMAL(25,6) (absolute
+    # headroom 10¹⁹ — far above any per-part or global revenue) so the
+    # ×10⁶ ppm multiply and the ×DEN share cut stay WITHIN 38 digits:
+    # at the inferred width Spark silently reduces scale (rounding) on
+    # the multiply, which flipped ppm values off-by-one vs the oracle's
+    # exact HUGEINT arithmetic.
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                money("l_extendedprice") * one_minus(rate("l_discount"))
+            )
+            .cast("decimal(25,6)")
+            .alias("val")
+        )
+    )
+    g = pv.agg(F.sum("val").cast("decimal(30,6)").alias("tot"))
+    return (
+        pv.crossJoin(F.broadcast(g))
+        .filter(F.col("val") * _Q11_SHARE_DEN > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            as_double(F.col("val")).alias("part_value"),
+            F.expr("(val * 1000000) div tot").cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (adapted): groupwise ARGMIN join-back — cheapest supplier
+# per part by total discounted cost, via a map-side struct-extremum.
+# ---------------------------------------------------------------------------
+@register(
+    "q_argmin_supplier_per_part",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS cost,
+             COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                   ORDER BY cost, l_suppkey) AS rn
+      FROM ps
+    )
+    SELECT l_partkey AS partkey, p_name,
+           l_suppkey AS suppkey, s_name,
+           CAST(cost AS DOUBLE) AS min_cost,
+           CAST(n_items AS BIGINT) AS n_items
+    FROM ranked
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1
+    ORDER BY partkey
+    """,
+)
+def q_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's groupwise-argmin shape (adapted: the testdata schema has
+    no partsupp, so "cheapest" is the supplier with the minimum total
+    discounted cost observed in lineitem): one winner per part,
+    deterministic tie-break on suppkey, decorated with part/supplier
+    names.
+
+    Exactness: cost is a DECIMAL sum; the argmin is a lexicographic
+    (cost, suppkey) minimum — both engines compare exact decimals, and
+    the unique suppkey tie-break makes the winner deterministic.
+
+    Scale shape: NO window over the (part, supplier) frame — the argmin
+    is a struct-extremum ``MIN(STRUCT(cost, suppkey, n_items))`` which
+    map-side combines on l_partkey (the same trick as the OHLC
+    open/close), so the plan is two hash aggregates + two broadcast dim
+    attaches.  The oracle's ROW_NUMBER formulation computes the identical
+    winner; the engine never pays the sort."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                money("l_extendedprice") * one_minus(rate("l_discount"))
+            ).alias("cost"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    win = (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("cost"), F.col("l_suppkey"), F.col("n_items")
+                )
+            ).alias("m")
+        )
+        .select(
+            "l_partkey",
+            F.col("m.cost").alias("cost"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+            F.col("m.n_items").alias("n_items"),
+        )
+    )
+    return (
+        win.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    "p_partkey", "p_name"
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "supplier").select(
+                    "s_suppkey", "s_name"
+                )
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            as_double(F.col("cost")).alias("min_cost"),
+            F.col("n_items").cast("long").alias("n_items"),
+        )
+        .orderBy(F.asc("partkey"))
+    )

@@ -985,3 +985,182 @@ def q_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time distribution per event type (r15): the latency /
+# engagement-cadence profile every behavioral pipeline reports.
+# ---------------------------------------------------------------------------
+@register(
+    "q_interarrival_stats",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+               // 1000000 AS dt_sec
+      FROM events
+    ), g AS (SELECT event_type, dt_sec FROM d WHERE dt_sec IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(dt_sec, 0.5), 4) AS p50_sec,
+           ROUND(quantile_cont(dt_sec, 0.9), 4) AS p90_sec,
+           CAST(MAX(dt_sec) AS BIGINT) AS max_sec,
+           ROUND(SUM(dt_sec) * 1.0 / COUNT(*), 4) AS mean_sec
+    FROM g
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps, summarized per event type — the
+    cadence profile (session-timeout calibration, bot detection, queue
+    sizing) every event pipeline derives before picking streaming
+    watermarks.  The gap attributes to the LATER event's type.
+
+    Exactness: gaps are exact integer seconds (micros difference with
+    integer floor-division — never a double subtraction of epoch
+    floats); the interpolated percentiles follow the funnel
+    time-to-convert convention (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both rounded at 4 dp over INTEGER inputs); the
+    mean is an exact integer sum divided once.
+
+    Scale shape: one lag window PARTITIONED BY user_id (per-user frames,
+    hot-key-exposed exactly like sessionization — the skew tier's
+    collapse rows bound that family), then one hash aggregate on the
+    ≤5-key event_type space with map-side combine.  No global sort, no
+    unpartitioned window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    d = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(ts) AS BIGINT)"
+        ).alias("us"),
+        F.lag(F.expr("unix_micros(ts)")).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(us - prev_us AS BIGINT) div 1000000").alias("dt_sec"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.percentile("dt_sec", F.lit(0.5)), 4).alias("p50_sec"),
+            F.round(F.percentile("dt_sec", F.lit(0.9)), 4).alias("p90_sec"),
+            F.max("dt_sec").cast("long").alias("max_sec"),
+            F.round(F.sum("dt_sec") * 1.0 / F.count("*"), 4).alias(
+                "mean_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per event type over the hourly revenue series (r15):
+# the peak-to-trough risk statistic, computed in exact integer cents.
+# ---------------------------------------------------------------------------
+@register(
+    "q_max_drawdown",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, hr, cents,
+             MAX(cents) OVER (PARTITION BY event_type ORDER BY hr
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM h
+    ), dd AS (
+      SELECT event_type, hr,
+             CASE WHEN peak > 0
+                  THEN (peak - cents) * 10000 // peak ELSE 0 END AS dd_bp,
+             peak
+      FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(dd_bp) AS BIGINT) AS max_drawdown_bp,
+           strftime(MIN(CASE WHEN dd_bp = (SELECT MAX(d2.dd_bp) FROM dd d2
+                                           WHERE d2.event_type = dd.event_type)
+                             THEN hr END),
+                    '%Y-%m-%d %H:%M:%S') AS drawdown_hour
+    FROM dd
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the hourly revenue series per event type — the
+    peak-to-trough statistic (risk reporting, anomaly triage: "how far
+    below its running peak did this stream fall, and when").
+
+    Exactness: hourly totals are exact integer CENTS (the KS-drift
+    quantization, proven cross-engine); the running peak and the
+    drawdown basis points are integer window/division arithmetic; the
+    argmax hour is deterministic (earliest hour achieving the max,
+    via a struct extremum on (dd_bp, −epoch) — no nondeterministic
+    max_by).
+
+    Scale shape: one hash aggregate to the (type, hour) frame (map-side
+    combined — the same exchange as OHLC), one running-max window over
+    that TIME-BOUNDED frame (cardinality = hours × types, the KS-drift
+    domain-bound argument), one final ≤5-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = h.select(
+        "event_type",
+        "hr",
+        F.max("cents").over(w).alias("peak"),
+        "cents",
+    ).select(
+        "event_type",
+        "hr",
+        "peak",
+        F.when(
+            F.col("peak") > 0,
+            F.expr("(peak - cents) * 10000 div peak"),
+        )
+        .otherwise(0)
+        .alias("dd_bp"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("dd_bp"),
+            (-F.expr("unix_micros(hr)")).alias("neg_us"),
+        )
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.max("peak").cast("long").alias("peak_cents"),
+            best.alias("b"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "peak_cents",
+            F.col("b.dd_bp").cast("long").alias("max_drawdown_bp"),
+            F.date_format(
+                F.timestamp_micros(-F.col("b.neg_us")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("drawdown_hour"),
+        )
+        .orderBy("event_type")
+    )
