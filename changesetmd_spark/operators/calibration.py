@@ -135,3 +135,82 @@ def q_calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(conf - acc), 5).alias("gap5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (r15): Cohen's kappa between the metadata language
+# label and a content-based heuristic.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohens_kappa_langid",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN contains(lower(text), ' the ') THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), c AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS a1,
+             CAST(SUM(b) AS HUGEINT) AS b1,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT)
+               AS agree
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(a1 AS BIGINT) AS label_en,
+           CAST(b1 AS BIGINT) AS heuristic_en,
+           CAST(agree AS BIGINT) AS n_agree,
+           ROUND(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1))
+                      AS DOUBLE)
+                 / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1))
+                        AS DOUBLE), 6) AS kappa
+    FROM c
+    """,
+)
+def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (1960, public method) between two binary raters on
+    "is this document English": the corpus METADATA label (rater A) and
+    a cheap content heuristic (rater B: contains the token ' the ') —
+    the chance-corrected agreement score every annotation pipeline
+    reports before trusting auto-labels.  κ = (pₒ − pₑ)/(1 − pₑ) with pₑ
+    from the raters' marginals.
+
+    Exactness: the whole statistic reduces to five integer counts; κ is
+    evaluated as the exact integer rational (N·agree − pe_num)/(N² −
+    pe_num) in DECIMAL/HUGEINT (N² exceeds int64 beyond ~3·10⁹ rows),
+    rounded once as a double.
+
+    Scale shape: ONE corpus scan feeding a constant-size global
+    aggregate (4 partial counters per task) — the cheapest possible
+    distributed shape; no join, no window, no shuffle beyond the 1-row
+    reduce."""
+    r = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("a"),
+        F.when(
+            F.contains(F.lower(F.col("text")), F.lit(" the ")), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = r.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("a").cast("decimal(38,0)").alias("a1"),
+        F.sum("b").cast("decimal(38,0)").alias("b1"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("agree"),
+    )
+    pe_num = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("a1").cast("long").alias("label_en"),
+        F.col("b1").cast("long").alias("heuristic_en"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.round(
+            (F.col("n") * F.col("agree") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -387,3 +387,109 @@ def q_label_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 10000 DIV n_total AS BIGINT)"
         ).alias("achieved_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subsample-stability CI (r15): B deterministic half-samples of the metric,
+# one corpus pass — the poor-man's bootstrap a 100 TB pipeline can afford.
+# ---------------------------------------------------------------------------
+_CI_B = 32  # number of deterministic half-sample replicates
+
+
+@register(
+    "q_subsample_stability_ci",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h1,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 17, 14))::BIGINT
+               AS h2
+      FROM events WHERE event_type = 'purchase'
+    ), full_m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(cents) * 1.0 / COUNT(*) / 100, 6) AS full_mean
+      FROM e
+    ), res AS (
+      SELECT b, SUM(cents) AS s, COUNT(*) AS c
+      FROM e, UNNEST(generate_series(0, {_CI_B} - 1)) AS t(b)
+      WHERE (h1 + b * h2) % 2 = 0
+      GROUP BY b
+    ), means AS (
+      SELECT ROUND(s * 1.0 / c / 100, 6) AS m FROM res
+    )
+    SELECT full_m.n_events,
+           full_m.full_mean,
+           CAST({_CI_B} AS BIGINT) AS n_resamples,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_low,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_high
+    FROM means, full_m
+    GROUP BY full_m.n_events, full_m.full_mean
+    """,
+)
+def q_subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampling confidence interval for the mean purchase value — 32
+    deterministic HALF-SAMPLES of the corpus, each drawn by a
+    Kirsch-Mitzenmacher double-hash bit (h1 + b·h2 mod 2, ONE md5 per
+    row for all replicates — the minhash signature trick), metric
+    recomputed per replicate, CI = the 2.5/97.5 interpolated percentiles
+    of the replicate means.  The subsampling bootstrap (Politis &
+    Romano 1994, public method) is the variant a distributed engine can
+    afford: no resampling with replacement, no per-replicate pass.
+
+    Exactness: per-replicate sums are exact integer CENTS; membership
+    bits are integer hash arithmetic reproduced verbatim by the oracle
+    (h1 < 2⁶⁰, h2 < 2⁵⁶, b ≤ 32−1 ⇒ h1 + b·h2 < 2⁶³, no overflow in
+    either engine); only each replicate's final mean divides once.
+
+    Scale shape: ONE events scan; the replicate fan-out explodes each
+    row into its member replicates BUT partial aggregation collapses
+    them to ≤32 partials per task before the exchange — the shuffle
+    carries O(32 × tasks) rows regardless of corpus size.  The
+    percentile runs over a 32-row frame."""
+    from .dedup import _md5_long
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            _md5_long(F.col("event_id").cast("string")).alias("h1"),
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 17, 14),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    full_m = e.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("cents") * 1.0 / F.count("*") / 100, 6).alias(
+            "full_mean"
+        ),
+    )
+    res = (
+        e.select(
+            "cents",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(_CI_B - 1)),
+                    lambda b: (F.col("h1") + b * F.col("h2")) % 2 == 0,
+                )
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.round(F.sum("cents") * 1.0 / F.count("*") / 100, 6).alias("m")
+        )
+    )
+    ci = res.agg(
+        F.count("*").cast("long").alias("n_resamples"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_low"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_high"),
+    )
+    return full_m.crossJoin(F.broadcast(ci)).select(
+        "n_events", "full_mean", "n_resamples", "ci_low", "ci_high"
+    )

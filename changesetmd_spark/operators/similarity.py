@@ -2294,3 +2294,238 @@ def q_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette audit (r15): cluster-quality score per label.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cluster_silhouette",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), dims AS (
+      SELECT label, i AS dim, SUM(CAST(e[i] AS DECIMAL(28,12))) AS s,
+             COUNT(*) AS n
+      FROM v, UNNEST(generate_series(1, {_DIM})) AS t(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label,
+             list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+      FROM dims GROUP BY label
+    ), pair AS (
+      SELECT v.vec_id, v.label AS vlabel, cent.label AS clabel,
+             sqrt(list_reduce(
+               list_transform(generate_series(1, {_DIM}),
+                 i -> (v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i])),
+               (a, b) -> a + b)) AS dist
+      FROM v, cent
+    ), ab AS (
+      SELECT vec_id, vlabel,
+             MIN(CASE WHEN vlabel = clabel THEN dist END) AS a,
+             MIN(CASE WHEN vlabel != clabel THEN dist END) AS b
+      FROM pair GROUP BY vec_id, vlabel
+    ), s AS (
+      SELECT vlabel AS label,
+             CAST(ROUND((b - a) / GREATEST(a, b) * 1000000, 0) AS BIGINT)
+               AS s_u
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(s_u) * 1.0 / COUNT(*) / 1000000, 6) AS mean_silhouette,
+           CAST(SUM(CASE WHEN s_u < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM s
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette per label — the standard
+    cluster-quality audit (Rousseeuw 1987, public method) in its
+    medoid-free form: a(i) = distance to the OWN label's centroid,
+    b(i) = distance to the nearest OTHER centroid, s = (b−a)/max(a,b).
+    Vectors with s < 0 sit closer to a foreign centroid than their own —
+    the would-be-reassigned count a k-means iteration or a label-noise
+    triage reads directly.
+
+    Exactness: centroids are DECIMAL sums divided once (shuffle-order
+    proof); distances are sequential index-order left-folds in BOTH
+    engines (identical double results); per-vector s quantizes to exact
+    integer MICRO-UNITS before the mean so the per-label average never
+    depends on summation order.
+
+    Scale shape: the centroid build posexplodes to (label, dim) — a 64×
+    row multiplication of SKINNY rows that map-side combines into
+    #labels×64 partials; the 10-row centroid frame broadcasts back; the
+    per-vector a/b pass is one broadcast nested loop over 10 centroids
+    (embarrassingly parallel, no shuffle of vectors) followed by one
+    per-label aggregate.  At 10⁹ vectors the only exchange carrying
+    vector-count rows is the final ≤#labels reduce."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+    dims = (
+        emb.select(
+            "label", F.posexplode(F.col("e")).alias("dim0", "val")
+        )
+        .groupBy("label", "dim0")
+        .agg(
+            F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim0"),
+                        (F.col("s").cast("double") / F.col("n")).alias("cv"),
+                    )
+                )
+            ),
+            lambda st: st["cv"],
+        ).alias("c")
+    )
+    pair = emb.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "c"))
+    ).select(
+        "vec_id",
+        F.col("label").alias("vlabel"),
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("dist"),
+    )
+    ab = pair.groupBy("vec_id", "vlabel").agg(
+        F.min(
+            F.when(F.col("vlabel") == F.col("clabel"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("vlabel") != F.col("clabel"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        F.col("vlabel").alias("label"),
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("s_u"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.sum("s_u") * 1.0 / F.count("*") / 1000000, 6).alias(
+                "mean_silhouette"
+            ),
+            F.sum(F.when(F.col("s_u") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity + payload-sanity audit across modalities (r15).
+# ---------------------------------------------------------------------------
+@register(
+    "q_referential_integrity_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    v AS (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))))
+               AS n_nan,
+             list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b) AS sq
+      FROM embeddings
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vecs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+             WHERE doc_id NOT IN (SELECT vec_id FROM v))
+             AS docs_without_vec,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+             WHERE vec_id NOT IN (SELECT doc_id FROM d))
+             AS vecs_without_doc,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE dim != {_DIM})
+             AS dim_violations,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE n_nan > 0)
+             AS vecs_with_nan,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE sq = 0.0)
+             AS zero_norm_vecs
+    """,
+)
+def q_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modality referential-integrity audit — the pre-flight check a
+    multimodal training pipeline runs before joining documents to their
+    embeddings: orphan keys on BOTH sides (docs missing a vector, vectors
+    missing a doc), plus payload sanity on the vector side (dimension
+    violations, NaN contamination, zero-norm vectors that break cosine).
+
+    Exactness: pure integer counting; the zero-norm test uses the exact
+    sequential squared-norm fold (identical in both engines).
+
+    Scale shape: two LEFT ANTI equi-joins on the id (shuffle-keyed, the
+    exact/incremental-dedup shape), one embeddings scan computing the
+    array predicates map-side, and constant-size 1-row aggregates unioned
+    by a broadcast-only chain — no window, no collect, no skew exposure
+    (ids are unique on each side)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(
+            F.filter(
+                to_double_vec(F.col("embedding")), lambda x: F.isnan(x)
+            )
+        ).alias("n_nan"),
+        dot(
+            to_double_vec(F.col("embedding")),
+            to_double_vec(F.col("embedding")),
+        ).alias("sq"),
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_vecs = v.agg(F.count("*").cast("long").alias("n_vecs"))
+    docs_wo = docs.join(
+        v.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    ).agg(F.count("*").cast("long").alias("docs_without_vec"))
+    vecs_wo = v.select("vec_id").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    ).agg(F.count("*").cast("long").alias("vecs_without_doc"))
+    sanity = v.agg(
+        F.sum(F.when(F.col("dim") != _DIM, 1).otherwise(0))
+        .cast("long")
+        .alias("dim_violations"),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vecs_with_nan"),
+        F.sum(F.when(F.col("sq") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_norm_vecs"),
+    )
+    out = n_docs
+    for frame in (n_vecs, docs_wo, vecs_wo, sanity):
+        out = out.crossJoin(F.broadcast(frame))
+    return out
