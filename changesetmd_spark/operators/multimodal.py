@@ -1096,3 +1096,253 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amp_sum").alias("sum_amplitude"),
         F.max("peak").alias("peak_amplitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# THIRD real container format (r15): PNG — stdlib-zlib DEFLATE, per-chunk
+# CRC32 validation, multi-IDAT streams, and per-row scanline filters.
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb(
+    width: int, height: int, pixels: bytes, text: str | None = None
+) -> bytes:
+    """Minimal REAL PNG encoder (RFC 2083 subset): 8-bit RGB (color type
+    2), per-row scanline filters cycling None/Sub/Up (row r uses filter
+    r mod 3 — so a decoder that ignores filter bytes gets most rows
+    wrong), zlib-compressed IDAT split across TWO chunks (defeats
+    single-IDAT shortcut parsers), optional planted tEXt ancillary chunk
+    BETWEEN IHDR and IDAT, CRC32 on every chunk."""
+    import struct
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = 3 * width
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        ftype = r % 3
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub (bpp = 3)
+            raw += bytes(
+                (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        else:  # Up
+            raw += bytes((row[x] - prior[x]) & 0xFF for x in range(stride))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if text is not None:
+        chunks.append(_png_chunk(b"tEXt", b"Comment\x00" + text.encode()))
+    z = zlib.compress(bytes(raw), 6)
+    half = max(1, len(z) // 2)
+    chunks.append(_png_chunk(b"IDAT", z[:half]))
+    chunks.append(_png_chunk(b"IDAT", z[half:]))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_SIG + b"".join(chunks)
+
+
+def decode_png_rgb(payload: bytes) -> tuple[int, int, bytes, list[int]]:
+    """Real PNG decoder for the 8-bit RGB subset: walks the chunk list
+    validating every CRC32, concatenates ALL IDAT chunks before the one
+    zlib.decompress, un-applies scanline filters 0/1/2 per row, skips
+    ancillary chunks.  Returns (w, h, raster, filter_counts[3])."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError(f"not a PNG (magic {payload[:4]!r})")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, "
+                    f"color={ctype_i}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decompressed stream does not match dimensions")
+    out = bytearray()
+    prior = bytes(stride)
+    fcounts = [0, 0, 0]
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        row = bytearray(
+            raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        )
+        if ftype > 2:
+            raise ValueError(f"filter {ftype} not in encoded subset")
+        fcounts[ftype] += 1
+        if ftype == 1:  # Sub
+            for x in range(3, stride):
+                row[x] = (row[x] + row[x - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prior[x]) & 0xFF
+        out += row
+        prior = bytes(row)
+    return (w, h, bytes(out), fcounts)
+
+
+@register(
+    "q_multimodal_png_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             n_chars % 12 + 1 AS w,
+             n_chars % 8 + 1 AS h,
+             (doc_id * 37) % 256 AS a
+      FROM documents
+    ), s AS (
+      SELECT w, h,
+             w * h AS px,
+             list_reduce(list_transform(generate_series(0, 3*w*h - 1),
+                           i -> (a + 5 * i) % 256), (x, y) -> x + y)
+               AS pixel_sum,
+             list_reduce(list_transform(generate_series(0, w*h - 1),
+                           j -> (a + 15 * j) % 256), (x, y) -> x + y)
+               AS red_sum,
+             len(list_filter(generate_series(0, h - 1), r -> r % 3 = 1))
+               AS rows_sub,
+             len(list_filter(generate_series(0, h - 1), r -> r % 3 = 2))
+               AS rows_up
+      FROM m
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(px) AS BIGINT) AS total_pixels,
+           CAST(SUM(pixel_sum) AS BIGINT) AS pixel_sum,
+           CAST(SUM(red_sum) AS BIGINT) AS red_sum,
+           CAST(SUM(rows_sub) AS BIGINT) AS rows_sub_filtered,
+           CAST(SUM(rows_up) AS BIGINT) AS rows_up_filtered
+    FROM s
+    GROUP BY w
+    ORDER BY width
+    """,
+)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD real container round-trip (E3): one RGB PNG per document —
+    w = n_chars%12+1, h = n_chars%8+1, pixel byte i = (37·doc_id + 5i)
+    mod 256 — through a REAL RFC-2083-subset codec: zlib DEFLATE
+    compression (the first COMPRESSED container in the suite; BMP/PPM/WAV
+    are raw), CRC32 validated on every chunk, the IDAT stream split
+    across two chunks, a planted tEXt ancillary chunk on every 4th image,
+    and per-row scanline filters cycling None/Sub/Up.  A decoder that
+    skips unfiltering, reads only the first IDAT, or mis-walks chunk
+    CRCs hash-mismatches immediately; the rows_sub/rows_up columns prove
+    the filter paths actually executed.  The oracle recomputes every
+    statistic analytically from the fixture construction.
+
+    Scale shape: identical to the BMP/WAV tiers — synthesis, encode,
+    decode, and feature extraction all inside ONE Arrow-batched
+    mapInPandas stage (payload bytes never shuffle); the only exchange
+    is the ≤12-key width rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 12 + 1).cast("int").alias("w"),
+        (F.col("n_chars") % 8 + 1).cast("int").alias("h"),
+        ((F.col("doc_id") * 37) % 256).cast("int").alias("a"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("width", LongType(), False),
+            StructField("n_px", LongType(), False),
+            StructField("pixel_sum", LongType(), False),
+            StructField("red_sum", LongType(), False),
+            StructField("rows_sub", LongType(), False),
+            StructField("rows_up", LongType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h, a in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["a"]
+            ):
+                w, h, a = int(w), int(h), int(a)
+                raster = bytes((a + 5 * i) % 256 for i in range(3 * w * h))
+                payload = encode_png_rgb(
+                    w,
+                    h,
+                    raster,
+                    text=f"img {mid}" if mid % 4 == 0 else None,
+                )
+                gw, gh, got, fcounts = decode_png_rgb(payload)
+                rows.append(
+                    (
+                        gw,
+                        gw * gh,
+                        sum(got),
+                        sum(got[0::3]),
+                        fcounts[1],
+                        fcounts[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "width",
+                    "n_px",
+                    "pixel_sum",
+                    "red_sum",
+                    "rows_sub",
+                    "rows_up",
+                ],
+            )
+
+    decoded = meta.mapInPandas(roundtrip, schema=out_schema)
+    return (
+        decoded.groupBy("width")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_px").alias("total_pixels"),
+            F.sum("pixel_sum").alias("pixel_sum"),
+            F.sum("red_sum").alias("red_sum"),
+            F.sum("rows_sub").alias("rows_sub_filtered"),
+            F.sum("rows_up").alias("rows_up_filtered"),
+        )
+        .orderBy("width")
+    )

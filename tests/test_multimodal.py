@@ -268,3 +268,53 @@ def test_wav_pcm16_roundtrip_and_chunk_walking():
     struct.pack_into("<H", stereo, fmt_off + 2, 2)
     with pytest.raises(ValueError, match="unsupported WAV"):
         decode_wav_pcm16(bytes(stereo))
+
+
+def test_png_codec_roundtrip_filters_and_crc():
+    """PNG codec referee: exact raster round-trip through zlib DEFLATE +
+    per-row None/Sub/Up filters, tEXt chunks skipped by the walk, BOTH
+    IDAT chunks required, every CRC validated, unsupported variants and
+    corruption rejected."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from changesetmd_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    w, h = 5, 7  # 7 rows → filters 0,1,2,0,1,2,0
+    raster = bytes((11 + 5 * i) % 256 for i in range(3 * w * h))
+    for text in (None, "planted"):
+        payload = encode_png_rgb(w, h, raster, text=text)
+        gw, gh, got, fcounts = decode_png_rgb(payload)
+        assert (gw, gh, got) == (w, h, raster), text
+        assert fcounts == [3, 2, 2]  # rows 0..6 cycle None/Sub/Up
+    # corrupting one IDAT byte must fail the CRC, not mis-decode
+    bad = bytearray(encode_png_rgb(w, h, raster))
+    idat_off = bad.index(b"IDAT") + 6
+    bad[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_rgb(bytes(bad))
+    # dropping the second IDAT chunk must fail decompression-side checks,
+    # not silently return a truncated raster
+    payload = encode_png_rgb(w, h, raster)
+    second = payload.index(b"IDAT", payload.index(b"IDAT") + 4)
+    (ln2,) = struct.unpack_from(">I", payload, second - 4)
+    truncated = payload[: second - 4] + payload[second + 8 + ln2 :]
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png_rgb(truncated)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_rgb(b"\x89JPG" + payload[4:])
+    # 16-bit depth must be rejected, not mis-parsed
+    deep = bytearray(payload)
+    type_off = deep.index(b"IHDR")  # chunk type; data follows at +4
+    deep[type_off + 4 + 8] = 16  # bit depth is byte 8 of the IHDR data
+    ctype_and_data = bytes(deep[type_off : type_off + 4 + 13])
+    struct.pack_into(
+        ">I", deep, type_off + 4 + 13, zlib.crc32(ctype_and_data) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png_rgb(bytes(deep))
