@@ -167,6 +167,20 @@ HEADLINE = [
     "q_funnel_time_to_convert",
     "q_multimodal_audio_stats",
     "q_hourly_ohlc",
+    # r15 additions
+    "q18_large_volume_orders",
+    "q_part_value_share",
+    "q_argmin_supplier_per_part",
+    "q_interarrival_stats",
+    "q_max_drawdown",
+    "q_ldiversity_risk",
+    "q_cluster_silhouette",
+    "q_referential_integrity_audit",
+    "q_cohens_kappa_langid",
+    "q_subsample_stability_ci",
+    "q_multimodal_png_stats",
+    "q_tokenizer_fertility",
+    "q_chi2_independence",
 ]
 
 

@@ -1851,3 +1851,127 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (r15): source × lang association audit.
+# ---------------------------------------------------------------------------
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(COUNT(*) AS DECIMAL(38,0)) AS obs
+      FROM documents GROUP BY source, lang
+    ), rt AS (SELECT source, SUM(obs) AS r FROM o GROUP BY source),
+    ct AS (SELECT lang, SUM(obs) AS c FROM o GROUP BY lang),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT rt.source, ct.lang, rt.r, ct.c, n.n,
+             COALESCE(o.obs, 0) AS obs
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN o ON o.source = rt.source AND o.lang = ct.lang
+    ), terms AS (
+      SELECT CAST(ROUND(
+               CAST(obs * n - r * c AS DOUBLE)
+               * CAST(obs * n - r * c AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               * 1000000, 0) AS BIGINT) AS t_u,
+             source, lang, n
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1)
+                AS BIGINT) AS dof,
+           ROUND(SUM(t_u) / 1000000.0, 4) AS chi2,
+           ROUND(sqrt(SUM(t_u) / 1000000.0 / (CAST(MAX(n) AS DOUBLE)
+                 * (LEAST(COUNT(DISTINCT source), COUNT(DISTINCT lang)) - 1))),
+                 6) AS cramers_v
+    FROM terms
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between document source and
+    language (Pearson 1900, public method) plus Cramér's V effect size —
+    the association audit a mixture designer runs before treating
+    source and language as independent sampling axes (a skewed
+    source→language coupling silently biases any per-source quota).
+
+    Exactness: every contingency count, row/column marginal, and the
+    cross-multiplied numerator (obs·N − r·c, ≤10²⁴ at 10¹² docs) are
+    exact DECIMAL integers; only each CELL's final term divides in
+    doubles — identically in both engines — and is quantized to integer
+    micro-units before the sum, so the statistic never depends on
+    summation order.  Zero cells (a source×lang combo with no docs)
+    enter with obs = 0 as the test requires.
+
+    Scale shape: one hash aggregate to the (source, lang) contingency
+    frame (map-side combined — the frame IS the cell count, bounded by
+    the category product, not the corpus), two marginal rollups of that
+    tiny frame, a broadcast cross of the two marginal vectors to
+    materialize zero cells, one constant-size reduce."""
+    o = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("decimal(38,0)").alias("obs"))
+    )
+    rt = o.groupBy("source").agg(F.sum("obs").cast("decimal(38,0)").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("obs").cast("decimal(38,0)").alias("c"))
+    n = o.agg(F.sum("obs").cast("decimal(38,0)").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("obs"), F.lit(0).cast("decimal(38,0)")).alias(
+                "obs"
+            ),
+        )
+    )
+    diff = (F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    term_u = F.round(
+        diff
+        * diff
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    terms = cells.select(term_u.alias("t_u"), "source", "lang", "n")
+    return terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        ((F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum("t_u") / 1000000.0, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("t_u")
+                / 1000000.0
+                / (
+                    F.max("n").cast("double")
+                    * (
+                        F.least(
+                            F.countDistinct("source"),
+                            F.countDistinct("lang"),
+                        )
+                        - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

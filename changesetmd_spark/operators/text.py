@@ -1178,3 +1178,92 @@ def q_charclass_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_low_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit (r15): chars-per-token under a BPE-ish regex
+# pre-tokenizer vs plain whitespace, per source.
+# ---------------------------------------------------------------------------
+# GPT-2-style pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks — the segmentation BPE merges start from
+_BPE_PRETOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=rf"""
+    WITH d AS (
+      SELECT source,
+             len(trim(text)) AS chars,
+             len(regexp_extract_all(lower(text), '{_BPE_PRETOK_RE}'))
+               AS n_bpe,
+             len(regexp_extract_all(text, '\S+')) AS n_ws
+      FROM documents
+    ), g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(n_ws) AS BIGINT) AS ws_tokens
+      FROM d WHERE n_bpe > 0 AND n_ws > 0
+      GROUP BY source
+    )
+    SELECT source, n_docs, total_chars, bpe_tokens, ws_tokens,
+           CAST(total_chars * 1000 // bpe_tokens AS BIGINT)
+             AS chars_per_bpe_x1000,
+           CAST(bpe_tokens * 1000 // ws_tokens AS BIGINT)
+             AS fertility_x1000
+    FROM g
+    ORDER BY source
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source — the cost model every
+    token-budgeted pipeline derives before mixing sources: how many
+    GPT-2-style pre-tokens (letter runs / digit runs / single marks — the
+    segmentation BPE merges start from) each whitespace word explodes
+    into ("fertility", Ács 2019 usage — public term), and how many
+    characters ride per pre-token.  A source whose fertility is high
+    (heavy punctuation, digit soup, non-Latin script) eats
+    disproportionate token budget per byte of content.
+
+    Exactness: both token counts are regex MATCH COUNTS evaluated by
+    each engine's own regex over identical class-only patterns (no
+    engine-specific syntax); ratios are exact integer floor per-mille.
+
+    Scale shape: one documents scan with both counters computed map-side,
+    one hash aggregate on the source key with map-side combine — the q1
+    shape over text."""
+    lower = F.lower(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.length(F.trim(F.col("text"))).alias("chars"),
+        F.size(
+            F.regexp_extract_all(lower, F.lit(_BPE_PRETOK_RE), 0)
+        ).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+    return (
+        d.filter((F.col("n_bpe") > 0) & (F.col("n_ws") > 0))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "bpe_tokens",
+            "ws_tokens",
+            F.expr("total_chars * 1000 div bpe_tokens").alias(
+                "chars_per_bpe_x1000"
+            ),
+            F.expr("bpe_tokens * 1000 div ws_tokens").alias(
+                "fertility_x1000"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -273,6 +273,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
 WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q10_returned_item_revenue": "fb740dc41912",
     "q14_promo_revenue_share": "bee08938dc59",
+    "q18_large_volume_orders": "df1f0b07071e",
     "q1_pricing_summary": "924990a78492",
     "q3_top_revenue_orders": "5c4ef681d492",
     "q5_revenue_by_nation": "04cb5b299f24",
@@ -280,6 +281,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ann_recall_audit": "d352919eb19d",
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
+    "q_argmin_supplier_per_part": "4faa4e3ba1de",
     "q_asof_purchase_last_view": "b1fdf5f673b3",
     "q_asof_two_phase_scalable": "6237fa649e5e",
     "q_association_rules": "5e8b46d3358a",
@@ -298,6 +300,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_changeset_ingest_normalize": "91a73d69bd16",
     "q_changeset_join_comments": "67e155a3df90",
     "q_charclass_entropy": "3a322737188e",
+    "q_chi2_independence": "cd0f83650244",
+    "q_cluster_silhouette": "ba23a5686d7b",
+    "q_cohens_kappa_langid": "bcdf0d9dfec0",
     "q_cohort_retention": "0e48ae730a60",
     "q_containment_pairs": "5f082ca0cb16",
     "q_contamination_ngram_overlap": "007fd8327408",
@@ -342,6 +347,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
     "q_incremental_minhash_neardup": "d6e1bf0823a4",
+    "q_interarrival_stats": "42fe74ad3c51",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
     "q_json_typed_extract": "c88841a31644",
@@ -353,6 +359,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ks_value_drift": "ffbc49ca03bc",
     "q_label_balance_downsample": "a691146629bd",
     "q_label_propagation": "61335c44533d",
+    "q_ldiversity_risk": "4ee1510783e8",
     "q_length_bucket_packing": "5f5c45809b4e",
     "q_like_part_types": "9d4e6f50083c",
     "q_line_dedup_c4": "38a12ec1b5bf",
@@ -362,6 +369,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_map_value_like": "e0dfef91f1e6",
     "q_market_share_by_nation": "d003551182db",
     "q_matryoshka_truncation_audit": "a7836b0b556b",
+    "q_max_drawdown": "9b3e7bf50907",
     "q_media_shard_manifest": "75af061d14f8",
     "q_minhash_estimate_error_audit": "e9b5f216e257",
     "q_minhash_lsh_candidates": "c0b664190cc7",
@@ -371,6 +379,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "2bbb5633523b",
     "q_multimodal_decode_real": "3e62be6c2fd5",
+    "q_multimodal_png_stats": "7e97f8e27d2a",
     "q_multimodal_resize": "7f480e96df0f",
     "q_multitouch_attribution": "d74ed0f4a02f",
     "q_neardup_canonical": "e2cad7f30322",
@@ -380,6 +389,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_orders_per_month": "2e7c84bb0ae9",
     "q_outer_join_order_counts": "149621fc6479",
     "q_pagerank_items": "508378ca5fb4",
+    "q_part_value_share": "8ca62c27496e",
     "q_phrase_search": "7517698e473e",
     "q_pii_redaction_stats": "f5899ceda80a",
     "q_pipeline_curate_end_to_end": "619268fad749",
@@ -396,6 +406,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
+    "q_referential_integrity_audit": "c63924b22903",
     "q_retrieval_mrr_eval": "90d9fee5d164",
     "q_retrieval_ndcg_eval": "f6b9f5d76920",
     "q_rollup_nation_segment": "fcaca532c4ef",
@@ -431,6 +442,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_stream_sliding_2h_1h": "ae6b35072d48",
     "q_stream_stateful_user_totals": "4588e76adc5c",
     "q_stream_tumbling_hourly": "2eb91d1ad4db",
+    "q_subsample_stability_ci": "06a251ad06a4",
     "q_table_profile": "f84b829d00c7",
     "q_temperature_mixture": "9331bcd9a47b",
     "q_text_blocklist_scrub": "468932933668",
@@ -445,6 +457,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_time_gapfill_interpolate": "07691491e86c",
     "q_time_gapfill_locf": "a5d2a5666d50",
     "q_token_len_histogram": "c9c4c0b4f98e",
+    "q_tokenizer_fertility": "9b371cdc5bf2",
     "q_train_test_split": "cec82ef6be65",
     "q_triangle_count": "3d9e4a4c9b67",
     "q_txn_change_feed": "2d2d27434982",

@@ -283,6 +283,20 @@ QUERIES = [
     "q_funnel_time_to_convert",
     "q_multimodal_audio_stats",
     "q_hourly_ohlc",
+    # r15 operators
+    "q18_large_volume_orders",
+    "q_part_value_share",
+    "q_argmin_supplier_per_part",
+    "q_interarrival_stats",
+    "q_max_drawdown",
+    "q_ldiversity_risk",
+    "q_cluster_silhouette",
+    "q_referential_integrity_audit",
+    "q_cohens_kappa_langid",
+    "q_subsample_stability_ci",
+    "q_multimodal_png_stats",
+    "q_tokenizer_fertility",
+    "q_chi2_independence",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
@@ -327,6 +341,9 @@ SKEW_QUERIES = [
     # included to prove that shape survives the collapse
     "q_funnel_time_to_convert",
     "q_gini_user_concentration",
+    # r15: the inter-arrival lag window partitions by user_id — exactly
+    # the sessionization hot-key exposure
+    "q_interarrival_stats",
 ]
 
 # State-ratio pass-line exemptions (with the evidence for each): the
