@@ -413,7 +413,10 @@ _CI_B = 32  # number of deterministic half-sample replicates
     ), res AS (
       SELECT b, SUM(cents) AS s, COUNT(*) AS c
       FROM e, UNNEST(generate_series(0, {_CI_B} - 1)) AS t(b)
-      WHERE (h1 + b * h2) % 2 = 0
+      -- membership draws on LOW DIGITS of the mixed hash, not bare parity:
+      -- (h1 + b*h2) % 2 collapses to parity(h1) XOR (b%2)*parity(h2) — only
+      -- TWO distinct replicates; mod 1000 < 500 varies with every b
+      WHERE (h1 + b * h2) % 1000 < 500
       GROUP BY b
     ), means AS (
       SELECT ROUND(s * 1.0 / c / 100, 6) AS m FROM res
@@ -429,9 +432,11 @@ _CI_B = 32  # number of deterministic half-sample replicates
 )
 def q_subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampling confidence interval for the mean purchase value — 32
-    deterministic HALF-SAMPLES of the corpus, each drawn by a
-    Kirsch-Mitzenmacher double-hash bit (h1 + b·h2 mod 2, ONE md5 per
-    row for all replicates — the minhash signature trick), metric
+    deterministic HALF-SAMPLES of the corpus, each drawn from the
+    Kirsch-Mitzenmacher double-hash family ((h1 + b·h2) mod 1000 < 500 —
+    ONE md5 per row for all replicates, the minhash signature trick; a
+    bare mod-2 bit would collapse to parity(h1) XOR b·parity(h2), i.e.
+    only TWO distinct replicates — caught by the r15 referee), metric
     recomputed per replicate, CI = the 2.5/97.5 interpolated percentiles
     of the replicate means.  The subsampling bootstrap (Politis &
     Romano 1994, public method) is the variant a distributed engine can
@@ -476,7 +481,7 @@ def q_subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.filter(
                     F.sequence(F.lit(0), F.lit(_CI_B - 1)),
-                    lambda b: (F.col("h1") + b * F.col("h2")) % 2 == 0,
+                    lambda b: (F.col("h1") + b * F.col("h2")) % 1000 < 500,
                 )
             ).alias("b"),
         )

@@ -1,0 +1,275 @@
+"""Referees for the round-15 operators, beyond the DuckDB oracle checks in
+test_oracle_queries.py: invariant proofs and pure-Python recounts that would
+catch a bug the (structurally similar) oracle might share.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from changesetmd_spark import registry
+from changesetmd_spark.tables import load_table
+
+QS = registry.queries()
+
+
+def test_q18_threshold_and_ordering(spark, sf_dir):
+    """Every reported order's quantity sum exceeds the HAVING threshold,
+    the cut agrees with a pandas recount, and the top-100 is ordered by
+    (totalprice desc, orderkey)."""
+    from changesetmd_spark.operators.relational import _Q18_MIN_QTY
+
+    rows = QS["q18_large_volume_orders"](spark, sf_dir).collect()
+    assert rows, "fixture must produce large-volume orders"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .toPandas()
+    )
+    sums = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = {int(k) for k, v in sums.items() if round(v, 2) > _Q18_MIN_QTY}
+    assert all(r.sum_qty > _Q18_MIN_QTY for r in rows)
+    assert {r.o_orderkey for r in rows} <= big
+    if len(big) <= 100:
+        assert {r.o_orderkey for r in rows} == big
+    key = [(-r.o_totalprice, r.o_orderkey) for r in rows]
+    assert key == sorted(key)
+    for r in rows:
+        assert abs(r.sum_qty - round(float(sums[r.o_orderkey]), 2)) < 1e-9
+
+
+def test_part_value_share_cut_and_ppm(spark, sf_dir):
+    """The share cut is exactly val·DEN > tot (so every survivor's ppm
+    clears the 10⁶/DEN floor), shares can never exceed 10⁶ total, and the
+    survivor set matches a pandas recount on exact cents."""
+    from changesetmd_spark.operators.relational import _Q11_SHARE_DEN
+
+    rows = QS["q_part_value_share"](spark, sf_dir).collect()
+    assert rows
+    floor_ppm = 1_000_000 // _Q11_SHARE_DEN
+    assert all(r.share_ppm >= floor_ppm for r in rows)
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    cents = defaultdict(int)
+    for pk, price, disc in zip(
+        li["l_partkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        # money(18,2) * (1 - rate(6,4)) keeps 6 decimals exactly
+        v = round(
+            round(price * 100) * round((1 - round(disc, 4)) * 10000)
+        )  # in 1e-6 units
+        cents[int(pk)] += v
+    tot = sum(cents.values())
+    expect = {pk for pk, v in cents.items() if v * _Q11_SHARE_DEN > tot}
+    assert {r.partkey for r in rows} == expect
+
+
+def test_argmin_supplier_is_groupwise_minimum(spark, sf_dir):
+    """The reported supplier's total cost is <= every other supplier's
+    total for the same part (pandas recount), with the suppkey tie-break."""
+    rows = QS["q_argmin_supplier_per_part"](spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    cost = defaultdict(int)
+    for pk, sk, price, disc in zip(
+        li["l_partkey"], li["l_suppkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        cost[(int(pk), int(sk))] += round(
+            round(price * 100) * round((1 - round(disc, 4)) * 10000)
+        )
+    best: dict[int, tuple[int, int]] = {}
+    for (pk, sk), c in cost.items():
+        if pk not in best or (c, sk) < best[pk]:
+            best[pk] = (c, sk)
+    assert len(rows) == len(best)
+    for r in rows:
+        c, sk = best[r.partkey]
+        assert r.suppkey == sk, (r.partkey, r.suppkey, sk)
+        assert abs(r.min_cost - c / 1e6) < 1e-6
+
+
+def test_interarrival_gap_accounting(spark, sf_dir):
+    """Σ n_gaps over all types must equal N_events − N_users (one gap per
+    event after each user's first), gaps are non-negative, and p50 ≤ p90
+    ≤ max per type."""
+    rows = QS["q_interarrival_stats"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+    for r in rows:
+        assert 0 <= r.p50_sec <= r.p90_sec <= r.max_sec, r
+        assert 0 <= r.mean_sec <= r.max_sec, r
+
+
+def test_max_drawdown_bounds_and_argmax_hour(spark, sf_dir):
+    """Drawdown bp lies in [0, 10000]; the reported hour reproduces the
+    max drawdown in a pandas recount and is the EARLIEST such hour."""
+    rows = QS["q_max_drawdown"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hr"
+        ),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).toPandas()
+    per = ev.groupby(["event_type", "hr"])["cents"].sum()
+    for r in rows:
+        assert 0 <= r.max_drawdown_bp <= 10000, r
+        series = sorted(
+            (hr, c) for (t, hr), c in per.items() if t == r.event_type
+        )
+        peak, best, best_hr = 0, -1, None
+        for hr, c in series:
+            peak = max(peak, c)
+            dd = (peak - c) * 10000 // peak if peak > 0 else 0
+            if dd > best:
+                best, best_hr = dd, hr
+        assert r.max_drawdown_bp == best, r
+        assert r.drawdown_hour == best_hr, (r.drawdown_hour, best_hr)
+        assert r.n_hours == len(series)
+
+
+def test_ldiversity_totality_and_flags(spark, sf_dir):
+    """Every customer lands in exactly one (l-class) bucket; l ≥ 1; the
+    at_risk flag marks exactly l < threshold."""
+    from changesetmd_spark.operators.privacy import _L_THRESHOLD
+
+    rows = QS["q_ldiversity_risk"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_records for r in rows) == n_total
+    for r in rows:
+        assert r.l >= 1
+        assert r.min_group_size >= 1
+        assert r.at_risk == (1 if r.l < _L_THRESHOLD else 0), r
+
+
+def test_silhouette_bounds_and_totality(spark, sf_dir):
+    """Silhouette means lie in [-1, 1], every vector is scored exactly
+    once, and negative counts never exceed the label's size."""
+    rows = QS["q_cluster_silhouette"](spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0, r
+        assert 0 <= r.n_negative <= r.n_vectors, r
+
+
+def test_referential_integrity_on_clean_and_dirty_frames(spark, sf_dir):
+    """The clean fixture must audit clean (orphans/violations all zero);
+    the count identities hold; and the NaN / zero-norm / dimension
+    predicates are proven non-vacuous on a constructed frame pushed
+    through the same column expressions."""
+    [r] = QS["q_referential_integrity_audit"](spark, sf_dir).collect()
+    assert r.n_docs == r.n_vecs
+    assert (
+        r.docs_without_vec
+        == r.vecs_without_doc
+        == r.dim_violations
+        == r.vecs_with_nan
+        == r.zero_norm_vecs
+        == 0
+    )
+    # non-vacuity: the same predicates on a planted-dirty frame
+    from changesetmd_spark.operators.similarity import _DIM, dot, to_double_vec
+
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0] * _DIM),
+            (2, [0.0] * _DIM),
+            (3, [float("nan")] + [1.0] * (_DIM - 1)),
+            (4, [1.0] * (_DIM - 1)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = dirty.select(
+        F.size("embedding").alias("dim"),
+        F.size(
+            F.filter(to_double_vec(F.col("embedding")), lambda x: F.isnan(x))
+        ).alias("n_nan"),
+        dot(
+            to_double_vec(F.col("embedding")), to_double_vec(F.col("embedding"))
+        ).alias("sq"),
+    ).collect()
+    assert sum(1 for g in got if g.dim != _DIM) == 1
+    assert sum(1 for g in got if g.n_nan > 0) == 1
+    assert sum(1 for g in got if g.sq == 0.0) == 1
+
+
+def test_cohens_kappa_pure_python_recount(spark, sf_dir):
+    """κ re-derived in exact Python rationals from the raw documents."""
+    [r] = QS["q_cohens_kappa_langid"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    a = [1 if v == "en" else 0 for v in docs["lang"]]
+    b = [1 if " the " in t.lower() else 0 for t in docs["text"]]
+    n = len(a)
+    a1, b1 = sum(a), sum(b)
+    agree = sum(1 for x, y in zip(a, b) if x == y)
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    kappa = round((n * agree - pe_num) / (n * n - pe_num), 6)
+    assert (r.n_docs, r.label_en, r.heuristic_en, r.n_agree) == (
+        n,
+        a1,
+        b1,
+        agree,
+    )
+    assert abs(r.kappa - kappa) < 1e-12
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_subsample_ci_well_formed(spark, sf_dir):
+    """All 32 replicates materialize (the KM bit halves the corpus, it
+    never empties it), the CI is ordered, and the replicate means bracket
+    the full mean within the CI at this fixture size."""
+    [r] = QS["q_subsample_stability_ci"](spark, sf_dir).collect()
+    assert r.n_resamples == 32
+    assert r.ci_low <= r.ci_high
+    assert r.ci_low <= r.full_mean <= r.ci_high
+    assert r.n_events > 0
+
+
+def test_tokenizer_fertility_floor(spark, sf_dir):
+    """Every whitespace token splits into ≥1 BPE pre-tokens, so fertility
+    ≥ 1000 per-mille and bpe_tokens ≥ ws_tokens; chars-per-token ≥ 1000
+    (a pre-token is at least one char)."""
+    rows = QS["q_tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bpe_tokens >= r.ws_tokens > 0, r
+        assert r.fertility_x1000 >= 1000, r
+        assert r.chars_per_bpe_x1000 >= 1000, r
+
+
+def test_chi2_identities_and_scipy_free_recount(spark, sf_dir):
+    """χ² ≥ 0, dof = (r−1)(c−1), Cramér's V ∈ [0,1], and the statistic
+    matches an exact pure-Python contingency recount (same micro-unit
+    quantization)."""
+    [r] = QS["q_chi2_independence"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang").toPandas()
+    obs: dict[tuple[str, str], int] = defaultdict(int)
+    for s, lg in zip(docs["source"], docs["lang"]):
+        obs[(s, lg)] += 1
+    sources = sorted({s for s, _ in obs})
+    langs = sorted({lg for _, lg in obs})
+    n = len(docs)
+    rt = {s: sum(v for (s2, _), v in obs.items() if s2 == s) for s in sources}
+    ct = {lg: sum(v for (_, l2), v in obs.items() if l2 == lg) for lg in langs}
+    t_u = 0
+    for s in sources:
+        for lg in langs:
+            o = obs.get((s, lg), 0)
+            diff = float(o * n - rt[s] * ct[lg])
+            t_u += round(diff * diff / (float(n) * rt[s] * ct[lg]) * 1e6)
+    chi2 = round(t_u / 1e6, 4)
+    assert (r.n_sources, r.n_langs) == (len(sources), len(langs))
+    assert r.dof == (len(sources) - 1) * (len(langs) - 1)
+    assert abs(r.chi2 - chi2) < 1e-9
+    v = round(
+        math.sqrt(t_u / 1e6 / (n * (min(len(sources), len(langs)) - 1))), 6
+    )
+    assert abs(r.cramers_v - v) < 1e-9
+    assert 0.0 <= r.cramers_v <= 1.0
