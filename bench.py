@@ -181,6 +181,11 @@ HEADLINE = [
     "q_multimodal_png_stats",
     "q_tokenizer_fertility",
     "q_chi2_independence",
+    "q13_order_count_distribution",
+    "q_fano_burstiness",
+    "q_autocorr_lag1",
+    "q_pareto_frontier_docs",
+    "q_effective_sample_size",
 ]
 
 

@@ -1975,3 +1975,95 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / skyline (r15): the docs no other doc dominates on
+# (length, lexical diversity) — the classic SKYLINE operator.
+# ---------------------------------------------------------------------------
+@register(
+    "q_pareto_frontier_docs",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS len,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+               * 1000
+               // len(string_split_regex(lower(trim(text)), '\s+')) AS q
+      FROM documents
+      WHERE len(trim(text)) > 0
+    ), per_len AS (
+      SELECT len, MAX(q) AS mq FROM d GROUP BY len
+    ), suf AS (
+      SELECT len, mq,
+             MAX(mq) OVER (ORDER BY len DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS smax
+      FROM per_len
+    )
+    SELECT d.doc_id,
+           CAST(d.len AS BIGINT) AS n_chars,
+           CAST(d.q AS BIGINT) AS diversity_x1000
+    FROM d JOIN suf USING (len)
+    WHERE d.q = suf.mq AND (suf.smax IS NULL OR d.q > suf.smax)
+    ORDER BY n_chars DESC, doc_id
+    """,
+)
+def q_pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE operator (Börzsönyi et al. 2001, public method) on
+    documents: the Pareto frontier of (length, lexical diversity) — the
+    docs for which no other doc is at least as long AND at least as
+    diverse with one strict improvement.  The curation use: frontier
+    docs are the undominated quality/length trade-offs a budgeted
+    selection keeps first; Spark has no skyline primitive, so this is
+    the composition a 100 TB engine needs.
+
+    Exactness: diversity is exact integer per-mille
+    (distinct-tokens·1000 div tokens); domination is pure integer
+    comparison.  A doc is on the frontier iff its diversity equals its
+    length class's max AND strictly exceeds every LONGER class's max —
+    ties at the same undominated (len, q) point are all kept (neither
+    dominates the other).
+
+    Scale shape: the 2D skyline reduces to a per-length max (one hash
+    aggregate — the frame shrinks to the LENGTH DOMAIN, the KS-drift
+    bound) + one suffix-max window over that domain-bounded frame + an
+    equi-join back on len.  The corpus is never sorted globally and
+    never self-joined."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("len"),
+            F.expr(
+                "size(array_distinct(split(lower(trim(text)), '\\\\s+')))"
+                " * 1000 div size(split(lower(trim(text)), '\\\\s+'))"
+            ).alias("q"),
+        )
+    )
+    per_len = d.groupBy("len").agg(F.max("q").alias("mq"))
+    suf = per_len.select(
+        "len",
+        "mq",
+        F.max("mq")
+        .over(
+            Window.orderBy(F.desc("len")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("smax"),
+    )
+    return (
+        d.join(suf, "len")
+        .filter(
+            (F.col("q") == F.col("mq"))
+            & (F.col("smax").isNull() | (F.col("q") > F.col("smax")))
+        )
+        .select(
+            "doc_id",
+            F.col("len").cast("long").alias("n_chars"),
+            F.col("q").cast("long").alias("diversity_x1000"),
+        )
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )

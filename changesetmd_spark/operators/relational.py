@@ -1638,3 +1638,55 @@ def q_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("partkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count distribution including zero-order customers.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS n
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per
+    GROUP BY n
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: the customer-engagement histogram — how many
+    customers placed exactly n orders, INCLUDING the zero-order
+    customers only an outer join surfaces (the reference's query surface
+    delegates this family to Postgres, ref README.md:106-124).
+
+    Exactness: pure integer counting at both levels; the ordering is the
+    TPC-H (custdist DESC, c_count DESC) convention, deterministic
+    because (n_customers, n_orders) pairs are unique by construction.
+
+    Scale shape: the LEFT join shuffles both sides on the customer key
+    (no dimension is broadcastable — customers ARE the fact here), the
+    first aggregate reuses that partitioning (AQE), and the histogram
+    aggregate runs on the ≤max-orders-per-customer key space — two
+    map-side-combined exchanges total."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+    )
+    return (
+        per.groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(F.col("n").cast("long").alias("n_orders"), "n_customers")
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )

@@ -498,3 +498,79 @@ def q_subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_m.crossJoin(F.broadcast(ci)).select(
         "n_events", "full_mean", "n_resamples", "ci_low", "ci_high"
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of mixture-reweighting importance weights (r15).
+# ---------------------------------------------------------------------------
+@register(
+    "q_effective_sample_size",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+      FROM documents GROUP BY source
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(ns) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(ROUND(1000000000000.0 / ns, 0) AS BIGINT))
+                  AS BIGINT) AS inv_u
+      FROM s
+    )
+    SELECT n_docs, n_sources,
+           ROUND(n_sources * n_sources * 1000000000000.0 / inv_u, 4) AS ess,
+           ROUND(n_sources * n_sources * 1000000000000.0 / inv_u / n_docs,
+                 6) AS ess_fraction
+    FROM g
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size (Kong 1992, public method) of the importance
+    weights that reweight the corpus's source mixture to a UNIFORM
+    target — the first number a mixture designer checks: resampling to
+    equal source shares behaves like a corpus of only ESS documents, so
+    a rare source craters it.  With w_doc = N/(S·n_s), the estimator
+    collapses in closed form to ESS = S²/Σ_s(1/n_s) = S·HM(n_s) — the
+    harmonic mean punishing small sources exactly as importance
+    sampling does.
+
+    Exactness: per-source inverse terms are quantized to exact 1e-12
+    integer units before the sum (order-independent), two rounded double
+    divisions at the end.
+
+    Scale shape: one hash aggregate on source (map-side combined), one
+    constant-size reduce over the ≤#sources frame.  No weights are ever
+    materialized per document — the closed form does the 10¹²-row work
+    in O(#sources)."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("ns"))
+    )
+    g = s.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("ns").cast("long").alias("n_docs"),
+        F.sum(
+            F.round(F.lit(1000000000000.0) / F.col("ns"), 0).cast("long")
+        )
+        .cast("long")
+        .alias("inv_u"),
+    )
+    return g.select(
+        "n_docs",
+        "n_sources",
+        F.round(
+            F.col("n_sources")
+            * F.col("n_sources")
+            * F.lit(1000000000000.0)
+            / F.col("inv_u"),
+            4,
+        ).alias("ess"),
+        F.round(
+            F.col("n_sources")
+            * F.col("n_sources")
+            * F.lit(1000000000000.0)
+            / F.col("inv_u")
+            / F.col("n_docs"),
+            6,
+        ).alias("ess_fraction"),
+    )

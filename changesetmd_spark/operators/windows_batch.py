@@ -1164,3 +1164,157 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) of the hourly arrival process per type (r15).
+# ---------------------------------------------------------------------------
+@register(
+    "q_fano_burstiness",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(c) AS s,
+             SUM(c * c) AS s2
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s AS BIGINT) AS n_events,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_per_hour,
+           ROUND(CAST(n * s2 - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS fano
+    FROM g
+    ORDER BY event_type
+    """,
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio, Fano 1947 — public method) of
+    the hourly arrival counts per event type, over OBSERVED hours (empty
+    hours are the gap-fill operator's concern; this is the burstiness
+    screen run before choosing between them): a Poisson process scores
+    ≈1, bursty/bot traffic ≫1, rate-limited traffic ≪1.
+
+    Exactness: Fano = (n·Σc² − (Σc)²)/(n·Σc) — every sum an exact
+    DECIMAL(38,0) integer (Σc² ≤ 10³⁶ even at 10¹² events/hour-bucket),
+    two rounded double divisions at the very end.
+
+    Scale shape: one (type, hour) hash aggregate (the OHLC exchange),
+    one rollup on the ≤5-key type space — both map-side combined; no
+    window at all."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    g = h.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_per_hour"),
+        F.round(
+            (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("s").cast("double")),
+            6,
+        ).alias("fano"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the hourly series per type (r15).
+# ---------------------------------------------------------------------------
+@register(
+    "q_autocorr_lag1",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type, a.c AS x, b.c AS y
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type
+       AND b.hr = a.hr + INTERVAL 1 HOUR
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r1
+    FROM g
+    ORDER BY event_type
+    """,
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly count series per event type —
+    the persistence screen (is this hour's load predictive of the next?)
+    every capacity model and anomaly detector starts from.  Pairs are
+    CONSECUTIVE PRESENT hours (an equi-join on hr+1h; series with gaps
+    contribute only their adjacent runs — the gap-fill operator exists
+    for the padded variant).
+
+    Exactness: Pearson r over the paired frame from six exact
+    DECIMAL(38,0) sums, one rounded double expression — the same
+    cross-multiplied form as the Zipf/trend fits.
+
+    Scale shape: one (type, hour) hash aggregate, an equi-join of that
+    TIME-BOUNDED frame to itself on (type, hr+1) — both sides share the
+    aggregate's partitioning — and a ≤5-key rollup.  No window."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    a = h.select("event_type", "hr", F.col("c").alias("x"))
+    b = h.select(
+        "event_type",
+        (F.col("hr") - F.expr("INTERVAL 1 HOUR")).alias("hr"),
+        F.col("c").alias("y"),
+    )
+    p = a.join(b, ["event_type", "hr"])
+    g = p.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            ),
+            6,
+        ).alias("r1"),
+    ).orderBy("event_type")

@@ -272,6 +272,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
 # mismatch for code edited after its last witness.
 WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q10_returned_item_revenue": "fb740dc41912",
+    "q13_order_count_distribution": "dd6e149003a7",
     "q14_promo_revenue_share": "bee08938dc59",
     "q18_large_volume_orders": "df1f0b07071e",
     "q1_pricing_summary": "924990a78492",
@@ -285,6 +286,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_asof_purchase_last_view": "b1fdf5f673b3",
     "q_asof_two_phase_scalable": "6237fa649e5e",
     "q_association_rules": "5e8b46d3358a",
+    "q_autocorr_lag1": "da5d7ee1fbcc",
     "q_bbox_area_filter": "e115f940f1c9",
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
@@ -322,6 +324,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_dup_cluster_histogram": "8c20111ed665",
     "q_duplicate_substring_spans": "285b41ced123",
     "q_ease_grid_project": "d99b140e38da",
+    "q_effective_sample_size": "0455340a4647",
     "q_embedding_ann_checked": "4702c5d0fb1f",
     "q_embedding_ann_ivf": "77f3261e726c",
     "q_embedding_ann_ivf_checked": "822e4062996d",
@@ -335,6 +338,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_pq_adc": "ca3f851a4f55",
     "q_embedding_random_projection": "cbb1337a04df",
     "q_embedding_topk_cosine": "934645d48971",
+    "q_fano_burstiness": "b998a72dd527",
     "q_funnel_conversion": "4937330f3d66",
     "q_funnel_time_to_convert": "fef06c905236",
     "q_fuzzy_name_pairs": "9916cde5e5df",
@@ -389,6 +393,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_orders_per_month": "2e7c84bb0ae9",
     "q_outer_join_order_counts": "149621fc6479",
     "q_pagerank_items": "508378ca5fb4",
+    "q_pareto_frontier_docs": "93ed5f9cff76",
     "q_part_value_share": "8ca62c27496e",
     "q_phrase_search": "7517698e473e",
     "q_pii_redaction_stats": "f5899ceda80a",

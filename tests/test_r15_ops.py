@@ -273,3 +273,99 @@ def test_chi2_identities_and_scipy_free_recount(spark, sf_dir):
     )
     assert abs(r.cramers_v - v) < 1e-9
     assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_q13_totality_and_zero_bucket(spark, sf_dir):
+    """Customer totality across buckets; the zero-order bucket exists iff
+    some customer placed no orders (recount)."""
+    rows = QS["q13_order_count_distribution"](spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    n_with_orders = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    zero = {r.n_orders: r.n_customers for r in rows}.get(0, 0)
+    assert zero == n_cust - n_with_orders
+
+
+def test_fano_and_autocorr_recounts(spark, sf_dir):
+    """Fano and lag-1 autocorrelation re-derived from a pandas hourly
+    recount; Fano ≥ 0, r1 ∈ [-1, 1]."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).toPandas()
+    per = ev.groupby(["event_type", "hr"]).size()
+    fano_rows = {r.event_type: r for r in QS["q_fano_burstiness"](spark, sf_dir).collect()}
+    ac_rows = {r.event_type: r for r in QS["q_autocorr_lag1"](spark, sf_dir).collect()}
+    import pandas as pd
+
+    for t in fano_rows:
+        cs = per[t].sort_index()
+        n, s, s2 = len(cs), int(cs.sum()), int((cs * cs).sum())
+        r = fano_rows[t]
+        assert r.n_hours == n and r.n_events == s
+        assert abs(r.fano - round((n * s2 - s * s) / (n * s), 6)) < 1e-9
+        assert r.fano >= 0
+        # consecutive-present-hour pairs
+        idx = list(cs.index)
+        pairs = [
+            (int(cs.iloc[i]), int(cs.iloc[i + 1]))
+            for i in range(len(idx) - 1)
+            if (idx[i + 1] - idx[i]) == pd.Timedelta(hours=1)
+        ]
+        a = ac_rows[t]
+        assert a.n_pairs == len(pairs)
+        if pairs:
+            np_ = len(pairs)
+            sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            r1 = round(
+                (np_ * sxy - sx * sy)
+                / math.sqrt((np_ * sxx - sx * sx) * (np_ * syy - sy * sy)),
+                6,
+            )
+            assert abs(a.r1 - r1) < 1e-9
+            assert -1.0 <= a.r1 <= 1.0
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark, sf_dir):
+    """Brute-force O(n²) domination recount over (len, diversity)."""
+    rows = QS["q_pareto_frontier_docs"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text").toPandas()
+    pts = {}
+    for did, ln, txt in zip(docs["doc_id"], docs["n_chars"], docs["text"]):
+        toks = txt.lower().strip().split()
+        if not toks:
+            continue
+        pts[int(did)] = (int(ln), len(set(toks)) * 1000 // len(toks))
+    frontier = {
+        d
+        for d, (ln, q) in pts.items()
+        if not any(
+            (l2 >= ln and q2 >= q and (l2 > ln or q2 > q))
+            for d2, (l2, q2) in pts.items()
+            if d2 != d
+        )
+    }
+    assert {r.doc_id for r in rows} == frontier
+    for r in rows:
+        assert pts[r.doc_id] == (r.n_chars, r.diversity_x1000)
+
+
+def test_ess_closed_form_and_bounds(spark, sf_dir):
+    """ESS = S²/Σ(1/n_s) recount; 0 < ESS ≤ N with equality iff balanced."""
+    [r] = QS["q_effective_sample_size"](spark, sf_dir).collect()
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    ns = [x["count"] for x in src]
+    inv_u = sum(round(1e12 / n) for n in ns)
+    ess = round(len(ns) * len(ns) * 1e12 / inv_u, 4)
+    assert r.n_sources == len(ns) and r.n_docs == sum(ns)
+    assert abs(r.ess - ess) < 1e-9
+    assert 0 < r.ess <= r.n_docs + 1e-6
+    assert abs(r.ess_fraction - round(ess / sum(ns), 6)) < 1e-9

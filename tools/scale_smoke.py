@@ -297,6 +297,11 @@ QUERIES = [
     "q_multimodal_png_stats",
     "q_tokenizer_fertility",
     "q_chi2_independence",
+    "q13_order_count_distribution",
+    "q_fano_burstiness",
+    "q_autocorr_lag1",
+    "q_pareto_frontier_docs",
+    "q_effective_sample_size",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
