@@ -186,6 +186,8 @@ HEADLINE = [
     "q_autocorr_lag1",
     "q_pareto_frontier_docs",
     "q_effective_sample_size",
+    "q_stream_hourly_ohlc",
+    "q_source_vocab_overlap",
 ]
 
 

@@ -2067,3 +2067,92 @@ def q_pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary-overlap matrix (r15): exact Jaccard between the term
+# SETS of every source pair — the corpus-mixing redundancy map.
+# ---------------------------------------------------------------------------
+@register(
+    "q_source_vocab_overlap",
+    oracle=r"""
+    WITH posts AS (
+      SELECT DISTINCT t.term, source
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+      WHERE len(trim(text)) > 0
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM posts GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_1, b.source AS source_2,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM posts a JOIN posts b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_1, source_2, inter,
+           s1.v AS v1, s2.v AS v2,
+           ROUND(inter * 1.0 / (s1.v + s2.v - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.source = source_1
+    JOIN sizes s2 ON s2.source = source_2
+    ORDER BY jaccard DESC, source_1, source_2
+    LIMIT 30
+    """,
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary-overlap (Jaccard) matrix between source pairs —
+    the redundancy map a mixture designer reads before weighting sources
+    (two sources sharing 90% of their vocabulary contribute far less
+    marginal diversity than their row counts suggest); top-30 most
+    overlapping pairs.
+
+    Exactness: term sets are exact DISTINCT (term, source) postings;
+    intersection and sizes are integer counts; one rounded division.
+
+    Scale shape: the postings self-join is keyed on term with per-term
+    fan-out bounded by the SOURCE COUNT (≤ #sources² pairs per term —
+    the cross-source-leakage shape, never doc×doc); sizes attach as a
+    broadcast ≤#sources frame; output is the bounded #sources² matrix
+    cut to a TakeOrdered 30."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    posts = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("source", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    sizes = F.broadcast(
+        posts.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    )
+    a = posts.select("term", F.col("source").alias("source_1"))
+    b = posts.select("term", F.col("source").alias("source_2"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("source_1"), F.col("v").alias("v1")),
+            "source_1",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_2"), F.col("v").alias("v2")),
+            "source_2",
+        )
+        .select(
+            "source_1",
+            "source_2",
+            "inter",
+            "v1",
+            "v2",
+            F.round(
+                F.col("inter") * 1.0 / (F.col("v1") + F.col("v2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("source_1"), F.asc("source_2"))
+        .limit(30)
+    )

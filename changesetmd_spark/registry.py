@@ -435,9 +435,11 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_small_quantity_revenue": "30c291f54d7a",
     "q_source_mixture_weights": "b86df1b022e7",
     "q_source_quota_sample": "1f58f856167f",
+    "q_source_vocab_overlap": "936a00075c7b",
     "q_stratified_sample_neyman": "c5bd5627e0df",
     "q_stream_dedup_first_seen": "76cbd611d070",
     "q_stream_dedup_reemit_after_expiry": "c5644eb25b27",
+    "q_stream_hourly_ohlc": "7ba20768d159",
     "q_stream_incremental_dedup": "ed995d3b2341",
     "q_stream_join_left_outer_expiry": "7b066a5169db",
     "q_stream_late_data_drop": "fa5d8f49da61",

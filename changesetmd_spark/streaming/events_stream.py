@@ -644,3 +644,55 @@ def q_stream_dedup_reemit_after_expiry(
         )
         .filter(F.col("n_reemitted") + F.col("n_new") > 0)
     )
+
+
+@register(
+    "q_stream_hourly_ohlc",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((MIN({'t': ts, 'e': event_id, 'v': value})).v, 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND((MAX({'t': ts, 'e': event_id, 'v': value})).v, 4) AS close
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/E-ext streaming twin of q_hourly_ohlc: candlestick bars as a
+    REAL watermarked streaming aggregation — the struct-extremum
+    open/close (deterministic same-ts ties via event_id) runs inside the
+    streaming state store exactly like any min/max, so the continuous
+    version needs NO first()/last() ordering hacks; availableNow over the
+    staged file source, hash-checked against the batch date_trunc
+    equivalent (streaming and batch must agree on complete data).
+
+    Scale shape: per-(type, window) state is five scalars + two structs
+    regardless of events per bar; the 1h watermark bounds live windows,
+    so state = O(types × open windows) at any throughput."""
+    ev = stream_events(spark, sf_dir)
+    key = F.struct("ts", "event_id", F.col("value").alias("v"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(key)["v"], 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(key)["v"], 4).alias("close"),
+        )
+    )
+    out = run_stream_to_table(agg)
+    return out.select(
+        "event_type",
+        F.date_format("window.start", _TS).alias("window_start"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+    )

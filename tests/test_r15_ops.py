@@ -369,3 +369,40 @@ def test_ess_closed_form_and_bounds(spark, sf_dir):
     assert abs(r.ess - ess) < 1e-9
     assert 0 < r.ess <= r.n_docs + 1e-6
     assert abs(r.ess_fraction - round(ess / sum(ns), 6)) < 1e-9
+
+
+def test_stream_ohlc_agrees_with_batch(spark, sf_dir):
+    """The streaming OHLC twin must reproduce the batch operator's bars
+    exactly on complete data (availableNow processes everything)."""
+    batch = {
+        (r.event_type, r.bucket): (r.n, r.open, r.high, r.low, r.close)
+        for r in QS["q_hourly_ohlc"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r.event_type, r.window_start): (r.n, r.open, r.high, r.low, r.close)
+        for r in QS["q_stream_hourly_ohlc"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_source_vocab_overlap_recount(spark, sf_dir):
+    """Exact Jaccard recount in pure Python over source vocab sets."""
+    rows = QS["q_source_vocab_overlap"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    vocab: dict[str, set] = defaultdict(set)
+    for s, t in zip(docs["source"], docs["text"]):
+        if t.strip():
+            vocab[s].update(t.lower().strip().split())
+    pairs = []
+    srcs = sorted(vocab)
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            inter = len(vocab[s1] & vocab[s2])
+            j = round(inter / len(vocab[s1] | vocab[s2]), 6)
+            pairs.append((j, s1, s2, inter))
+    pairs.sort(key=lambda p: (-p[0], p[1], p[2]))
+    for r, (j, s1, s2, inter) in zip(rows, pairs[:30]):
+        assert (r.source_1, r.source_2, r.inter) == (s1, s2, inter)
+        assert abs(r.jaccard - j) < 1e-12
+        assert (r.v1, r.v2) == (len(vocab[s1]), len(vocab[s2]))

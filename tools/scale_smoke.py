@@ -302,12 +302,14 @@ QUERIES = [
     "q_autocorr_lag1",
     "q_pareto_frontier_docs",
     "q_effective_sample_size",
+    "q_source_vocab_overlap",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
     # entry); watermark-bounded state is the claim under test, so the
     # pass line applies to the state ratio too.
     "q_stream_tumbling_hourly",
+    "q_stream_hourly_ohlc",
     "q_stream_sliding_2h_1h",
     "q_stream_session_windows",
     "q_stream_dedup_first_seen",
