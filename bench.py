@@ -188,6 +188,7 @@ HEADLINE = [
     "q_effective_sample_size",
     "q_stream_hourly_ohlc",
     "q_source_vocab_overlap",
+    "q_rendezvous_shard_balance",
 ]
 
 

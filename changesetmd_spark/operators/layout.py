@@ -128,3 +128,114 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("supp_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment + balance audit (r15).
+# ---------------------------------------------------------------------------
+_HRW_SHARDS = 16
+
+
+@register(
+    "q_rendezvous_shard_balance",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {_HRW_SHARDS} - 1),
+               s -> {{'w': ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':' || CAST(s AS VARCHAR)),
+                                          1, 15))::BIGINT,
+                      's': s}}) AS ws
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id,
+             (list_reduce(ws, (a, b) ->
+                CASE WHEN b.w > a.w OR (b.w = a.w AND b.s < a.s)
+                     THEN b ELSE a END)).s AS shard
+      FROM w
+    ), per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assigned GROUP BY shard
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+             CAST(MAX(n_docs) AS BIGINT) AS mx,
+             CAST(MIN(n_docs) AS BIGINT) AS mn
+      FROM per
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs,
+           CAST(n_docs * {_HRW_SHARDS} * 10000 // tot.n AS BIGINT)
+             AS load_x10000,
+           CAST(tot.mx * 10000 // tot.mn AS BIGINT) AS imbalance_x10000
+    FROM per, tot
+    ORDER BY shard
+    """,
+)
+def q_rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1996, public method — the assignment scheme whose property is that
+    adding or removing a shard moves ONLY the keys that hashed highest
+    to it, unlike mod-N which reshuffles everything) over {_HRW_SHARDS}
+    shards, plus the balance audit: per-shard load relative to ideal
+    (×10⁴) and the global max/min imbalance every layout review reads.
+
+    Exactness: weights are the cross-engine md5 hash (identical 60-bit
+    integers in both engines); the argmax is a deterministic left fold
+    with a shard-id tie-break; loads are exact integer ratios.
+
+    Scale shape: assignment is a map-only array fold per row ({_HRW_SHARDS}
+    hashes, no explode, no shuffle), then one ≤{_HRW_SHARDS}-key hash
+    aggregate and a broadcast 1-row total.  At 10¹² docs the exchange
+    carries {_HRW_SHARDS} partials per task."""
+    ws = F.transform(
+        F.sequence(F.lit(0), F.lit(_HRW_SHARDS - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            s.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("w"),
+            s.alias("s"),
+        ),
+    )
+    assigned = load_table(spark, sf_dir, "documents").select(
+        F.aggregate(
+            ws,
+            F.struct(F.lit(-1).cast("long").alias("w"), F.lit(-1).alias("s")),
+            lambda a, b: F.when(
+                (b["w"] > a["w"]) | ((b["w"] == a["w"]) & (b["s"] < a["s"])),
+                b,
+            ).otherwise(a),
+        )["s"].alias("shard")
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.max("n_docs").cast("long").alias("mx"),
+        F.min("n_docs").cast("long").alias("mn"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            F.expr(f"n_docs * {_HRW_SHARDS} * 10000 div n").alias(
+                "load_x10000"
+            ),
+            F.expr("mx * 10000 div mn").alias("imbalance_x10000"),
+        )
+        .orderBy("shard")
+    )

@@ -29,8 +29,12 @@ _LANG_CUES = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count via regexp matches (mirrors DuckDB exactly)."""
-    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+    """Whitespace token count via regexp matches (mirrors DuckDB exactly).
+
+    ``regexp_count`` counts non-overlapping matches WITHOUT materializing
+    the match array the old ``size(regexp_extract_all(...))`` form built
+    per row (r15: ~10% warm / 15x cold win at sf0.1) — identical counts."""
+    return F.regexp_count(text, F.lit(_TOKEN_RE))
 
 
 def fingerprint(text: Column) -> Column:
@@ -1238,9 +1242,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "source",
         F.length(F.trim(F.col("text"))).alias("chars"),
-        F.size(
-            F.regexp_extract_all(lower, F.lit(_BPE_PRETOK_RE), 0)
-        ).alias("n_bpe"),
+        F.regexp_count(lower, F.lit(_BPE_PRETOK_RE)).alias("n_bpe"),
         token_count(F.col("text")).alias("n_ws"),
     )
     return (

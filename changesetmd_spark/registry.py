@@ -412,6 +412,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
     "q_referential_integrity_audit": "c63924b22903",
+    "q_rendezvous_shard_balance": "ca3f7a181f97",
     "q_retrieval_mrr_eval": "90d9fee5d164",
     "q_retrieval_ndcg_eval": "f6b9f5d76920",
     "q_rollup_nation_segment": "fcaca532c4ef",

@@ -406,3 +406,35 @@ def test_source_vocab_overlap_recount(spark, sf_dir):
         assert (r.source_1, r.source_2, r.inter) == (s1, s2, inter)
         assert abs(r.jaccard - j) < 1e-12
         assert (r.v1, r.v2) == (len(vocab[s1]), len(vocab[s2]))
+
+
+def test_rendezvous_minimal_disruption_property(spark, sf_dir):
+    """The HRW defining property: dropping one shard relocates ONLY the
+    keys assigned to it (pure-Python recount with the same md5 weights),
+    and loads recount exactly."""
+    import hashlib
+
+    from changesetmd_spark.operators.layout import _HRW_SHARDS
+
+    rows = QS["q_rendezvous_shard_balance"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").toPandas()
+
+    def weight(did, s):
+        return int(hashlib.md5(f"{did}:{s}".encode()).hexdigest()[:15], 16)
+
+    def assign(did, shards):
+        return max(shards, key=lambda s: (weight(did, s), -s))
+
+    full = {int(d): assign(int(d), range(_HRW_SHARDS)) for d in docs["doc_id"]}
+    counts = defaultdict(int)
+    for s in full.values():
+        counts[s] += 1
+    assert {r.shard: r.n_docs for r in rows} == dict(counts)
+    # drop shard 0: every key NOT on shard 0 must keep its assignment
+    reduced = {d: assign(d, range(1, _HRW_SHARDS)) for d in full}
+    moved = {d for d in full if full[d] != reduced[d]}
+    assert moved == {d for d, s in full.items() if s == 0}
+    n = len(full)
+    for r in rows:
+        assert r.load_x10000 == r.n_docs * _HRW_SHARDS * 10000 // n
+        assert r.imbalance_x10000 == max(counts.values()) * 10000 // min(counts.values())
