@@ -189,6 +189,7 @@ HEADLINE = [
     "q_stream_hourly_ohlc",
     "q_source_vocab_overlap",
     "q_rendezvous_shard_balance",
+    "q_psi_value_drift",
 ]
 
 

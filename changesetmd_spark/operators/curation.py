@@ -2156,3 +2156,133 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("source_1"), F.asc("source_2"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI value drift (r15): the binned companion to KS (max-gap) and KL
+# (token-level) — per-bin population shift on BASE-derived decile cuts.
+# ---------------------------------------------------------------------------
+@register(
+    "q_psi_value_drift",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             (event_id % 2) AS half
+      FROM events
+    ), cuts AS (
+      SELECT event_type,
+             list_transform(
+               quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               c -> ROUND(c, 4)) AS cs
+      FROM v WHERE half = 0 GROUP BY event_type
+    ), binned AS (
+      SELECT v.event_type, v.half,
+             list_reduce(list_transform(cuts.cs,
+               c -> CASE WHEN v.cents > c THEN 1 ELSE 0 END),
+               (a, b) -> a + b) AS bin
+      FROM v JOIN cuts USING (event_type)
+    ), counts AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cb,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS ci
+      FROM binned GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type,
+             SUM(cb) AS nb, SUM(ci) AS ni,
+             COUNT(*) AS n_bins
+      FROM counts GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type, t.nb, t.ni,
+             CAST(ROUND(
+               ((c.cb + 1.0) / (t.nb + t.n_bins)
+                - (c.ci + 1.0) / (t.ni + t.n_bins))
+               * ln(((c.cb + 1.0) / (t.nb + t.n_bins))
+                    / ((c.ci + 1.0) / (t.ni + t.n_bins)))
+               * 1000000000, 0) AS BIGINT) AS t_u
+      FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(nb) AS BIGINT) AS n_base,
+           CAST(MAX(ni) AS BIGINT) AS n_incoming,
+           ROUND(SUM(t_u) / 1000000000.0, 6) AS psi
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type (the credit-risk /
+    model-monitoring standard — public method): base snapshot (even
+    event_ids) defines decile cut points; both halves bin against them;
+    PSI = Σ(pᵢ−qᵢ)·ln(pᵢ/qᵢ) with add-1 smoothed bin shares.  Completes
+    the drift triad: KL sees token shift, KS sees the max CDF gap, PSI
+    localizes WHICH value band moved — the 0.1/0.25 alert thresholds are
+    industry convention.
+
+    Exactness: values quantize to integer cents; cut points are
+    interpolated percentiles ROUNDED to 4 dp BEFORE any comparison (the
+    winsorized-stats convention) so binning can never flip on a libm
+    ulp; per-bin PSI terms are one double expression quantized to 1e-9
+    integer units before the sum (order-independent).
+
+    Scale shape: one percentile aggregate per type over the base half
+    (ObjectHashAggregate on cent integers), cuts broadcast back by type,
+    one (type, bin) hash aggregate (≤10 bins × types — map-side
+    combined), one ≤types reduce.  No window at all."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    cuts = (
+        v.filter(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.percentile(
+                    "cents",
+                    F.array([F.lit(x / 10.0) for x in range(1, 10)]),
+                ),
+                lambda c: F.round(c, 4),
+            ).alias("cs")
+        )
+    )
+    binned = v.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "half",
+        F.aggregate(
+            F.col("cs"),
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("cents") > c, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("ci"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"),
+        F.sum("ci").alias("ni"),
+        F.count("*").alias("n_bins"),
+    )
+    p = (F.col("cb") + 1.0) / (F.col("nb") + F.col("n_bins"))
+    q = (F.col("ci") + 1.0) / (F.col("ni") + F.col("n_bins"))
+    terms = counts.join(tot, "event_type").select(
+        "event_type",
+        "nb",
+        "ni",
+        F.round((p - q) * F.log(p / q) * 1000000000, 0)
+        .cast("long")
+        .alias("t_u"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("nb").cast("long").alias("n_base"),
+            F.max("ni").cast("long").alias("n_incoming"),
+            F.round(F.sum("t_u") / 1000000000.0, 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

@@ -404,6 +404,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_pps_systematic_sample": "4d89e3d292ab",
     "q_prf_expansion_terms": "2c975dc99f67",
     "q_priority_sample_topk": "99c7ac328f46",
+    "q_psi_value_drift": "875b0c4aff87",
     "q_quality_percentile_gate": "cff9f3163c44",
     "q_quality_rule_attribution": "ae3c2aeae9e9",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",

@@ -438,3 +438,40 @@ def test_rendezvous_minimal_disruption_property(spark, sf_dir):
     for r in rows:
         assert r.load_x10000 == r.n_docs * _HRW_SHARDS * 10000 // n
         assert r.imbalance_x10000 == max(counts.values()) * 10000 // min(counts.values())
+
+
+def test_psi_pure_python_recount(spark, sf_dir):
+    """PSI re-derived in pure Python with the same cut/smoothing recipe;
+    PSI ≥ 0 only when distributions differ in the same direction per bin
+    is NOT guaranteed — but PSI is always ≥ 0 since (p−q)·ln(p/q) ≥ 0
+    per bin; identical halves give PSI ≈ 0."""
+    rows = {r.event_type: r for r in QS["q_psi_value_drift"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_id") % 2).alias("half"),
+    ).toPandas()
+    import numpy as np
+
+    for t, grp in ev.groupby("event_type"):
+        base = sorted(grp[grp["half"] == 0]["cents"])
+        cuts = [
+            round(float(np.percentile(base, p, method="linear")), 4)
+            for p in range(10, 100, 10)
+        ]
+        nbins = None
+        cb, ci = defaultdict(int), defaultdict(int)
+        for cents, half in zip(grp["cents"], grp["half"]):
+            b = sum(1 for c in cuts if cents > c)
+            (cb if half == 0 else ci)[b] += 1
+        bins = sorted(set(cb) | set(ci))
+        nb, ni, k = sum(cb.values()), sum(ci.values()), len(bins)
+        t_u = 0
+        for b in bins:
+            p = (cb.get(b, 0) + 1.0) / (nb + k)
+            q = (ci.get(b, 0) + 1.0) / (ni + k)
+            t_u += round((p - q) * math.log(p / q) * 1e9)
+        r = rows[t]
+        assert (r.n_base, r.n_incoming) == (nb, ni)
+        assert abs(r.psi - round(t_u / 1e9, 6)) < 1e-9
+        assert r.psi >= 0

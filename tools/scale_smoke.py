@@ -304,6 +304,7 @@ QUERIES = [
     "q_effective_sample_size",
     "q_source_vocab_overlap",
     "q_rendezvous_shard_balance",
+    "q_psi_value_drift",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
