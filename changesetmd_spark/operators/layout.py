@@ -219,8 +219,13 @@ def q_rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(a),
         )["s"].alias("shard")
     )
-    per = assigned.groupBy("shard").agg(
-        F.count("*").cast("long").alias("n_docs")
+    # materialize the ≤16-row shard frame once: tot would otherwise
+    # recompute the whole scan+fold+aggregate lineage on its branch
+    # (plan audit: 4 exchanges → 1 post-checkpoint)
+    per = (
+        assigned.groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(
         F.sum("n_docs").cast("long").alias("n"),

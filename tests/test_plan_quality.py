@@ -742,3 +742,45 @@ def test_gini_no_single_partition_rank(spark, sf_dir):
         assert "HashAggregate" in consumer, plan
         producer = lines[idx + 1] if idx + 1 < len(lines) else ""
         assert "partial_" in producer, plan
+
+
+def test_argmin_supplier_no_window_no_sort(spark, sf_dir):
+    """q_argmin_supplier_per_part claims a struct-extremum argmin — the
+    plan must be hash aggregates + broadcast dims, with NO Window and no
+    per-group Sort (the oracle's ROW_NUMBER form is the slow shape)."""
+    df = QS["q_argmin_supplier_per_part"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_drawdown_window_partitioned_by_type(spark, sf_dir):
+    """q_max_drawdown's running max must ride a per-type window over the
+    (type, hour) aggregate frame — never an unpartitioned sort of events."""
+    df = QS["q_max_drawdown"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan and "event_type" in plan
+
+
+def test_skyline_windows_domain_frame_only(spark, sf_dir):
+    """q_pareto_frontier_docs' suffix-max window runs over the per-length
+    aggregate (domain-bounded), which the plan shows as Window AFTER a
+    HashAggregate keyed on len — and the corpus is never self-joined
+    (no doc×doc shape: exactly one join, the len equi-join back)."""
+    df = QS["q_pareto_frontier_docs"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the window's input must be the len-keyed aggregate, not raw docs
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
+
+
+def test_rendezvous_is_map_only_until_rollup(spark, sf_dir):
+    """q_rendezvous_shard_balance must not explode or shuffle per-shard
+    rows: one aggregate exchange on the ≤16-key shard space, a broadcast
+    total — no Generate (explode) node at all."""
+    df = QS["q_rendezvous_shard_balance"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Generate" not in plan, plan
+    assert shuffle_count(df) <= 2, shuffle_count(df)
