@@ -190,6 +190,8 @@ HEADLINE = [
     "q_source_vocab_overlap",
     "q_rendezvous_shard_balance",
     "q_psi_value_drift",
+    "q_fellegi_sunter_scores",
+    "q_cusum_changepoint",
 ]
 
 

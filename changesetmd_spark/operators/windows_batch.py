@@ -1318,3 +1318,128 @@ def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r1"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point estimate per type over the hourly series (r15).
+# ---------------------------------------------------------------------------
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  AS DECIMAL(38,0)) AS x
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS s
+      FROM h GROUP BY event_type
+    ), c AS (
+      SELECT h.event_type, h.hr, g.n, g.s,
+             SUM(h.x) OVER (PARTITION BY h.event_type ORDER BY h.hr
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hr)
+                  AS DECIMAL(38,0)) AS k
+      FROM h JOIN g USING (event_type)
+    ), dev AS (
+      SELECT event_type, hr, n, s,
+             ABS(n * cum - k * s) AS adev
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_hours,
+           strftime(MIN(CASE WHEN adev = (SELECT MAX(d2.adev) FROM dev d2
+                                          WHERE d2.event_type = dev.event_type)
+                             THEN hr END), '%Y-%m-%d %H:%M:%S')
+             AS changepoint_hour,
+           -- HUGEINT floor division: DuckDB's // on DECIMAL operands is
+           -- a true division (the q_part_value_share off-by-one trap)
+           CAST(CAST(MAX(adev) * 10000 AS HUGEINT)
+                // CAST(MAX(n) * MAX(s) AS HUGEINT) AS BIGINT)
+             AS max_dev_bp
+    FROM dev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate (Page 1954, public method) per event
+    type over the hourly revenue series: the hour k maximizing
+    |Σᵢ≤k(xᵢ − x̄)| is the classic single-change-point location (binary
+    segmentation's first split), and the max deviation relative to the
+    series total is the shift magnitude — the alarm statistic completing
+    the drift family's TEMPORAL axis (PSI/KS/KL compare snapshots; CUSUM
+    finds WHEN the series moved).
+
+    Exactness: the deviation is cross-multiplied into exact integers —
+    n·cum_k − k·S (DECIMAL(38,0); n·cum ≤ 10²⁴ at 10¹² events/hour) —
+    so the argmax can never flip on a float; the reported magnitude is
+    exact floor basis points of n·S; argmax hour deterministic (earliest
+    on ties, struct extremum on (adev, −epoch)).
+
+    Scale shape: one (type, hour) hash aggregate, one per-type window
+    pair (cumsum + row_number share ONE sort) over the TIME-BOUNDED
+    hourly frame, one ≤types reduce.  No global sort, no self-join."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+    )
+    g = h.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type").orderBy("hr")
+    c = h.join(g, "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        "s",
+        F.sum("x").over(w).alias("cum"),
+        F.row_number().over(wn).cast("decimal(38,0)").alias("k"),
+    )
+    dev = c.select(
+        "event_type",
+        "hr",
+        "n",
+        "s",
+        F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("s")).alias(
+            "adev"
+        ),
+    )
+    best = F.max(
+        F.struct(
+            F.col("adev"), (-F.expr("unix_micros(hr)")).alias("neg_us")
+        )
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_hours"),
+            best.alias("b"),
+            F.max("n").alias("nd"),
+            F.max("s").alias("sd"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.date_format(
+                F.timestamp_micros(-F.col("b.neg_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("changepoint_hour"),
+            F.expr(
+                "CAST(CAST(b.adev * 10000 AS DECIMAL(38,0))"
+                " div CAST(nd * sd AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("max_dev_bp"),
+        )
+        .orderBy("event_type")
+    )

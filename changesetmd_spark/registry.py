@@ -313,6 +313,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_countmin_sketch_only": "fb8a34413f0a",
     "q_cross_source_leakage": "f120be5b52b6",
     "q_cube_order_status_priority": "51c528e2fa11",
+    "q_cusum_changepoint": "fe9940e63ee7",
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",
     "q_dedup_groups": "178c907f8716",
@@ -339,6 +340,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_embedding_random_projection": "cbb1337a04df",
     "q_embedding_topk_cosine": "934645d48971",
     "q_fano_burstiness": "b998a72dd527",
+    "q_fellegi_sunter_scores": "8a801e5552ac",
     "q_funnel_conversion": "4937330f3d66",
     "q_funnel_time_to_convert": "fef06c905236",
     "q_fuzzy_name_pairs": "9916cde5e5df",

@@ -475,3 +475,73 @@ def test_psi_pure_python_recount(spark, sf_dir):
         assert (r.n_base, r.n_incoming) == (nb, ni)
         assert abs(r.psi - round(t_u / 1e9, 6)) < 1e-9
         assert r.psi >= 0
+
+
+def test_fellegi_sunter_weight_recount(spark, sf_dir):
+    """FS weights recomputed in pure Python from exact u-rationals; the
+    top-20 ordering and every field pattern's weight must agree."""
+    rows = QS["q_fellegi_sunter_scores"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    from changesetmd_spark.operators.fuzzy import _FS_M, _FUZZY_BLOCK_LEN
+
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    recs = {
+        int(r.c_custkey): (
+            r.c_name,
+            int(r.c_nationkey),
+            r.c_mktsegment,
+            math.floor(r.c_acctbal / 1000),
+        )
+        for r in c.itertuples()
+    }
+    n = len(recs)
+
+    def u_rat(idx):
+        counts = defaultdict(int)
+        for v in recs.values():
+            counts[v[idx]] += 1
+        return sum(k * (k - 1) for k in counts.values()) / (n * (n - 1))
+
+    us = {"nation": u_rat(1), "seg": u_rat(2), "bal": u_rat(3)}
+    # verify each returned pair's weight from its agreement pattern
+    for r in rows:
+        a, b = recs[r.custkey_1], recs[r.custkey_2]
+        assert a[0][:_FUZZY_BLOCK_LEN] == b[0][:_FUZZY_BLOCK_LEN]
+        w = 0.0
+        agree = 0
+        for key, idx in (("nation", 1), ("seg", 2), ("bal", 3)):
+            m, u = _FS_M[key], us[key]
+            if a[idx] == b[idx]:
+                w += math.log(m) - math.log(u)
+                agree += 1
+            else:
+                w += math.log(1 - m) - math.log(1 - u)
+        assert r.n_agree == agree
+        assert abs(r.fs_weight - round(w, 6)) < 1e-9
+    # descending weight with deterministic tie-break
+    key = [(-r.fs_weight, r.custkey_1, r.custkey_2) for r in rows]
+    assert key == sorted(key)
+
+
+def test_cusum_pure_python_recount(spark, sf_dir):
+    """Change-point hour and deviation recomputed exactly in Python ints."""
+    rows = {r.event_type: r for r in QS["q_cusum_changepoint"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).toPandas()
+    per = ev.groupby(["event_type", "hr"])["cents"].sum()
+    for t in rows:
+        series = sorted((hr, int(x)) for (t2, hr), x in per.items() if t2 == t)
+        n, s = len(series), sum(x for _, x in series)
+        cum, best, best_hr = 0, -1, None
+        for k, (hr, x) in enumerate(series, start=1):
+            cum += x
+            adev = abs(n * cum - k * s)
+            if adev > best:
+                best, best_hr = adev, hr
+        r = rows[t]
+        assert r.n_hours == n
+        assert r.changepoint_hour == best_hr
+        assert r.max_dev_bp == best * 10000 // (n * s)

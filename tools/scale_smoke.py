@@ -305,6 +305,8 @@ QUERIES = [
     "q_source_vocab_overlap",
     "q_rendezvous_shard_balance",
     "q_psi_value_drift",
+    "q_fellegi_sunter_scores",
+    "q_cusum_changepoint",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
