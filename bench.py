@@ -192,6 +192,9 @@ HEADLINE = [
     "q_psi_value_drift",
     "q_fellegi_sunter_scores",
     "q_cusum_changepoint",
+    "q_temporal_split_audit",
+    "q_welch_ttest_cohorts",
+    "q_benford_digit_audit",
 ]
 
 

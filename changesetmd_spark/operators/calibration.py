@@ -214,3 +214,125 @@ def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test (r15): the experimentation primitive.
+# ---------------------------------------------------------------------------
+@register(
+    "q_welch_ttest_cohorts",
+    oracle="""
+    WITH v AS (
+      SELECT (user_id % 2) AS cohort,
+             CAST(ROUND(value * 100, 0) AS DECIMAL(38,0)) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), g AS (
+      SELECT cohort,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS s, SUM(x * x) AS s2
+      FROM v GROUP BY cohort
+    ), w AS (
+      SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS na,
+             MAX(CASE WHEN cohort = 0 THEN s END) AS sa,
+             MAX(CASE WHEN cohort = 0 THEN s2 END) AS s2a,
+             MAX(CASE WHEN cohort = 1 THEN n END) AS nb,
+             MAX(CASE WHEN cohort = 1 THEN s END) AS sb,
+             MAX(CASE WHEN cohort = 1 THEN s2 END) AS s2b
+      FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100, 6) AS mean_a,
+           ROUND(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100, 6) AS mean_b,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt(CAST(na * s2a - sa * sa AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                           * CAST(na - 1 AS DOUBLE))
+                        + CAST(nb * s2b - sb * sb AS DOUBLE)
+                        / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                           * CAST(nb - 1 AS DOUBLE))), 6) AS t_stat,
+           ROUND(POW(CAST(na * s2a - sa * sa AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                        * CAST(na - 1 AS DOUBLE))
+                     + CAST(nb * s2b - sb * sb AS DOUBLE)
+                     / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                        * CAST(nb - 1 AS DOUBLE)), 2)
+                 / (POW(CAST(na * s2a - sa * sa AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                           * CAST(na - 1 AS DOUBLE)), 2)
+                    / CAST(na - 1 AS DOUBLE)
+                    + POW(CAST(nb * s2b - sb * sb AS DOUBLE)
+                          / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                             * CAST(nb - 1 AS DOUBLE)), 2)
+                    / CAST(nb - 1 AS DOUBLE)), 4) AS welch_dof
+    FROM w
+    """,
+)
+def q_welch_ttest_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch 1947, public
+    method) between the even/odd user cohorts' purchase values — the A/B
+    experimentation primitive, with the Welch-Satterthwaite effective
+    degrees of freedom.
+
+    Exactness: cohort sums n, Σx, Σx² are exact DECIMAL(38,0) integers
+    over cent-quantized values; the t statistic and the dof are each ONE
+    identically-parenthesized double expression over those integers
+    (sem² = (n·Σx²−(Σx)²)/(n²(n−1)) — the cross-multiplied sample
+    variance over n), rounded once.
+
+    Scale shape: one hash aggregate on the 2-key cohort space (map-side
+    combined), one 1-row pivot — the cheapest possible two-sample
+    shape; at 10¹² purchases the exchange carries 2 partials per task."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).alias("cohort"),
+            F.round(F.col("value") * 100, 0)
+            .cast("decimal(38,0)")
+            .alias("x"),
+        )
+    )
+    g = v.groupBy("cohort").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("cohort") == c, F.col(col))).alias(
+                f"{col}{'a' if c == 0 else 'b'}"
+            )
+            for c in (0, 1)
+            for col in ("n", "s", "s2")
+        ]
+    )
+    sem2 = {}
+    for side in ("a", "b"):
+        n, s, s2 = F.col(f"n{side}"), F.col(f"s{side}"), F.col(f"s2{side}")
+        sem2[side] = (n * s2 - s * s).cast("double") / (
+            n.cast("double") * n.cast("double") * (n - 1).cast("double")
+        )
+    mean = {
+        side: F.col(f"s{side}").cast("double")
+        / F.col(f"n{side}").cast("double")
+        for side in ("a", "b")
+    }
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean["a"] / 100, 6).alias("mean_a"),
+        F.round(mean["b"] / 100, 6).alias("mean_b"),
+        F.round(
+            (mean["a"] - mean["b"]) / F.sqrt(sem2["a"] + sem2["b"]), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(sem2["a"] + sem2["b"], 2)
+            / (
+                F.pow(sem2["a"], 2) / (F.col("na") - 1).cast("double")
+                + F.pow(sem2["b"], 2) / (F.col("nb") - 1).cast("double")
+            ),
+            4,
+        ).alias("welch_dof"),
+    )

@@ -2286,3 +2286,118 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/eval split leakage audit (r15).
+# ---------------------------------------------------------------------------
+_SPLIT_CUTOFF = "2024-01-16 00:00:00"  # the repo's pinned stream/static cutoff
+
+
+@register(
+    "q_temporal_split_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+             CASE WHEN ts < TIMESTAMP '{_SPLIT_CUTOFF}' THEN 0 ELSE 1 END
+               AS part
+      FROM events
+    ), counts AS (
+      SELECT CAST(SUM(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eval
+      FROM t
+    ), u AS (
+      SELECT user_id,
+             MAX(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS in_tr,
+             MAX(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS in_ev
+      FROM t GROUP BY user_id
+    ), uu AS (
+      SELECT CAST(SUM(in_tr) AS BIGINT) AS u_train,
+             CAST(SUM(in_ev) AS BIGINT) AS u_eval,
+             CAST(SUM(in_tr * in_ev) AS BIGINT) AS u_both
+      FROM u
+    ), i AS (
+      SELECT item_id,
+             MAX(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS in_tr,
+             MAX(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS in_ev
+      FROM t GROUP BY item_id
+    ), ii AS (
+      SELECT CAST(SUM(in_ev) AS BIGINT) AS i_eval,
+             CAST(SUM(in_tr * in_ev) AS BIGINT) AS i_both
+      FROM i
+    )
+    SELECT counts.n_train, counts.n_eval,
+           uu.u_train, uu.u_eval, uu.u_both,
+           CAST(uu.u_both * 10000 // uu.u_eval AS BIGINT)
+             AS eval_users_seen_bp,
+           CAST(ii.i_both * 10000 // ii.i_eval AS BIGINT)
+             AS eval_items_seen_bp
+    FROM counts, uu, ii
+    """,
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split hygiene audit: split events at the
+    pinned cutoff and report ENTITY OVERLAP across the boundary — the
+    share of eval-period users and items already seen in training.  The
+    eval-hygiene complement to the n-gram contamination audit: temporal
+    splits leak through recurring ENTITIES (a recommender evaluated on
+    users it memorized), and this report is the number a reviewer asks
+    for first.
+
+    Exactness: pure integer counting (per-entity presence bits via
+    MAX(flag), exact floor-bp shares).
+
+    Scale shape: one scan feeding three aggregates — a constant-size
+    global count, a user-keyed presence rollup, an item-keyed presence
+    rollup (all map-side combined) — each reduced to one row and
+    broadcast-chained.  No window, no join of event-scale frames."""
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.when(
+            F.col("ts") < F.lit(_SPLIT_CUTOFF).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("part"),
+    )
+    counts = t.agg(
+        F.sum(F.when(F.col("part") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("part") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+    )
+    u = t.groupBy("user_id").agg(
+        F.max(F.when(F.col("part") == 0, 1).otherwise(0)).alias("in_tr"),
+        F.max(F.when(F.col("part") == 1, 1).otherwise(0)).alias("in_ev"),
+    )
+    uu = u.agg(
+        F.sum("in_tr").cast("long").alias("u_train"),
+        F.sum("in_ev").cast("long").alias("u_eval"),
+        F.sum(F.col("in_tr") * F.col("in_ev")).cast("long").alias("u_both"),
+    )
+    i = t.groupBy("item_id").agg(
+        F.max(F.when(F.col("part") == 0, 1).otherwise(0)).alias("in_tr"),
+        F.max(F.when(F.col("part") == 1, 1).otherwise(0)).alias("in_ev"),
+    )
+    ii = i.agg(
+        F.sum("in_ev").cast("long").alias("i_eval"),
+        F.sum(F.col("in_tr") * F.col("in_ev")).cast("long").alias("i_both"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(uu))
+        .crossJoin(F.broadcast(ii))
+        .select(
+            "n_train",
+            "n_eval",
+            "u_train",
+            "u_eval",
+            "u_both",
+            F.expr("u_both * 10000 div u_eval").alias("eval_users_seen_bp"),
+            F.expr("i_both * 10000 div i_eval").alias("eval_items_seen_bp"),
+        )
+    )

@@ -491,3 +491,70 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (r15): the fraud / synthetic-data screen.
+# ---------------------------------------------------------------------------
+@register(
+    "q_benford_digit_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events
+      WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0
+    ), per AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM per)
+    SELECT digit, n,
+           CAST(n * 10000 // tot.t AS BIGINT) AS obs_bp,
+           CAST(FLOOR(log10(1 + 1.0 / digit) * 10000) AS BIGINT) AS exp_bp,
+           CAST(n * 10000 // tot.t
+                - CAST(FLOOR(log10(1 + 1.0 / digit) * 10000) AS BIGINT)
+                AS BIGINT) AS dev_bp
+    FROM per, tot
+    ORDER BY digit
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938,
+    public method) over positive event values in cents: observed vs
+    expected log10(1+1/d) leading-digit shares in basis points — the
+    classic screen for fabricated or synthetically-generated numeric
+    columns (natural multi-scale data follows the curve; uniform
+    generators, like this fixture's, visibly don't — the DEVIATION
+    column is the signal either way).
+
+    Exactness: the leading digit comes from the decimal string of the
+    exact integer cents (identical in both engines, no float log for
+    extraction); shares are floor basis points; the expectation is one
+    floor(log10) constant per digit.
+
+    Scale shape: one scan → one ≤9-key hash aggregate (map-side
+    combined) + a broadcast 1-row total.  The q1 shape."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    v = (
+        load_table(spark, sf_dir, "events")
+        .select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    per = v.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = per.agg(F.sum("n").cast("long").alias("t"))
+    exp_bp = F.floor(F.log10(1 + 1.0 / F.col("digit")) * 10000).cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 10000 div t").alias("obs_bp"),
+            exp_bp.alias("exp_bp"),
+            (F.expr("n * 10000 div t") - exp_bp).alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )

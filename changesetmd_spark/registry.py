@@ -290,6 +290,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bbox_area_filter": "e115f940f1c9",
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
+    "q_benford_digit_audit": "a819fa37d454",
     "q_bigram_lm_fluency": "6a3bbc058f88",
     "q_bitext_margin_mining": "0b40129ff8a2",
     "q_bitext_margin_mining_ivf": "838aa2186673",
@@ -456,6 +457,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_subsample_stability_ci": "06a251ad06a4",
     "q_table_profile": "f84b829d00c7",
     "q_temperature_mixture": "9331bcd9a47b",
+    "q_temporal_split_audit": "e1e878a5d369",
     "q_text_blocklist_scrub": "468932933668",
     "q_text_fingerprint": "8b71b9ddfd6a",
     "q_text_lang_id_confusion": "b204de6407b2",
@@ -484,6 +486,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_vocab_growth": "4702706bc4a5",
     "q_vocab_growth_sketched": "cb7d63b54367",
     "q_vocab_prune_coverage": "a580b3659a43",
+    "q_welch_ttest_cohorts": "5facc07d6d5d",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "1cb3d953f1c8",
     "q_window_sliding": "1f71aa30c65f",

@@ -545,3 +545,58 @@ def test_cusum_pure_python_recount(spark, sf_dir):
         assert r.n_hours == n
         assert r.changepoint_hour == best_hr
         assert r.max_dev_bp == best * 10000 // (n * s)
+
+
+def test_temporal_split_identities(spark, sf_dir):
+    """Presence-bit identities: u_both ≤ min(u_train, u_eval); event
+    totality; shares recount from a pandas pass."""
+    [r] = QS["q_temporal_split_audit"](spark, sf_dir).collect()
+    from changesetmd_spark.operators.curation import _SPLIT_CUTOFF
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.get_json_object("props", "$.k").cast("long").alias("item")
+    ).toPandas()
+    import pandas as pd
+
+    cutoff = pd.Timestamp(_SPLIT_CUTOFF)
+    tr = ev[ev["ts"] < cutoff]
+    evl = ev[ev["ts"] >= cutoff]
+    assert (r.n_train, r.n_eval) == (len(tr), len(evl))
+    ut, ue = set(tr["user_id"]), set(evl["user_id"])
+    assert (r.u_train, r.u_eval, r.u_both) == (len(ut), len(ue), len(ut & ue))
+    assert r.eval_users_seen_bp == len(ut & ue) * 10000 // len(ue)
+    it, ie = set(tr["item"]), set(evl["item"])
+    assert r.eval_items_seen_bp == len(it & ie) * 10000 // len(ie)
+
+
+def test_welch_ttest_scipy_free_recount(spark, sf_dir):
+    """t statistic and Welch dof recomputed from exact integer sums."""
+    [r] = QS["q_welch_ttest_cohorts"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "value").toPandas()
+    stats = {}
+    for c in (0, 1):
+        xs = [round(v * 100) for u, v in zip(ev["user_id"], ev["value"]) if u % 2 == c]
+        n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        stats[c] = (n, s, s2, (n * s2 - s * s) / (n * n * (n - 1)))
+    (na, sa, _, va), (nb, sb, _, vb) = stats[0], stats[1]
+    t = round((sa / na - sb / nb) / math.sqrt(va + vb), 6)
+    dof = round((va + vb) ** 2 / (va**2 / (na - 1) + vb**2 / (nb - 1)), 4)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.t_stat - t) < 1e-9
+    assert abs(r.welch_dof - dof) < 1e-9
+    assert min(na, nb) - 1 <= r.welch_dof <= na + nb - 2
+
+
+def test_benford_totality_and_expectation(spark, sf_dir):
+    """Digits 1-9 cover every positive value; expected bp sum to ~10000;
+    observed bp recount."""
+    rows = QS["q_benford_digit_audit"](spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert r.obs_bp == r.n * 10000 // total
+        assert r.dev_bp == r.obs_bp - r.exp_bp
+        assert abs(r.exp_bp - math.floor(math.log10(1 + 1 / r.digit) * 10000)) == 0
+    assert 9991 <= sum(r.exp_bp for r in rows) <= 10000  # floor loses <9 bp

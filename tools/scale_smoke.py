@@ -307,6 +307,9 @@ QUERIES = [
     "q_psi_value_drift",
     "q_fellegi_sunter_scores",
     "q_cusum_changepoint",
+    "q_temporal_split_audit",
+    "q_welch_ttest_cohorts",
+    "q_benford_digit_audit",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
