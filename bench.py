@@ -195,6 +195,7 @@ HEADLINE = [
     "q_temporal_split_audit",
     "q_welch_ttest_cohorts",
     "q_benford_digit_audit",
+    "q_mann_whitney_u",
 ]
 
 

@@ -336,3 +336,133 @@ def q_welch_ttest_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (r15): the nonparametric companion to the Welch test,
+# computed EXACTLY over the value domain — no global rank, no sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT (user_id % 2) AS cohort,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), per AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS ca,
+             CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS cb
+      FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents, ca, cb,
+             COALESCE(SUM(cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_b_lt
+      FROM per
+    ), g AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb,
+             SUM(2 * ca * cum_b_lt + ca * cb) AS u2,
+             SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS tie3
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(u2 AS BIGINT) AS u2_a,
+           ROUND((CAST(u2 AS DOUBLE) / 2
+                  - CAST(na * nb AS DOUBLE) / 2)
+                 / sqrt(CAST(na * nb AS DOUBLE) / 12
+                        * (CAST(na + nb + 1 AS DOUBLE)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(na + nb AS DOUBLE)
+                                * CAST(na + nb - 1 AS DOUBLE)))), 6)
+             AS z_score
+    FROM g
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (1947, public method) between the even/odd user
+    cohorts' purchase values — the nonparametric companion to the Welch
+    test (rank-based: robust to the heavy tails that break t).  Computed
+    WITHOUT any global rank: over the per-value-domain frame, U_A =
+    Σ_v c_A(v)·(#B below v) + ½·c_A(v)·c_B(v) — the CDF convolution form,
+    so no sort of the data ever happens; the normal approximation uses
+    the exact tie-corrected variance.
+
+    Exactness: U is carried as the INTEGER 2U (half-counts from ties
+    stay integral); counts, the below-cumulative, and the tie term
+    Σ(t³−t) are exact DECIMAL(38,0); only the final z divides in
+    doubles, rounded once.
+
+    Scale shape: one hash aggregate to the distinct-cents frame, one
+    cumulative window over that VALUE-DOMAIN frame (the KS-drift bound —
+    cardinality is the price domain, not the row count), one 1-row
+    reduce.  At 10¹² purchases the window still sees only distinct
+    cents."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).alias("cohort"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    per = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum("cb").over(w), F.lit(0).cast("decimal(38,0)")
+        ).alias("cum_b_lt"),
+    )
+    g = cum.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+        F.sum(
+            2 * F.col("ca") * F.col("cum_b_lt") + F.col("ca") * F.col("cb")
+        )
+        .cast("decimal(38,0)")
+        .alias("u2"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n_tot = (F.col("na") + F.col("nb")).cast("double")
+    return g.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("u2").cast("long").alias("u2_a"),
+        F.round(
+            (
+                F.col("u2").cast("double") / 2
+                - (F.col("na") * F.col("nb")).cast("double") / 2
+            )
+            / F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double")
+                / 12
+                * (
+                    (F.col("na") + F.col("nb") + 1).cast("double")
+                    - F.col("tie3").cast("double")
+                    / (n_tot * (n_tot - 1))
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )

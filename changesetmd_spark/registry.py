@@ -370,6 +370,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_length_bucket_packing": "5f5c45809b4e",
     "q_like_part_types": "9d4e6f50083c",
     "q_line_dedup_c4": "38a12ec1b5bf",
+    "q_mann_whitney_u": "cbadd52b285e",
     "q_map_explode_tag_histogram": "e00e31aa3c4b",
     "q_map_key_existence": "8c8f6be9009b",
     "q_map_value_extract": "ff6e348356a3",

@@ -600,3 +600,33 @@ def test_benford_totality_and_expectation(spark, sf_dir):
         assert r.dev_bp == r.obs_bp - r.exp_bp
         assert abs(r.exp_bp - math.floor(math.log10(1 + 1 / r.digit) * 10000)) == 0
     assert 9991 <= sum(r.exp_bp for r in rows) <= 10000  # floor loses <9 bp
+
+
+def test_mann_whitney_pure_python_recount(spark, sf_dir):
+    """2U and the tie-corrected z recomputed from Counters (the direct
+    pairwise definition), plus the U_A + U_B = n_a·n_b identity."""
+    from collections import Counter
+
+    [r] = QS["q_mann_whitney_u"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "value").toPandas()
+    ca, cb = Counter(), Counter()
+    for u, v in zip(ev["user_id"], ev["value"]):
+        (ca if u % 2 == 0 else cb)[round(v * 100)] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    u2 = 0
+    for va, k in ca.items():
+        for vb, m in cb.items():
+            if va > vb:
+                u2 += 2 * k * m
+            elif va == vb:
+                u2 += k * m
+    assert (r.n_a, r.n_b, r.u2_a) == (na, nb, u2)
+    n = na + nb
+    tie3 = sum(
+        (ca[v] + cb[v]) ** 3 - (ca[v] + cb[v]) for v in set(ca) | set(cb)
+    )
+    var = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = round((u2 / 2 - na * nb / 2) / math.sqrt(var), 6)
+    assert abs(r.z_score - z) < 1e-9
