@@ -196,6 +196,8 @@ HEADLINE = [
     "q_welch_ttest_cohorts",
     "q_benford_digit_audit",
     "q_mann_whitney_u",
+    "q_hhi_concentration",
+    "q_spearman_hourly_correlation",
 ]
 
 

@@ -1690,3 +1690,70 @@ def q13_order_count_distribution(
         .select(F.col("n").cast("long").alias("n_orders"), "n_customers")
         .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index (r15): the market-concentration
+# companion to the Gini report, per event type over item shares.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hhi_concentration",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), per AS (
+      SELECT event_type, item_id, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM e GROUP BY event_type, item_id
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(c) AS s,
+             SUM(c * c) AS s2
+      FROM per GROUP BY event_type
+    )
+    SELECT event_type, n_items,
+           CAST(s AS BIGINT) AS n_events,
+           CAST(CAST(s2 * 10000 AS HUGEINT) // CAST(s * s AS HUGEINT)
+                AS BIGINT) AS hhi_x10000,
+           CAST(10000 // n_items AS BIGINT) AS uniform_hhi_x10000
+    FROM g
+    ORDER BY event_type
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index (public method — the
+    antitrust/market-share statistic) of ITEM engagement per event type:
+    HHI = Σ shareᵢ² = Σcᵢ²/(Σc)², reported in exact floor 1e-4 units
+    alongside the uniform-distribution floor 1/n — the "is engagement
+    concentrated on a few items" companion to the per-user Gini report.
+
+    Exactness: Σc and Σc² are exact DECIMAL(38,0) integers (c² ≤ 10²⁴
+    at 10¹² events on one item); the index is one integer floor
+    division — no float anywhere.
+
+    Scale shape: one (type, item) hash aggregate (map-side combined),
+    one ≤types rollup.  The q1 shape over the item dimension."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+    )
+    per = e.groupBy("event_type", "item_id").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    g = per.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+    )
+    return g.select(
+        "event_type",
+        "n_items",
+        F.col("s").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CAST(s2 * 10000 AS DECIMAL(38,0))"
+            " div CAST(s * s AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("hhi_x10000"),
+        F.expr("10000 div n_items").alias("uniform_hhi_x10000"),
+    ).orderBy("event_type")

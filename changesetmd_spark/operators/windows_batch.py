@@ -1443,3 +1443,141 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two hourly series (r15): exact
+# midranks over bounded domains — the robust companion to q_autocorr_lag1.
+# ---------------------------------------------------------------------------
+_SPEARMAN_A = "view"
+_SPEARMAN_B = "purchase"
+
+
+@register(
+    "q_spearman_hourly_correlation",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(SUM(CASE WHEN event_type = '{_SPEARMAN_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = '{_SPEARMAN_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('{_SPEARMAN_A}', '{_SPEARMAN_B}')
+      GROUP BY 1
+    ), rx AS (
+      SELECT x AS v,
+             2 * COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM (SELECT x, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+            FROM h GROUP BY x)
+    ), ry AS (
+      SELECT y AS v,
+             2 * COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM (SELECT y, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+            FROM h GROUP BY y)
+    ), r AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM h JOIN rx ON h.x = rx.v JOIN ry ON h.y = ry.v
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(a) AS sa, SUM(b) AS sb,
+             SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(a * b) AS sab
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM g
+    """,
+)
+def q_spearman_hourly_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation (1904, public method) between the
+    '{_SPEARMAN_A}' and '{_SPEARMAN_B}' hourly count series — the
+    robust do-views-drive-purchases signal (Pearson on RANKS survives
+    the heavy-tailed hours that distort q_autocorr_lag1's moment-based
+    form).  Ranks are exact MIDRANKS carried as the integer 2r (ties
+    stay integral): r2(v) = 2·(#smaller) + (#equal) + 1.
+
+    Exactness: hourly counts, midranks, and all six Pearson sums are
+    exact DECIMAL(38,0) integers; one rounded double expression.
+
+    Scale shape: one hour-keyed aggregate (TIME-BOUNDED frame), two
+    cumulative windows over DISTINCT-COUNT-VALUE domains (each bounded
+    by the value domain, the KS/Mann-Whitney bound), two equi-joins
+    back on the value, one 1-row reduce.  The raw events are touched
+    once; nothing event-scale is ever sorted."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_SPEARMAN_A, _SPEARMAN_B))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == _SPEARMAN_A, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == _SPEARMAN_B, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+    def midranks(col: str) -> DataFrame:
+        per = h.groupBy(col).agg(
+            F.count("*").cast("decimal(38,0)").alias("c")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            F.col(col).alias("v"),
+            (
+                2
+                * F.coalesce(
+                    F.sum("c").over(w), F.lit(0).cast("decimal(38,0)")
+                )
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = midranks("x").select(
+        F.col("v").alias("x"), F.col("r2").alias("a")
+    )
+    ry = midranks("y").select(
+        F.col("v").alias("y"), F.col("r2").alias("b")
+    )
+    r = h.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    g = r.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("a").cast("decimal(38,0)").alias("sa"),
+        F.sum("b").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("decimal(38,0)").alias("sab"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+                ).cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -349,6 +349,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_grouping_sets_order_stats": "9a27415adf92",
     "q_hard_negative_mining": "2ce8a3e9b3d3",
     "q_heavy_hitter_terms": "7da4342493b1",
+    "q_hhi_concentration": "7fac3faf1886",
     "q_hits_bipartite": "fec53ec5b7e9",
     "q_hourly_ohlc": "8bc8718a7dfa",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
@@ -442,6 +443,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_source_mixture_weights": "b86df1b022e7",
     "q_source_quota_sample": "1f58f856167f",
     "q_source_vocab_overlap": "936a00075c7b",
+    "q_spearman_hourly_correlation": "0e0d9ad129e9",
     "q_stratified_sample_neyman": "c5bd5627e0df",
     "q_stream_dedup_first_seen": "76cbd611d070",
     "q_stream_dedup_reemit_after_expiry": "c5644eb25b27",

@@ -630,3 +630,58 @@ def test_mann_whitney_pure_python_recount(spark, sf_dir):
     var = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
     z = round((u2 / 2 - na * nb / 2) / math.sqrt(var), 6)
     assert abs(r.z_score - z) < 1e-9
+
+
+def test_hhi_identities(spark, sf_dir):
+    """HHI recount; uniform floor ≤ HHI ≤ 10000; item totality."""
+    rows = QS["q_hhi_concentration"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("item")
+    ).toPandas()
+    for r in rows:
+        grp = ev[ev["event_type"] == r.event_type]["item"].value_counts()
+        s, s2 = int(grp.sum()), int((grp * grp).sum())
+        assert (r.n_items, r.n_events) == (len(grp), s)
+        assert r.hhi_x10000 == s2 * 10000 // (s * s)
+        assert r.uniform_hhi_x10000 == 10000 // len(grp)
+        assert r.uniform_hhi_x10000 <= r.hhi_x10000 <= 10000
+
+
+def test_spearman_scipy_style_recount(spark, sf_dir):
+    """ρ recomputed from midranks in pure Python; |ρ| ≤ 1."""
+    [r] = QS["q_spearman_hourly_correlation"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", F.date_trunc("hour", "ts").alias("hr")).toPandas()
+    hours = sorted(set(ev["hr"]))
+    xs, ys = [], []
+    vc = ev[ev["event_type"] == "view"]["hr"].value_counts()
+    pc = ev[ev["event_type"] == "purchase"]["hr"].value_counts()
+    for h in hours:
+        xs.append(int(vc.get(h, 0)))
+        ys.append(int(pc.get(h, 0)))
+
+    def midrank2(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        r2 = {}
+        below = 0
+        for v in sorted(cnt):
+            r2[v] = 2 * below + cnt[v] + 1
+            below += cnt[v]
+        return [r2[v] for v in vals]
+
+    a, b = midrank2(xs), midrank2(ys)
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    saa = sum(x * x for x in a); sbb = sum(x * x for x in b)
+    sab = sum(x * y for x, y in zip(a, b))
+    rho = round(
+        (n * sab - sa * sb)
+        / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+        6,
+    )
+    assert r.n_hours == n
+    assert abs(r.spearman_rho - rho) < 1e-9
+    assert -1.0 <= r.spearman_rho <= 1.0

@@ -311,6 +311,8 @@ QUERIES = [
     "q_welch_ttest_cohorts",
     "q_benford_digit_audit",
     "q_mann_whitney_u",
+    "q_hhi_concentration",
+    "q_spearman_hourly_correlation",
     # VERDICT r13 #4: the streaming family — availableNow over the
     # replicated events staged as a file source.  Wall time AND final
     # state-store row counts are recorded (see state_rows in the run
