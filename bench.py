@@ -411,6 +411,25 @@ def contention_sentinel(spark) -> float:
     return round(min(samples), 3)
 
 
+def micro_probe(spark) -> float:
+    """Per-query contention covariate (r15, PLANS.md post-close note):
+    a fixed-work slice of the sentinel plan run before EACH query's
+    samples (~0.18 s, floored by the collect round-trip).  This host's
+    noisy-neighbor windows last minutes — long enough to inflate a block
+    of adjacent queries, short enough that three run-level sentinel
+    samples miss them; a per-query probe lets the regression pin mark
+    flags environment-suspect at QUERY granularity.  Probes are measured
+    OUTSIDE the query timers, so the headline total is unaffected
+    (~30 s of extra wall per run)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 16_000_000, 1, 8).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_048_576)))
+    ).collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     spark = get_spark(app_name="changesetmd-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -424,8 +443,10 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).collect()
     # warm the sentinel's own codegen path so its start/mid/end samples
-    # are all steady-state (first compile of the probe plan costs ~2.5s)
+    # are all steady-state (first compile of the probe plan costs ~2.5s);
+    # same for the per-query micro-probe's smaller plan
     contention_sentinel(spark)
+    micro_probe(spark)
 
     # measure ingest before the query gauntlet fragments the heap — the
     # rate is the headline comparison against the reference's 3.2-4.8k/s
@@ -452,9 +473,11 @@ def main() -> None:
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     sentinel = {"start": contention_sentinel(spark)}
+    probes: dict[str, float] = {}
     for name in HEADLINE:
         if name == HEADLINE[len(HEADLINE) // 2]:
             sentinel["mid"] = contention_sentinel(spark)
+        probes[name] = micro_probe(spark)
         samples: list[float] = []
         for _ in range(_RUNS):
             t0 = time.perf_counter()
@@ -490,6 +513,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_median": medians,
+        "contention_probe": probes,
         "sf": sf_from_dir(SF_DIR),
         "xml_ingest": ingest,
         "replication_steady_state": repl,
@@ -536,6 +560,9 @@ def main() -> None:
         out["sentinel_vs_prev_ratio"] = sent_ratio
         out["sentinel_intra_run_drift"] = intra_drift
         contended = (sent_ratio or 1.0) > 1.3 or intra_drift > 1.3
+        # per-query covariate: a query whose adjacent micro-probe ran
+        # >1.3x the run's floor was measured in a noisy window
+        probe_floor = min(probes.values()) if probes else None
         if prev.get("sf") == out["sf"]:
             # older files may predate the median column; fall back to min
             prev_meds = prev.get("queries_median") or prev.get("queries", {})
@@ -563,11 +590,18 @@ def main() -> None:
                 ].get(name):
                     redefined.append(name)
                     continue
+                probe_ratio = (
+                    round(probes[name] / probe_floor, 2)
+                    if probe_floor and name in probes
+                    else None
+                )
                 regressions[name] = {
                     "prev": prev_t,
                     "now": now_t,
                     "ratio": round(now_t / prev_t, 2),
-                    "suspect_contention": bool(contended),
+                    "suspect_contention": bool(contended)
+                    or bool(probe_ratio and probe_ratio > 1.3),
+                    "probe_vs_floor": probe_ratio,
                 }
         # Cross-round drift attribution (VERDICT r14 #3/#8): the totals of
         # the queries COMMON to both files, raw and sentinel-normalized.
