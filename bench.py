@@ -198,6 +198,76 @@ HEADLINE = [
     "q_mann_whitney_u",
     "q_hhi_concentration",
     "q_spearman_hourly_correlation",
+    # r16: the 66 previously-unbenched registered queries (VERDICT r15 #2)
+    # — every registered query now has a regression pin; a plan regression
+    # in the early relational / readme / bbox / map / batch-window / text-
+    # quality families is no longer invisible to the close.
+    "q_ann_verify_rerank",
+    "q_anti_join_dormant_customers",
+    "q_asof_purchase_last_view",
+    "q_bbox_area_filter",
+    "q_bbox_area_topk",
+    "q_bbox_containment",
+    "q_bm25_keyword_search",
+    "q_changeset_comments_explode",
+    "q_changeset_join_comments",
+    "q_contamination_ngram_overlap",
+    "q_cube_order_status_priority",
+    "q_dedup_exact_counts",
+    "q_distinct_counts",
+    "q_embedding_ann_checked",
+    "q_embedding_ann_ivf_checked",
+    "q_embedding_centroid_per_label",
+    "q_grouping_sets_order_stats",
+    "q_hard_negative_mining",
+    "q_intersect_segments",
+    "q_json_typed_extract",
+    "q_like_part_types",
+    "q_line_dedup_c4",
+    "q_map_explode_tag_histogram",
+    "q_map_key_existence",
+    "q_map_value_like",
+    "q_minhash_lsh_checked",
+    "q_multimodal_byte_stats",
+    "q_neardup_verify_jaccard",
+    "q_orders_per_month",
+    "q_outer_join_order_counts",
+    "q_pipeline_curate_end_to_end",
+    "q_pivot_status_by_priority",
+    "q_quality_percentile_gate",
+    "q_range_join_shipments_in_window",
+    "q_readme_count_comment_tag",
+    "q_readme_count_created_by_josm",
+    "q_readme_envelope_containment",
+    "q_rollup_nation_segment",
+    "q_semi_join_active_customers",
+    "q_set_ops_customer_cohorts",
+    "q_simhash_checked",
+    "q_simhash_near_dup",
+    "q_sketch_cardinality_and_quantiles",
+    "q_source_mixture_weights",
+    "q_source_quota_sample",
+    "q_stream_purchase_attribution",
+    "q_stream_rollup_hourly",
+    "q_stream_session_windows",
+    "q_stream_sliding_2h_1h",
+    "q_text_blocklist_scrub",
+    "q_text_fingerprint",
+    "q_text_lang_id_confusion",
+    "q_text_quality",
+    "q_text_quality_by_source",
+    "q_text_repetition_quality",
+    "q_text_token_budget_by_source",
+    "q_tfidf_top_terms",
+    "q_train_test_split",
+    "q_unigram_prob_mass",
+    "q_unpivot_quantity_price",
+    "q_value_percentiles_per_type",
+    "q_vocab_growth",
+    "q_window_running_total",
+    "q_window_sliding",
+    "q_window_trailing_hour_sum",
+    "q_window_tumbling_hourly",
 ]
 
 
@@ -603,6 +673,40 @@ def main() -> None:
                     or bool(probe_ratio and probe_ratio > 1.3),
                     "probe_vs_floor": probe_ratio,
                 }
+            # Probe-gated resampling (VERDICT r15 #1/#3): the single
+            # pre-query probe has a blind spot — a noise window can start
+            # AFTER the probe and inflate the query anyway (r15's
+            # q_stream_hourly_ohlc: 1.63x flag, probe_vs_floor 1.19, rerun
+            # clean).  On a pin breach, immediately re-sample the query
+            # under a FRESH probe; a flag only stands as plan evidence if
+            # the breach reproduces while the cool probe certifies the
+            # host (`resample_confirmed: true`).
+            for name, reg in regressions.items():
+                cool_probe = micro_probe(spark)
+                re_samples: list[float] = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    try:
+                        qs[name](spark, SF_DIR).collect()
+                        re_samples.append(time.perf_counter() - t0)
+                    except Exception:  # noqa: BLE001
+                        break
+                    finally:
+                        spark.catalog.clearCache()
+                if not re_samples:
+                    continue
+                re_med = round(sorted(re_samples)[len(re_samples) // 2], 3)
+                cool_ratio = (
+                    round(cool_probe / probe_floor, 2) if probe_floor else None
+                )
+                probe_cool = bool(cool_ratio is None or cool_ratio < 1.3)
+                reproduced = re_med > 1.5 * reg["prev"]
+                reg["resample_median"] = re_med
+                reg["resample_probe_vs_floor"] = cool_ratio
+                reg["resample_confirmed"] = bool(reproduced and probe_cool)
+                if not reproduced:
+                    # breach evaporated under re-measurement → host noise
+                    reg["suspect_contention"] = True
         # Cross-round drift attribution (VERDICT r14 #3/#8): the totals of
         # the queries COMMON to both files, raw and sentinel-normalized.
         # Two consecutive rounds drifted ~10% uniformly close-to-close with
@@ -618,22 +722,27 @@ def main() -> None:
         # prev file is a committed close and this run is the driver's
         # post-commit rerun, `vs_prev_common_ratio_raw` IS the
         # close-vs-rerun gap the rounds must be compared on.
-        common = [n for n in medians if n in prev_meds and prev_meds[n]]
-        if common:
-            now_c = round(sum(medians[n] for n in common), 3)
-            prev_c = round(sum(prev_meds[n] for n in common), 3)
-            raw = round(now_c / prev_c, 3) if prev_c else None
-            out["vs_prev_common"] = {
-                "n_queries": len(common),
-                "prev_total": prev_c,
-                "now_total": now_c,
-                "vs_prev_common_ratio_raw": raw,
-                "vs_prev_common_ratio_sentinel_normalized": (
-                    round(raw / sent_ratio, 3)
-                    if raw is not None and sent_ratio
-                    else None
-                ),
-            }
+            # Lives INSIDE the same-sf branch (r15 advisor): prev_meds
+            # only exists there, and cross-SF common totals would be
+            # meaningless — a bench run at a different SPARK_GRAFT_SF_DIR
+            # previously raised NameError after the full gauntlet, losing
+            # the run's output.
+            common = [n for n in medians if n in prev_meds and prev_meds[n]]
+            if common:
+                now_c = round(sum(medians[n] for n in common), 3)
+                prev_c = round(sum(prev_meds[n] for n in common), 3)
+                raw = round(now_c / prev_c, 3) if prev_c else None
+                out["vs_prev_common"] = {
+                    "n_queries": len(common),
+                    "prev_total": prev_c,
+                    "now_total": now_c,
+                    "vs_prev_common_ratio_raw": raw,
+                    "vs_prev_common_ratio_sentinel_normalized": (
+                        round(raw / sent_ratio, 3)
+                        if raw is not None and sent_ratio
+                        else None
+                    ),
+                }
     except (OSError, json.JSONDecodeError):
         pass
     out["regressions"] = regressions

@@ -490,8 +490,12 @@ def q_subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") * 1.0 / F.count("*") / 100, 6).alias("m")
         )
     )
+    # n_resamples is the ATTEMPTED replicate count (the oracle's
+    # definition, `CAST({_CI_B} AS BIGINT)`), not the materialized group
+    # count: on a tiny/heavily-filtered input an empty replicate would
+    # otherwise make the two sides disagree (r15 advisor).
     ci = res.agg(
-        F.count("*").cast("long").alias("n_resamples"),
+        F.lit(_CI_B).cast("long").alias("n_resamples"),
         F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_low"),
         F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_high"),
     )
