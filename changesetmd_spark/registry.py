@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # a new driver round updates the order mechanically.
 WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q10_returned_item_revenue": (14,),
+    "q13_order_count_distribution": (15,),
     "q14_promo_revenue_share": (14,),
+    "q18_large_volume_orders": (15,),
     "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 8, 11),
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8, 11),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8, 11),
@@ -63,12 +65,15 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_ann_recall_audit": (10, 13),
     "q_ann_verify_rerank": (6, 9, 12),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8, 12),
+    "q_argmin_supplier_per_part": (15,),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9, 12, 13),
     "q_asof_two_phase_scalable": (13, 14),
     "q_association_rules": (13,),
+    "q_autocorr_lag1": (15,),
     "q_bbox_area_filter": (2, 3, 4, 5, 8, 11),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_benford_digit_audit": (15,),
     "q_bigram_lm_fluency": (7, 10, 14),
     "q_bitext_margin_mining": (9, 10, 13),
     "q_bitext_margin_mining_ivf": (10, 13),
@@ -81,14 +86,18 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_charclass_entropy": (14,),
+    "q_chi2_independence": (15,),
+    "q_cluster_silhouette": (15,),
+    "q_cohens_kappa_langid": (15,),
     "q_cohort_retention": (7, 11),
     "q_containment_pairs": (14,),
     "q_contamination_ngram_overlap": (5, 8, 11),
     "q_context_window_plan": (13,),
-    "q_countmin_estimates": (9, 10),
-    "q_countmin_sketch_only": (10,),
+    "q_countmin_estimates": (9, 10, 15),
+    "q_countmin_sketch_only": (10, 15),
     "q_cross_source_leakage": (12,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8, 12),
+    "q_cusum_changepoint": (15,),
     "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9, 12),
@@ -100,31 +109,36 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_dup_cluster_histogram": (13,),
     "q_duplicate_substring_spans": (7, 10, 13),
     "q_ease_grid_project": (13,),
+    "q_effective_sample_size": (15,),
     "q_embedding_ann_checked": (6, 9, 12),
     "q_embedding_ann_ivf": (1, 7, 9, 12),
-    "q_embedding_ann_ivf_checked": (8, 11),
+    "q_embedding_ann_ivf_checked": (8, 11, 15),
     "q_embedding_ann_lsh": (1, 7, 9, 12),
     "q_embedding_binary_hamming": (12,),
     "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9, 12),
     "q_embedding_dim_moments": (12, 13),
     "q_embedding_int8_quantize": (9, 12),
-    "q_embedding_neardup_cosine": (1, 7, 9, 11),
+    "q_embedding_neardup_cosine": (1, 7, 9, 11, 15),
     "q_embedding_pca_power": (7, 9, 12),
-    "q_embedding_pq_adc": (8, 11),
+    "q_embedding_pq_adc": (8, 11, 15),
     "q_embedding_random_projection": (8, 11),
     "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10, 13),
-    "q_funnel_conversion": (7, 10),
+    "q_fano_burstiness": (15,),
+    "q_fellegi_sunter_scores": (15,),
+    "q_funnel_conversion": (7, 10, 15),
     "q_funnel_time_to_convert": (14,),
     "q_fuzzy_name_pairs": (9, 12),
     "q_gini_user_concentration": (14,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9, 12),
     "q_hard_negative_mining": (8, 11),
-    "q_heavy_hitter_terms": (7, 10),
+    "q_heavy_hitter_terms": (7, 10, 15),
+    "q_hhi_concentration": (15,),
     "q_hits_bipartite": (14,),
     "q_hourly_ohlc": (14,),
     "q_hybrid_rrf_search": (11,),
     "q_incremental_hash_dedup": (11,),
     "q_incremental_minhash_neardup": (12, 13),
+    "q_interarrival_stats": (15,),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8, 12),
     "q_item_cooccurrence": (7, 10, 14),
     "q_json_typed_extract": (6, 9, 13),
@@ -133,18 +147,21 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_kcore_items": (8, 11),
     "q_kmeans_assign_update": (7, 9, 12),
     "q_kneser_ney_bigram": (14,),
-    "q_ks_value_drift": (14,),
+    "q_ks_value_drift": (14, 15),
     "q_label_balance_downsample": (13,),
     "q_label_propagation": (8, 11),
+    "q_ldiversity_risk": (15,),
     "q_length_bucket_packing": (14,),
-    "q_like_part_types": (2, 3, 4, 7, 10),
+    "q_like_part_types": (2, 3, 4, 7, 10, 15),
     "q_line_dedup_c4": (7, 10, 14),
+    "q_mann_whitney_u": (15,),
     "q_map_explode_tag_histogram": (6, 9, 13),
     "q_map_key_existence": (1, 6, 9, 12),
     "q_map_value_extract": (6, 9, 13),
     "q_map_value_like": (6, 9, 13),
     "q_market_share_by_nation": (13,),
     "q_matryoshka_truncation_audit": (11,),
+    "q_max_drawdown": (15,),
     "q_media_shard_manifest": (7, 9, 12),
     "q_minhash_estimate_error_audit": (10, 11, 13),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10, 14),
@@ -154,15 +171,18 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8, 11),
     "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11, 12),
     "q_multimodal_decode_real": (13,),
+    "q_multimodal_png_stats": (15,),
     "q_multimodal_resize": (12,),
     "q_multitouch_attribution": (13, 14),
     "q_neardup_canonical": (8, 9, 12),
     "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10, 14),
     "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_ngram_novelty": (7, 10, 14),
-    "q_orders_per_month": (1, 2, 3, 4, 7, 10),
+    "q_orders_per_month": (1, 2, 3, 4, 7, 10, 15),
     "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_pagerank_items": (7, 10, 14),
+    "q_pareto_frontier_docs": (15,),
+    "q_part_value_share": (15,),
     "q_phrase_search": (9, 12),
     "q_pii_redaction_stats": (9, 12),
     "q_pipeline_curate_end_to_end": (5, 6, 8, 11),
@@ -171,7 +191,8 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_ppjoin_similar_docs": (9, 10, 14),
     "q_pps_systematic_sample": (9, 12),
     "q_prf_expansion_terms": (13,),
-    "q_priority_sample_topk": (10,),
+    "q_priority_sample_topk": (10, 15),
+    "q_psi_value_drift": (15,),
     "q_quality_percentile_gate": (8, 11),
     "q_quality_rule_attribution": (11,),
     "q_rag_chunk_overlap": (7, 10, 14),
@@ -179,10 +200,12 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9, 12),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8, 11),
+    "q_referential_integrity_audit": (15,),
+    "q_rendezvous_shard_balance": (15,),
     "q_retrieval_mrr_eval": (14,),
     "q_retrieval_ndcg_eval": (12, 13),
     "q_rollup_nation_segment": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_salted_join_skewed_types": (1, 7, 10),
+    "q_salted_join_skewed_types": (1, 7, 10, 15),
     "q_scd2_priority_history": (9, 12),
     "q_seasonality_profile": (13,),
     "q_semantic_outlier_docs": (14,),
@@ -190,21 +213,24 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_semdedup_ivf": (9, 12),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_sequence_packing": (7, 10, 14),
-    "q_series_ewma": (7, 10),
-    "q_series_linear_trend": (7, 10),
+    "q_series_ewma": (7, 10, 15),
+    "q_series_linear_trend": (7, 10, 15),
     "q_session_two_phase_scalable": (13, 14),
     "q_set_ops_customer_cohorts": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_simhash_checked": (5, 6, 8, 11),
     "q_simhash_near_dup": (1, 2, 3, 4, 5, 7, 10, 14),
-    "q_sketch_cardinality_and_quantiles": (1, 7, 10),
+    "q_sketch_cardinality_and_quantiles": (1, 7, 10, 15),
     "q_skew_advised_salted_join": (12,),
     "q_skew_key_advisor": (11,),
     "q_small_quantity_revenue": (13,),
     "q_source_mixture_weights": (5, 8, 11),
     "q_source_quota_sample": (2, 3, 4, 5, 8, 11),
+    "q_source_vocab_overlap": (15,),
+    "q_spearman_hourly_correlation": (15,),
     "q_stratified_sample_neyman": (10, 14),
     "q_stream_dedup_first_seen": (6, 9, 13),
     "q_stream_dedup_reemit_after_expiry": (13,),
+    "q_stream_hourly_ohlc": (15,),
     "q_stream_incremental_dedup": (11,),
     "q_stream_join_left_outer_expiry": (13,),
     "q_stream_late_data_drop": (12, 13),
@@ -214,8 +240,10 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_stream_sliding_2h_1h": (6, 9, 13),
     "q_stream_stateful_user_totals": (6, 9, 13),
     "q_stream_tumbling_hourly": (6, 9, 13),
+    "q_subsample_stability_ci": (15,),
     "q_table_profile": (9, 12),
-    "q_temperature_mixture": (7, 10),
+    "q_temperature_mixture": (7, 10, 15),
+    "q_temporal_split_audit": (15,),
     "q_text_blocklist_scrub": (5, 8, 11),
     "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10, 14),
@@ -225,9 +253,10 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_text_token_budget_by_source": (5, 7, 10, 14),
     "q_text_token_stats": (2, 3, 4, 5, 7, 10, 14),
     "q_tfidf_top_terms": (2, 3, 4, 5, 8, 11),
-    "q_time_gapfill_interpolate": (7, 10),
-    "q_time_gapfill_locf": (7, 10),
+    "q_time_gapfill_interpolate": (7, 10, 15),
+    "q_time_gapfill_locf": (7, 10, 15),
     "q_token_len_histogram": (7, 10, 14),
+    "q_tokenizer_fertility": (15,),
     "q_train_test_split": (2, 3, 4, 5, 8, 11),
     "q_triangle_count": (7, 10, 14),
     "q_txn_change_feed": (12,),
@@ -235,14 +264,15 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_type_transition_matrix": (7, 11),
     "q_unigram_drift_kl": (12,),
     "q_unigram_prob_mass": (7, 10, 14),
-    "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10),
+    "q_unpivot_quantity_price": (1, 2, 3, 4, 7, 10, 15),
     "q_upsert_last_write_wins": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_user_value_deciles": (7, 9, 13),
-    "q_value_mad_outliers": (7, 10),
+    "q_value_mad_outliers": (7, 10, 15),
     "q_value_percentiles_per_type": (1, 6, 9, 12),
     "q_vocab_growth": (8, 9, 10, 14),
     "q_vocab_growth_sketched": (9, 10, 14),
     "q_vocab_prune_coverage": (13, 14),
+    "q_welch_ttest_cohorts": (15,),
     "q_window_running_total": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_window_session_per_user": (6, 9, 13),
     "q_window_sliding": (6, 9, 13),
@@ -364,7 +394,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_kcore_items": "efdbd2d82e63",
     "q_kmeans_assign_update": "9303da178852",
     "q_kneser_ney_bigram": "bf7ea302fa77",
-    "q_ks_value_drift": "ffbc49ca03bc",
+    "q_ks_value_drift": "29cc66620faa",
     "q_label_balance_downsample": "a691146629bd",
     "q_label_propagation": "61335c44533d",
     "q_ldiversity_risk": "4ee1510783e8",
@@ -418,7 +448,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
     "q_referential_integrity_audit": "c63924b22903",
-    "q_rendezvous_shard_balance": "ca3f7a181f97",
+    "q_rendezvous_shard_balance": "062149072c91",
     "q_retrieval_mrr_eval": "90d9fee5d164",
     "q_retrieval_ndcg_eval": "f6b9f5d76920",
     "q_rollup_nation_segment": "fcaca532c4ef",
@@ -457,7 +487,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_stream_sliding_2h_1h": "ae6b35072d48",
     "q_stream_stateful_user_totals": "4588e76adc5c",
     "q_stream_tumbling_hourly": "2eb91d1ad4db",
-    "q_subsample_stability_ci": "06a251ad06a4",
+    "q_subsample_stability_ci": "3cf85d272770",
     "q_table_profile": "f84b829d00c7",
     "q_temperature_mixture": "9331bcd9a47b",
     "q_temporal_split_audit": "e1e878a5d369",
@@ -473,7 +503,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_time_gapfill_interpolate": "07691491e86c",
     "q_time_gapfill_locf": "a5d2a5666d50",
     "q_token_len_histogram": "c9c4c0b4f98e",
-    "q_tokenizer_fertility": "9b371cdc5bf2",
+    "q_tokenizer_fertility": "78203b4aa4aa",
     "q_train_test_split": "cec82ef6be65",
     "q_triangle_count": "3d9e4a4c9b67",
     "q_txn_change_feed": "2d2d27434982",
