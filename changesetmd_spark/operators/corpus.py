@@ -60,7 +60,7 @@ def _bm25_oracle() -> str:
     )
     return f"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), t AS (
       SELECT doc_id, len(toks) AS dl,
@@ -166,7 +166,7 @@ def _ndcg_oracle() -> str:
     gain = "CASE gd WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
     return f"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), t AS (
       SELECT doc_id, len(toks) AS dl,
@@ -374,7 +374,7 @@ def _mrr_oracle() -> str:
     )
     return f"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), t AS (
       SELECT doc_id, len(toks) AS dl,
@@ -525,7 +525,7 @@ def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
       SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '\s+') AS toks
+             string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), ex AS (
       SELECT doc_id, lang, unnest(toks) AS term FROM d
@@ -672,7 +672,7 @@ def _cc_edges_sql() -> str:
     # the e CTE mirrors the q_ngram_jaccard_pairs oracle (df cap included)
     return f"""
     WITH RECURSIVE d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -1010,7 +1010,7 @@ def _hybrid_rrf_oracle() -> str:
     matched = " + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
     return f"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), t AS (
       SELECT doc_id, len(toks) AS dl,
@@ -1205,7 +1205,7 @@ def _prf_oracle() -> str:
     exclude = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return f"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), t AS (
       SELECT doc_id, len(toks) AS dl,

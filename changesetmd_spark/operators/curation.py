@@ -77,7 +77,7 @@ _CONTAM_N = 4  # word n-gram size; 4 is the smallest that is selective on
     "q_contamination_ngram_overlap",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), g AS (
       SELECT doc_id,
@@ -200,7 +200,7 @@ _LEAK_PREFIX_TOKENS = 8
     WITH fp AS (
       SELECT doc_id, source,
              array_to_string(
-               string_split_regex(lower(trim(text)), '\s+')
+               string_split_regex(lower(trim(text, ' ')), '\s+')
                  [1:{_LEAK_PREFIX_TOKENS}], ' ') AS f
       FROM documents
     ), per AS (
@@ -265,7 +265,7 @@ _DRIFT_TOP_TERMS = 64
     "q_unigram_drift_kl",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+'))
                AS term
       FROM documents
     ), base AS (
@@ -513,7 +513,7 @@ def q_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, source,
              len(regexp_extract_all(text, '\S+')) AS n_tokens,
-             sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             sha256(regexp_replace(lower(trim(text, ' ')), '\s+', ' ', 'g'))
                AS fp,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
       FROM documents
@@ -579,7 +579,7 @@ def q_pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_repetition_quality",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), bi AS (
       SELECT doc_id,
@@ -679,7 +679,7 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_line_dedup_c4",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), c AS (
       SELECT doc_id,
@@ -753,7 +753,7 @@ def q_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_unigram_prob_mass",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), posts AS (
       SELECT doc_id, unnest(toks) AS term FROM d
@@ -825,9 +825,9 @@ def q_unigram_prob_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_ORACLE = r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+      WHERE len(string_split_regex(lower(trim(text, ' ')), '\s+')) >= 2
     ), bg AS (
       SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
       FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
@@ -919,7 +919,7 @@ _PACK_CTX = 512  # context length (tokens) for concat-and-chunk packing
     oracle=rf"""
     WITH d AS (
       SELECT source, doc_id,
-             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+             len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS n_tok
       FROM documents
     ), placed AS (
       SELECT source, doc_id, n_tok,
@@ -988,8 +988,8 @@ _RAG_STRIDE = 96  # chunk stride; CTX - STRIDE = 32 tokens of overlap
     "q_rag_chunk_overlap",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
-             len(string_split_regex(lower(trim(text)), '\s+')) AS n
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks,
+             len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS n
       FROM documents
     ), k AS (
       SELECT doc_id, toks, n,
@@ -1072,7 +1072,7 @@ def q_rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dsir_importance_weights",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), posts AS (
       SELECT doc_id, lang, unnest(toks) AS term FROM d
@@ -1233,7 +1233,7 @@ _QR_STOPWORDS = ("a", "the")
     oracle=f"""
     WITH d AS (
       SELECT doc_id, source,
-             string_split_regex(lower(trim(text)), '\\s+') AS toks
+             string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), w AS (
       SELECT doc_id, source, unnest(toks) AS tok FROM d
@@ -1409,13 +1409,15 @@ _LEN_BUCKET_MAX_EXP = 20
     "q_length_bucket_packing",
     oracle=f"""
     WITH d AS (
+      -- count NON-EMPTY split pieces: identical to the Spark side's \\S+
+      -- match count on every input, including blank, whitespace-only and
+      -- tab/newline-only docs (string_split_regex emits '' pieces at the
+      -- ends and between adjacent separators; \\S+ never matches there).
       SELECT doc_id,
-             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+             len(list_filter(
+                   string_split_regex(lower(trim(text, ' ')), '\\s+'),
+                   x -> x != '')) AS n_tokens
       FROM documents
-      -- DuckDB's string_split_regex('') returns [''] (1 "token"); the
-      -- Spark side counts \\S+ matches (0 for blank text).  Drop blank
-      -- docs here so both engines agree on empty/whitespace-only rows.
-      WHERE len(trim(text)) > 0
     ), b AS (
       SELECT CAST(POW(2, i) AS BIGINT) AS bucket_max
       FROM UNNEST(generate_series(0, {_LEN_BUCKET_MAX_EXP})) t(i)
@@ -1518,9 +1520,9 @@ _KN_TOP = 20
     "q_kneser_ney_bigram",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+      WHERE len(string_split_regex(lower(trim(text, ' ')), '\s+')) >= 2
     ), bg AS (
       SELECT toks[i] AS a, toks[i + 1] AS b
       FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
@@ -1632,9 +1634,9 @@ _PMI_TOP = 20
     "q_pmi_collocations",
     oracle=rf"""
     WITH d AS (
-      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+      WHERE len(string_split_regex(lower(trim(text, ' ')), '\s+')) >= 2
     ), bg AS (
       SELECT toks[i] AS a, toks[i + 1] AS b
       FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
@@ -1986,11 +1988,11 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
       SELECT doc_id, n_chars AS len,
-             len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+             len(list_distinct(string_split_regex(lower(trim(text, ' ')), '\s+')))
                * 1000
-               // len(string_split_regex(lower(trim(text)), '\s+')) AS q
+               // len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS q
       FROM documents
-      WHERE len(trim(text)) > 0
+      WHERE len(trim(text, ' ')) > 0
     ), per_len AS (
       SELECT len, MAX(q) AS mq FROM d GROUP BY len
     ), suf AS (
@@ -2079,8 +2081,8 @@ def q_pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH posts AS (
       SELECT DISTINCT t.term, source
       FROM documents,
-           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
-      WHERE len(trim(text)) > 0
+           UNNEST(string_split_regex(lower(trim(text, ' ')), '\s+')) AS t(term)
+      WHERE len(trim(text, ' ')) > 0
     ), sizes AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM posts GROUP BY source
     ), pairs AS (

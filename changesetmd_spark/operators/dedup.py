@@ -49,7 +49,7 @@ _LSH_ROWS = _N_MINHASH // _LSH_BANDS
     FROM (
       SELECT doc_id, lang, n_chars,
              ROW_NUMBER() OVER (
-               PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+               PARTITION BY regexp_replace(lower(trim(text, ' ')), '\s+', ' ', 'g')
                ORDER BY doc_id) AS rn
       FROM documents)
     WHERE rn = 1
@@ -76,7 +76,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_exact_counts",
     oracle=r"""
     SELECT COUNT(*) AS n_docs,
-           COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           COUNT(DISTINCT regexp_replace(lower(trim(text, ' ')), '\s+', ' ', 'g'))
              AS n_unique
     FROM documents
     """,
@@ -198,7 +198,7 @@ def ngram_jaccard_pairs(
              // {_JACCARD_EXACT_MAX_DOCS} AS stride
       FROM documents
     ), d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents, st WHERE doc_id % st.stride = 0
     ), s AS (
       SELECT doc_id,
@@ -438,7 +438,7 @@ _MH_SIG_CTES = rf"""posts AS (
     "q_minhash_lsh_checked",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -538,7 +538,7 @@ def _checked_minhash_pipeline(
     "q_neardup_verify_jaccard",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -784,7 +784,7 @@ _SPAN_W = 15  # sliding-window length (tokens) for substring dedup
     "q_duplicate_substring_spans",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), posts AS (
       SELECT doc_id, i AS pos,
@@ -917,11 +917,11 @@ _CDC_MOD = 16  # expected chunk length in tokens (boundary P = 1/16)
     "q_cdc_chunk_dedup",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
-             len(string_split_regex(lower(trim(text)), '\s+'))
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks,
+             len(string_split_regex(lower(trim(text, ' ')), '\s+'))
                - {_CDC_K} + 1 AS n_grams
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= {_CDC_K}
+      WHERE len(string_split_regex(lower(trim(text, ' ')), '\s+')) >= {_CDC_K}
     ), grams AS (
       SELECT doc_id, i AS pos,
              CASE WHEN i = 1 OR ('0x' || substr(md5(array_to_string(
@@ -1052,7 +1052,7 @@ _PPJ_T_DEN = 5
     "q_ppjoin_similar_docs",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -1255,7 +1255,7 @@ def ppjoin_similar_docs_plan(
 def _mh_audit_oracle() -> str:
     return rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -1382,7 +1382,7 @@ def _minhash_audit_build(
     "q_incremental_hash_dedup",
     oracle="""
     WITH keyed AS (
-      SELECT doc_id, source, md5(lower(trim(text))) AS content_hash
+      SELECT doc_id, source, md5(lower(trim(text, ' '))) AS content_hash
       FROM documents
     ), batch AS (
       SELECT content_hash,
@@ -1447,7 +1447,7 @@ def q_incremental_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_minhash_neardup",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -1559,12 +1559,12 @@ def q_incremental_minhash_neardup(
     "q_dup_cluster_histogram",
     oracle=r"""
     WITH fp AS (
-      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS f
+      SELECT regexp_replace(lower(trim(text, ' ')), '\s+', ' ', 'g') AS f
       FROM documents
     ), dcl AS (
       SELECT f, COUNT(*) AS sz FROM fp GROUP BY f
     ), d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), ch AS (
       SELECT unnest(list_transform(
@@ -1653,7 +1653,7 @@ _CONTAIN_MIN = 0.8
              // {_JACCARD_EXACT_MAX_DOCS} AS stride
       FROM documents
     ), d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents, st WHERE doc_id % st.stride = 0
     ), s AS (
       SELECT doc_id,

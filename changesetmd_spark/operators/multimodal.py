@@ -699,8 +699,8 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
            COUNT(*) AS n_items,
-           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-           MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
     FROM documents
     GROUP BY 1
     """,
@@ -848,7 +848,7 @@ _SHARD_BYTES = 64 * 1024  # target shard payload budget (bytes)
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS modality,
-             octet_length(CAST(text AS BLOB)) AS n_bytes
+             octet_length(encode(text)) AS n_bytes
       FROM documents
     ), placed AS (
       SELECT modality, media_id, n_bytes,

@@ -54,7 +54,7 @@ def _phrase_oracle() -> str:
     in_list = ", ".join(f"'{t}'" for t in all_terms)
     return f"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ), p AS (
       SELECT doc_id,

@@ -1757,3 +1757,431 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi_x10000"),
         F.expr("10000 div n_items").alias("uniform_hhi_x10000"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# r16: the remaining classic TPC-H shapes, adapted to the driver schema
+# (no partsupp table; lineitem carries no commit/receipt dates or shipmode,
+# so "late" is defined against o_orderdate with a fixed interval — the same
+# predicate in both engines).  Ref README.md:106-124 delegates this entire
+# family to Postgres; here each shape is a native Catalyst plan.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority in one quarter that had at
+    least one lineitem shipped >30 days after ordering (the schema has no
+    commit/receipt dates, so lateness is anchored on o_orderdate with the
+    identical interval predicate in both engines).  The EXISTS is a LEFT
+    SEMI join on l_orderkey — the orders date filter pushes to the scan,
+    the semi join keeps at most one match per order (no fan-out to
+    dedup), and the final aggregate is a 5-key hash rollup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue increase if small-quantity discounts were
+    dropped — a pure scan-side query: all three predicates push into the
+    parquet scan, the aggregate is a single partial-combined global sum
+    in exact DECIMAL.  The simplest possible 100 TB plan: no shuffle at
+    all beyond the final 1-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        as_double(F.sum(money("l_extendedprice") * rate("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    - CAST(l_quantity AS DECIMAL(4,1))
+                      * CAST(p_retailprice AS DECIMAL(6,2))
+                      * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+    ORDER BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' product lines by supplier nation
+    and year.  The schema has no partsupp, so unit cost is modeled as
+    10% of p_retailprice — in tight DECIMALs ((4,1)x(6,2)x(3,2) = 15
+    digits) so money - cost never exceeds 38 digits and neither engine
+    falls back to scale-reduced rounding.  part filters on the LIKE
+    before broadcasting; supplier x nation prebuilds as one broadcast
+    dim; the fact table shuffles once for the (nation, year) rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit = money("l_extendedprice") * one_minus(rate("l_discount")) - (
+        F.col("l_quantity").cast("decimal(4,1)")
+        * F.col("p_retailprice").cast("decimal(6,2)")
+        * F.lit(0.10).cast("decimal(3,2)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(as_double(F.sum(profit)).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "q12_shipping_delay_priority",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY ship_bucket
+    """,
+)
+def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: does slow shipping hit urgent orders?  Lineitems
+    of one year bucketed late/ontime (shipdate vs o_orderdate + 45 days —
+    no shipmode column in this schema), counting high- vs low-priority
+    lines per bucket.  One equi-join shuffle on orderkey, then a 2-key
+    hash aggregate with map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    bucket = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+        "late",
+    ).otherwise("ontime")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, size) of interest, excluding flagged suppliers (negative
+    account balance stands in for the complaints predicate; lineitem is
+    the part-supplier bridge since the schema has no partsupp).  The
+    part filter broadcasts, the exclusion list is a broadcast ANTI join
+    (a handful of rows), and the distinct-count shuffles once on the
+    (brand, size) key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    flagged = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (brand, size-range,
+    quantity-range) conjunctions — the disjunctive-predicate pattern
+    that tests the optimizer's ability to keep an OR across a broadcast
+    join instead of exploding it.  part broadcasts with the size/brand
+    disjuncts pre-applied (size <= 15 covers all arms), quantity bounds
+    stay on the fact scan (1..30 covers all arms), and the exact
+    per-arm conjunction evaluates post-join before one global DECIMAL
+    sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qty = F.col("l_quantity")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 5)
+            & (qty >= 1)
+            & (qty <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 10)
+            & (qty >= 10)
+            & (qty <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & (qty >= 20)
+            & (qty <= 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg(
+            as_double(
+                F.sum(money("l_extendedprice") * one_minus(rate("l_discount")))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp,
+             CAST(SUM(late) AS BIGINT) AS n_late
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE per.late = 1 AND per_order.n_supp >= 2 AND per_order.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order (late = shipped >60 days after ordering; the
+    classic EXISTS/NOT-EXISTS pair rewritten as two hash aggregates —
+    per-(order, supplier) lateness, then per-order supplier/late counts
+    — which is how the correlated form should execute at 100 TB: both
+    aggregates and the rejoin share ONE l_orderkey exchange, no
+    correlated re-scans).  supplier broadcasts; top-20 with a
+    deterministic (numwait DESC, s_name) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        per.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    ), pos AS (
+      SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cents WHERE bal_cents > 0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(bal_cents) AS BIGINT) / 100.0, 2) AS total_acctbal
+    FROM cents, pos
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE bal_cents * pos.n > pos.total_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with an above-average positive balance
+    who never placed an order, rolled up by nation.  The average is
+    compared in EXACT integer cents with the division cleared
+    (bal_cents x n > total_cents) — no decimal/double division whose
+    rounding could flip a boundary row between engines.  The 1-row
+    global aggregate broadcasts; the never-ordered test is a LEFT ANTI
+    join on o_custkey; nation broadcasts for the final rollup."""
+    cents = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    pos = cents.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total_cents"), F.count("*").alias("n")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        cents.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("total_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -172,7 +172,7 @@ def _mg_merge_counts(counters: dict, batch_counts, capacity: int) -> dict:
     "q_heavy_hitter_terms",
     oracle=rf"""
     WITH posts AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
       FROM documents
     ), tot AS (SELECT COUNT(*) AS n FROM posts)
     SELECT term,
@@ -252,7 +252,7 @@ _CMS_TOPK = 15
     "q_countmin_estimates",
     oracle=rf"""
     WITH posts AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
       FROM documents
     ), vocab AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
@@ -359,7 +359,7 @@ def q_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_countmin_sketch_only",
     oracle=rf"""
     WITH posts AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
       FROM documents
     ), cells AS (
       SELECT t.i,

@@ -168,7 +168,7 @@ def q_text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle=r"""
     SELECT doc_id,
-           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           sha256(regexp_replace(lower(trim(text, ' ')), '\s+', ' ', 'g'))
              AS fingerprint
     FROM documents
     """,
@@ -270,7 +270,7 @@ _WIN_POS_BITS = 30
     "q_winnowed_fingerprints",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), posts AS (
       SELECT doc_id, len(toks) - {_WIN_K} + 1 AS n_grams, i AS pos,
@@ -419,9 +419,9 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_novelty",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+      WHERE len(string_split_regex(lower(trim(text, ' ')), '\s+')) >= 3
     ), g AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -498,7 +498,7 @@ def _vocab_growth_oracle() -> str:
     return rf"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
       FROM documents
     ), first AS (
       SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term
@@ -765,7 +765,7 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
       SELECT doc_id, source,
-             string_split_regex(lower(trim(text)), '\s+') AS toks
+             string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), bi AS (
       SELECT doc_id, source,
@@ -837,7 +837,7 @@ _ZIPF_TOP = 64  # frequency spectrum depth for the fit
     "q_zipf_fit_audit",
     oracle=rf"""
     WITH tf AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
       FROM documents
     ), counts AS (
       SELECT term, COUNT(*) AS c FROM tf GROUP BY term
@@ -949,7 +949,7 @@ _VOCAB_COVER_TARGETS_BP = (5000, 9000, 9900)
     # editing the Python constant can never silently desync the oracle
     oracle=rf"""
     WITH d AS (
-      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
       FROM documents
     ), freq AS (
       SELECT term, COUNT(*) AS f
@@ -1198,7 +1198,7 @@ _BPE_PRETOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
     oracle=rf"""
     WITH d AS (
       SELECT source,
-             len(trim(text)) AS chars,
+             len(trim(text, ' ')) AS chars,
              len(regexp_extract_all(lower(text), '{_BPE_PRETOK_RE}'))
                AS n_bpe,
              len(regexp_extract_all(text, '\S+')) AS n_ws

@@ -20,6 +20,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# Corrupt-vector contract, DuckDB side (r16; the Spark twin lives in
+# ``tables.load_table``): every oracle's ``FROM embeddings`` is spliced at
+# registration into this cleaned view — vectors whose sum of squares is
+# finite and strictly positive, i.e. no NaN/±Inf component and not the
+# zero vector.  On the driver's clean testdata the guard is a no-op; on a
+# dirty corpus both engines exclude exactly the same rows instead of one
+# raising DIVIDE_BY_ZERO/CAST_OVERFLOW and the other INT128 conversion
+# errors.  A single registration-time transform keeps the rule uniform
+# across the whole embedding family — no per-oracle drift possible.
+_EMB_SS = "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))"
+EMB_CLEAN_SQL = (
+    "(SELECT vec_id, embedding, label FROM embeddings "
+    f"WHERE isfinite({_EMB_SS}) AND {_EMB_SS} > 0)"
+)
+
+
+# Dirty-JSON contract, DuckDB side (r16): Spark's ``from_json`` /
+# ``get_json_object`` return NULL on malformed input, but DuckDB's json
+# functions RAISE ("Malformed JSON at byte 0") — so an oracle that reads
+# ``events.props`` verbatim dies on the first dirty row while the engine
+# sails on.  Splice a ``json_valid`` guard around every props access at
+# registration: NULL-on-invalid on both engines, a no-op on the driver's
+# clean testdata.
+_PROPS_SAFE = "(CASE WHEN json_valid(props) THEN props END)"
+
+
+def _canonicalize_oracle(sql: str) -> str:
+    sql = sql.replace("FROM embeddings", f"FROM {EMB_CLEAN_SQL} embeddings")
+    sql = sql.replace(
+        "json_extract_string(props,", f"json_extract_string({_PROPS_SAFE},"
+    )
+    sql = sql.replace("json_extract(props,", f"json_extract({_PROPS_SAFE},")
+    sql = sql.replace("props->>", f"{_PROPS_SAFE}->>")
+    sql = sql.replace("json_keys(props)", f"json_keys({_PROPS_SAFE})")
+    return sql
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query builder and its optional DuckDB oracle."""
@@ -29,7 +65,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             raise ValueError(f"duplicate query name {name!r}")
         _QUERIES[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            _ORACLES[name] = _canonicalize_oracle(oracle)
         return fn
 
     return deco
@@ -604,6 +640,7 @@ def _load_all() -> None:
         text,
         tokenizer,
         txn,
+        web,
         windows_batch,
     )
     from .sources import jsonl_source  # noqa: F401

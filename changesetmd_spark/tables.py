@@ -59,6 +59,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "embeddings":
+        # Corrupt-vector contract (r16, flushed out by the degenerate-corpus
+        # referee): a single zero-norm vector turns every cosine denominator
+        # into DIVIDE_BY_ZERO under ANSI mode, and one NaN component poisons
+        # centroids/quantizers on BOTH engines (Spark CAST_OVERFLOW, DuckDB
+        # INT128 conversion error) — at 100 TB one bad row must not kill the
+        # job.  The whole embedding family therefore consumes this cleaned
+        # view: vectors with a finite, strictly-positive sum of squares.
+        # One pass, one aggregate per row; NaN/±Inf in any component makes
+        # the sum NaN/Inf, so the single `isfinite(ss) AND ss > 0` test
+        # covers non-finite AND zero-norm at once.  Mirrored verbatim by
+        # ``registry.EMB_CLEAN_SQL``, which the registry splices into every
+        # oracle's ``FROM embeddings`` at registration.
+        ss = F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+        df = df.filter(
+            (~F.isnan(ss)) & (ss < F.lit(float("inf"))) & (ss > 0)
+        )
     return df
 
 
