@@ -268,6 +268,28 @@ HEADLINE = [
     "q_window_sliding",
     "q_window_trailing_hour_sum",
     "q_window_tumbling_hourly",
+    # r16 additions
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q12_shipping_delay_priority",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_high_balance",
+    "q_domain_rollup",
+    "q_ivf_index_maintenance",
+    "q_jensen_shannon_drift",
+    "q_theil_index_concentration",
+    "q_kendall_tau_hourly",
+    "q_transition_entropy",
+    "q_acf_profile",
+    "q_tcloseness_risk",
+    "q_brier_decomposition",
+    "q_adamic_adar_linkpred",
+    "q_readability_scores",
+    "q_data_quality_expectations",
+    "q_knn_label_accuracy",
 ]
 
 

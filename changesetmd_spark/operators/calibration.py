@@ -466,3 +466,171 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: Murphy decomposition of the Brier score — the one-row summary that
+# sits on top of q_calibration_ece_bins' reliability diagram.
+# ---------------------------------------------------------------------------
+@register(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH probe AS ({{probe}}),
+    v AS (
+      SELECT vec_id, label % 2 AS y,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, y, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM v
+      WHERE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) > 0
+    ), scored AS (
+      SELECT y,
+             CAST(floor(
+               (1.0 + GREATEST(-1.0, LEAST(1.0,
+                  {_TEMP!r} * list_reduce(
+                    list_transform(generate_series(1, {_DIM}),
+                                   i -> e[i] * pr[i]), (a, b) -> a + b)
+                    / (nrm * pn)))) / 2.0 * {_GRID} + 0.5
+             ) AS BIGINT) AS s_int
+      FROM n, probe
+    ), binned AS (
+      SELECT LEAST(s_int // {_GRID // _N_BINS}, {_N_BINS - 1}) AS bin,
+             y, s_int
+      FROM scored
+    ), per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(s_int) AS HUGEINT) AS ss
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(nb) AS BIGINT) AS big_n,
+             CAST(SUM(sy) AS BIGINT) AS big_y,
+             CAST(SUM(CAST(ss AS HUGEINT)) AS HUGEINT) AS big_s
+      FROM per_bin
+    ), direct AS (
+      SELECT CAST(SUM(CAST((s_int - y * {_GRID}) AS HUGEINT)
+                      * (s_int - y * {_GRID})) AS HUGEINT) AS sq
+      FROM binned
+    ), terms AS (
+      SELECT bin,
+             ROUND(nb * POW(ss * 1.0 / (nb * {_GRID}.0)
+                            - sy * 1.0 / nb, 2), 9) AS t_rel,
+             ROUND(nb * POW(sy * 1.0 / nb
+                            - big_y * 1.0 / big_n, 2), 9) AS t_res
+      FROM per_bin CROSS JOIN tot
+    )
+    SELECT tot.big_n AS n,
+           CAST({_N_BINS} AS BIGINT) AS n_bins,
+           ROUND(direct.sq * 1.0 / (tot.big_n * {_GRID}.0 * {_GRID}.0), 6)
+             AS brier,
+           ROUND(list_reduce(list(t_rel ORDER BY bin), (a, b) -> a + b)
+                 / tot.big_n, 6) AS reliability,
+           ROUND(list_reduce(list(t_res ORDER BY bin), (a, b) -> a + b)
+                 / tot.big_n, 6) AS resolution,
+           ROUND((tot.big_y * 1.0 / tot.big_n)
+                 * (1.0 - tot.big_y * 1.0 / tot.big_n), 6) AS uncertainty
+    FROM terms, tot, direct
+    GROUP BY tot.big_n, tot.big_y, direct.sq
+    """.replace("{probe}", _probe_sql()),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973, public method) decomposition of the Brier score for
+    the deterministic linear-probe classifier: the direct mean squared
+    error plus the binned reliability (calibration penalty), resolution
+    (discrimination credit) and uncertainty (base-rate variance) — the
+    standard scoring-rule report where ECE alone hides discrimination.
+
+    Exactness: confidences live on the same 1e-5 integer grid as
+    q_calibration_ece_bins; the direct Brier numerator Σ(s − y·GRID)² is
+    an exact DECIMAL(38,0) integer sum; the 10 per-bin reliability /
+    resolution terms are rounded to 9 and summed by a left fold over the
+    BIN-ORDERED list in both engines (never a shuffle-order double sum).
+
+    Scale shape: one map-side probe fold per row, a 10-key hash
+    aggregate, a 1-row broadcast total, and 10-element folds — identical
+    to the ECE plan plus one broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        to_double_vec(F.col("embedding")).alias("e"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    emb = emb.filter(sq > 0).withColumn("nrm", F.sqrt(sq))
+    pr = probe_vector()
+    cs = dot(F.col("e"), pr) / (F.col("nrm") * l2_norm(pr))
+    sharp = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.lit(_TEMP) * cs))
+    s_int = F.floor(
+        (F.lit(1.0) + sharp) / F.lit(2.0) * _GRID + F.lit(0.5)
+    ).cast("long")
+    binned = emb.select(
+        "y",
+        s_int.alias("s_int"),
+        F.least(
+            F.floor(s_int / (_GRID // _N_BINS)).cast("long"),
+            F.lit(_N_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    d38 = "decimal(38,0)"
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("nb"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("s_int").cast(d38)).alias("ss"),
+    )
+    tot = per_bin.agg(
+        F.sum("nb").alias("big_n"),
+        F.sum("sy").alias("big_y"),
+        F.sum("ss").cast(d38).alias("big_s"),
+    )
+    direct = binned.agg(
+        F.sum(
+            ((F.col("s_int") - F.col("y") * _GRID).cast(d38))
+            * (F.col("s_int") - F.col("y") * _GRID)
+        )
+        .cast(d38)
+        .alias("sqe")
+    )
+    conf = F.col("ss").cast("double") / (F.col("nb") * float(_GRID))
+    acc = F.col("sy") * 1.0 / F.col("nb")
+    ybar = F.col("big_y") * 1.0 / F.col("big_n")
+    terms = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "big_n",
+        "big_y",
+        F.round(F.col("nb") * (conf - acc) * (conf - acc), 9).alias("t_rel"),
+        F.round(F.col("nb") * (acc - ybar) * (acc - ybar), 9).alias("t_res"),
+    )
+    folded = terms.groupBy("big_n", "big_y").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "t_rel"))).alias("lr"),
+        F.sort_array(F.collect_list(F.struct("bin", "t_res"))).alias("ls"),
+    )
+    fold = lambda col, field: F.aggregate(  # noqa: E731
+        F.transform(col, lambda s: s[field]), F.lit(0.0), lambda a, b: a + b
+    )
+    return (
+        folded.crossJoin(F.broadcast(direct))
+        .select(
+            F.col("big_n").alias("n"),
+            F.lit(_N_BINS).cast("long").alias("n_bins"),
+            F.round(
+                F.col("sqe").cast("double")
+                / (F.col("big_n") * float(_GRID) * float(_GRID)),
+                6,
+            ).alias("brier"),
+            F.round(fold(F.col("lr"), "t_rel") / F.col("big_n"), 6).alias(
+                "reliability"
+            ),
+            F.round(fold(F.col("ls"), "t_res") / F.col("big_n"), 6).alias(
+                "resolution"
+            ),
+            F.round(
+                (F.col("big_y") * 1.0 / F.col("big_n"))
+                * (1.0 - F.col("big_y") * 1.0 / F.col("big_n")),
+                6,
+            ).alias("uncertainty"),
+        )
+    )

@@ -837,3 +837,91 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_releasing(out, kept)
+
+
+# ---------------------------------------------------------------------------
+# r16: Adamic-Adar link prediction over the user-item graph — the
+# inverse-log-degree score that upweights RARE shared users, the classic
+# link-prediction baseline on top of q_item_cooccurrence's raw Jaccard.
+# ---------------------------------------------------------------------------
+@register(
+    "q_adamic_adar_linkpred",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      FROM events
+    ), deg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY user_id
+    ), kept AS (
+      SELECT ui.user_id, ui.item_id, deg.d
+      FROM ui JOIN deg USING (user_id)
+      WHERE deg.d <= {_COOC_USER_CAP}
+    ), pairs AS (
+      SELECT a.item_id AS item_1, b.item_id AS item_2,
+             CAST(COUNT(*) AS BIGINT) AS n_both,
+             CAST(SUM(CAST(ROUND(1000000000.0 / ln(a.d), 0) AS BIGINT))
+                  AS BIGINT) AS aa_units
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id
+      HAVING COUNT(*) >= {_COOC_MIN_BOTH}
+    )
+    SELECT item_1, item_2, n_both,
+           ROUND(aa_units / 1000000000.0, 6) AS adamic_adar
+    FROM pairs
+    ORDER BY item_1, item_2
+    """,
+)
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction score (Adamic & Adar 2003, public
+    method) for co-engaged item pairs: AA(a,b) = Σ_{{u ∈ N(a)∩N(b)}}
+    1/ln(deg(u)) — a shared user who touches few items is strong
+    evidence the items relate; a hyperactive user is weak evidence.  The
+    standard neighborhood-based baseline for "users who bought X also
+    bought Y" candidate generation, complementing q_item_cooccurrence's
+    unweighted Jaccard.
+
+    Exactness: each shared user's 1/ln(d) term is quantized to exact 1e-9
+    integer units before the pair sum (order-independent; the ESS/Theil
+    quantization recipe), one rounded double division at the end.  Users
+    in any pair have d >= 2, so ln(d) >= ln 2 — no zero denominator by
+    construction.
+
+    Scale shape: identical to q_item_cooccurrence — one distinct over
+    (user, item), the degree aggregate doubles as both the cap filter and
+    the weight source (no second scan), one user-keyed self-join whose
+    volume is bounded by the cap, map-side-combined pair aggregate."""
+    ui = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+                "item_id"
+            ),
+        )
+        .distinct()
+    )
+    deg = ui.groupBy("user_id").agg(F.count("*").alias("d"))
+    kept = ui.join(deg, "user_id").filter(F.col("d") <= _COOC_USER_CAP)
+    w_unit = F.round(1e9 / F.log(F.col("a.d").cast("double")), 0).cast("long")
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "user_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_1"),
+            F.col("b.item_id").alias("item_2"),
+        )
+        .agg(
+            F.count("*").alias("n_both"),
+            F.sum(w_unit).alias("aa_units"),
+        )
+        .filter(F.col("n_both") >= _COOC_MIN_BOTH)
+    )
+    return pairs.select(
+        "item_1",
+        "item_2",
+        "n_both",
+        F.round(F.col("aa_units") / 1e9, 6).alias("adamic_adar"),
+    ).orderBy("item_1", "item_2")

@@ -2403,3 +2403,118 @@ def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("i_both * 10000 div i_eval").alias("eval_items_seen_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: Jensen-Shannon drift — the symmetric, bounded companion that
+# completes the snapshot-drift triad (KL `q_unigram_drift_kl`, PSI
+# `q_psi_value_drift`, and now JS).
+# ---------------------------------------------------------------------------
+@register(
+    "q_jensen_shannon_drift",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+'))
+               AS term
+      FROM documents
+    ), base AS (
+      SELECT term, COUNT(*) AS cb FROM d WHERE doc_id % 2 = 0 GROUP BY term
+    ), delta AS (
+      SELECT term, COUNT(*) AS cd FROM d WHERE doc_id % 2 = 1 GROUP BY term
+    ), top AS (
+      SELECT b.term, b.cb, COALESCE(dl.cd, 0) AS cd
+      FROM base b LEFT JOIN delta dl ON b.term = dl.term
+      ORDER BY b.cb DESC, b.term LIMIT {_DRIFT_TOP_TERMS}
+    ), tots AS (
+      SELECT CAST(SUM(cb) AS BIGINT) AS tb, CAST(SUM(cd) AS BIGINT) AS td
+      FROM top
+    ), contrib AS (
+      SELECT t.term,
+             ROUND(0.5 * ((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS}))
+                   * ln(((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS}))
+                        / (0.5 * ((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS}))
+                           + 0.5 * ((t.cd + 1) * 1.0
+                                    / (td + {_DRIFT_TOP_TERMS}))))
+                   + 0.5 * ((t.cd + 1) * 1.0 / (td + {_DRIFT_TOP_TERMS}))
+                   * ln(((t.cd + 1) * 1.0 / (td + {_DRIFT_TOP_TERMS}))
+                        / (0.5 * ((t.cb + 1) * 1.0 / (tb + {_DRIFT_TOP_TERMS}))
+                           + 0.5 * ((t.cd + 1) * 1.0
+                                    / (td + {_DRIFT_TOP_TERMS})))),
+                   6) AS js_term
+      FROM top t, tots
+    )
+    SELECT CAST({_DRIFT_TOP_TERMS} AS BIGINT) AS n_terms,
+           ROUND(list_reduce(list(js_term ORDER BY term), (a, b) -> a + b),
+                 5) AS js_nats,
+           ROUND(sqrt(GREATEST(
+             list_reduce(list(js_term ORDER BY term), (a, b) -> a + b),
+             0.0)), 5) AS js_distance
+    FROM contrib
+    """,
+)
+def q_jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the base (even doc_ids) and
+    incoming (odd) snapshots' unigram distributions over the
+    top-{K} base terms with add-one smoothing — the SYMMETRIC, bounded
+    (<= ln 2) drift gate: unlike KL it never blows up when the incoming
+    snapshot drops a term, so it is the alarm you can threshold.
+    ``js_distance`` = sqrt(JS), the metric form used for clustering
+    snapshots.
+
+    Determinism recipe (identical to q_unigram_drift_kl): per-term JS
+    contributions are single IEEE expression trees over exact integer
+    counts, rounded to 6, summed by a sequential left fold over the
+    TERM-ORDERED list in both engines.  Scale shape: the same two
+    (term) hash aggregates + TakeOrdered {K} + {K}-row folds — nothing
+    grows with the corpus except the map-side combine.""".replace(
+        "{K}", str(_DRIFT_TOP_TERMS)
+    )
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+    )
+    base = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    delta = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    top = (
+        base.join(delta, "term", "left")
+        .select("term", "cb", F.coalesce(F.col("cd"), F.lit(0)).alias("cd"))
+        .orderBy(F.desc("cb"), F.asc("term"))
+        .limit(_DRIFT_TOP_TERMS)
+    )
+    tots = top.agg(F.sum("cb").alias("tb"), F.sum("cd").alias("td"))
+    k = F.lit(_DRIFT_TOP_TERMS)
+    p = (F.col("cb") + 1) * 1.0 / (F.col("tb") + k)
+    q = (F.col("cd") + 1) * 1.0 / (F.col("td") + k)
+    m = 0.5 * p + 0.5 * q
+    contrib = top.crossJoin(F.broadcast(tots)).select(
+        "term",
+        F.round(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m), 6).alias(
+            "js_term"
+        ),
+    )
+    folded = contrib.agg(
+        F.sort_array(F.collect_list(F.struct("term", "js_term"))).alias("lst")
+    )
+    js = F.aggregate(
+        F.transform("lst", lambda s: s["js_term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return folded.select(
+        F.lit(_DRIFT_TOP_TERMS).cast("long").alias("n_terms"),
+        F.round(js, 5).alias("js_nats"),
+        F.round(F.sqrt(F.greatest(js, F.lit(0.0))), 5).alias("js_distance"),
+    )

@@ -17,7 +17,7 @@ two-level rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -196,4 +196,136 @@ def q_ldiversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("at_risk"),
         )
         .orderBy("l")
+    )
+
+
+# t-closeness threshold in basis points of total-variation distance: QI
+# groups whose sensitive-attribute distribution sits farther than this from
+# the global distribution leak attribute information even when k-anonymous
+# and l-diverse (Li, Li & Venkatasubramanian 2007, public method).  0.15 is
+# the paper's illustrative t.
+_T_THRESHOLD_BP = 1500
+
+
+@register(
+    "q_tcloseness_risk",
+    oracle=f"""
+    WITH seg_dist AS (
+      SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS g
+      FROM customer GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS big_n FROM seg_dist
+    ), cell AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+             c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ), cellk AS (
+      SELECT cell.*, g, big_n,
+             CAST(SUM(cnt) OVER (PARTITION BY c_nationkey, bal_bucket)
+                  AS BIGINT) AS k
+      FROM cell JOIN seg_dist USING (seg) CROSS JOIN tot
+    ), per_group AS (
+      SELECT c_nationkey, bal_bucket, big_n, k,
+             CAST(SUM(ABS(CAST(cnt AS HUGEINT) * big_n
+                          - CAST(g AS HUGEINT) * k)) AS HUGEINT)
+               AS present_num,
+             CAST(SUM(g) AS BIGINT) AS present_g
+      FROM cellk
+      GROUP BY c_nationkey, bal_bucket, big_n, k
+    ), t AS (
+      SELECT k,
+             CAST((present_num
+                   + CAST(k AS HUGEINT) * (big_n - present_g)) * 10000
+                  // (2 * CAST(k AS HUGEINT) * big_n) AS BIGINT) AS t_bp
+      FROM per_group
+    ), cls AS (
+      SELECT CASE WHEN t_bp >= {_T_THRESHOLD_BP} THEN 'breach'
+                  WHEN t_bp >= {_T_THRESHOLD_BP // 2} THEN 'watch'
+                  ELSE 'close' END AS t_class,
+             k, t_bp
+      FROM t
+    )
+    SELECT t_class,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_records,
+           CAST(MAX(t_bp) AS BIGINT) AS max_t_bp,
+           CAST(MAX(CASE WHEN t_bp >= {_T_THRESHOLD_BP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS at_risk
+    FROM cls GROUP BY t_class
+    ORDER BY t_class
+    """,
+)
+def q_tcloseness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li 2007, public method) — completes the
+    k-anonymity / l-diversity / t-closeness release-governance triad:
+    even an l-diverse QI group leaks when its sensitive-attribute
+    DISTRIBUTION diverges from the global one (skewness attack).  Per
+    (nation, balance-bucket) group, the total-variation distance between
+    the group's market-segment distribution and the corpus-wide one, in
+    EXACT integer basis points; groups are classed close / watch /
+    breach at t = {T}bp.
+
+    Exactness: TVD = Σ|cnt·N − g·k| / (2·k·N) with absent segments
+    contributing k·(N − Σ_present g) — the division is cleared into one
+    integer floor at the end (HUGEINT/DECIMAL(38) intermediates: cnt·N
+    alone can pass 2⁶³ at 10⁹ rows).
+
+    Scale shape: one (QI, segment) hash aggregate, a broadcast 5-row
+    segment-distribution join + 1-row total, a second hash aggregate on
+    the QI key, and a ≤3-row class rollup — the exact q_kanonymity_risk
+    skeleton with one more broadcast.""".replace("{T}", str(_T_THRESHOLD_BP))
+    cust = load_table(spark, sf_dir, "customer")
+    glob = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("g")
+    )
+    tot = glob.agg(F.sum("g").alias("big_n"))
+    cell = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _BAL_BUCKET).cast("long").alias(
+            "bal_bucket"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("cnt"))
+    joined = cell.join(F.broadcast(glob), "seg").crossJoin(F.broadcast(tot))
+    d38 = "decimal(38,0)"
+    cellk = joined.withColumn(
+        "k",
+        F.sum("cnt").over(Window.partitionBy("c_nationkey", "bal_bucket")),
+    )
+    per_group = cellk.groupBy("c_nationkey", "bal_bucket", "big_n", "k").agg(
+        F.sum("g").alias("present_g"),
+        F.sum(
+            F.abs(
+                F.col("cnt").cast(d38) * F.col("big_n")
+                - F.col("g").cast(d38) * F.col("k")
+            )
+        ).cast(d38).alias("present_num"),
+    )
+    t_bp = F.expr(
+        "CAST((present_num + CAST(k AS DECIMAL(38,0)) * (big_n - present_g))"
+        " * 10000 div (2 * CAST(k AS DECIMAL(38,0)) * big_n) AS BIGINT)"
+    )
+    cls = per_group.select(
+        "k",
+        t_bp.alias("t_bp"),
+        F.when(t_bp >= _T_THRESHOLD_BP, "breach")
+        .when(t_bp >= _T_THRESHOLD_BP // 2, "watch")
+        .otherwise("close")
+        .alias("t_class"),
+    )
+    return (
+        cls.groupBy("t_class")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_records"),
+            F.max("t_bp").alias("max_t_bp"),
+            F.max(
+                F.when(F.col("t_bp") >= _T_THRESHOLD_BP, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("at_risk"),
+        )
+        .orderBy("t_class")
     )

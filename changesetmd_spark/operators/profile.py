@@ -88,3 +88,105 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r16: declarative data-quality expectations audit (the Great-Expectations
+# shape): each expectation is a violation COUNT per source, so the report
+# is actionable (which source, which rule, how many rows).
+# ---------------------------------------------------------------------------
+@register(
+    "q_data_quality_expectations",
+    oracle=r"""
+    WITH checks AS (
+      SELECT source,
+             CASE WHEN text IS NULL OR lang IS NULL THEN 1 ELSE 0 END
+               AS v_null,
+             CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END
+               AS v_chars,
+             CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 1
+                  ELSE 0 END AS v_blank,
+             CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh') THEN 1
+                  ELSE 0 END AS v_lang,
+             CASE WHEN n_chars < 0 THEN 1 ELSE 0 END AS v_range,
+             doc_id
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_doc_ids,
+           CAST(SUM(v_null) AS BIGINT) AS null_violations,
+           CAST(SUM(v_chars) AS BIGINT) AS n_chars_mismatches,
+           CAST(SUM(v_blank) AS BIGINT) AS blank_docs,
+           CAST(SUM(v_lang) AS BIGINT) AS lang_domain_violations,
+           CAST(SUM(v_range) AS BIGINT) AS range_violations,
+           (COUNT(*) - COUNT(DISTINCT doc_id)) + SUM(v_null) + SUM(v_chars)
+             + SUM(v_blank) + SUM(v_lang) + SUM(v_range) = 0
+             AS all_expectations_pass
+    FROM checks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations audit over ``documents`` — the
+    contract-check a pipeline runs before admitting a snapshot: metadata
+    consistency (n_chars must equal the text's codepoint length), key
+    uniqueness (doc_id), completeness (no null text/lang), non-blank
+    content (at least one \\S+ token), domain membership (lang in the
+    supported set), and range sanity (n_chars >= 0) — each reported as a
+    per-source violation COUNT plus a rollup pass flag, the
+    Great-Expectations report shape.
+
+    Scale shape: every check is a scan-fused boolean; one hash aggregate
+    on the ~20 source keys (the distinct-doc_id count shuffles (source,
+    doc_id) partials map-side).  Scan-bound; no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    v_null = F.when(
+        F.col("text").isNull() | F.col("lang").isNull(), 1
+    ).otherwise(0)
+    v_chars = F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+    v_blank = F.when(
+        F.regexp_count(F.col("text"), F.lit(r"\S+")) == 0, 1
+    ).otherwise(0)
+    v_lang = F.when(
+        ~F.col("lang").isin("en", "de", "es", "fr", "zh"), 1
+    ).otherwise(0)
+    v_range = F.when(F.col("n_chars") < 0, 1).otherwise(0)
+    checks = d.select(
+        "source",
+        "doc_id",
+        v_null.alias("v_null"),
+        v_chars.alias("v_chars"),
+        v_blank.alias("v_blank"),
+        v_lang.alias("v_lang"),
+        v_range.alias("v_range"),
+    )
+    g = checks.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count_distinct("doc_id")).alias("dup_doc_ids"),
+        F.sum("v_null").alias("null_violations"),
+        F.sum("v_chars").alias("n_chars_mismatches"),
+        F.sum("v_blank").alias("blank_docs"),
+        F.sum("v_lang").alias("lang_domain_violations"),
+        F.sum("v_range").alias("range_violations"),
+    )
+    total_v = (
+        F.col("dup_doc_ids")
+        + F.col("null_violations")
+        + F.col("n_chars_mismatches")
+        + F.col("blank_docs")
+        + F.col("lang_domain_violations")
+        + F.col("range_violations")
+    )
+    return g.select(
+        "source",
+        "n_rows",
+        "dup_doc_ids",
+        "null_violations",
+        "n_chars_mismatches",
+        "blank_docs",
+        "lang_domain_violations",
+        "range_violations",
+        (total_v == 0).alias("all_expectations_pass"),
+    ).orderBy("source")

@@ -2185,3 +2185,95 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: Theil-T and mean-log-deviation inequality indices — the decomposable
+# entropy-based companions to q_gini_user_concentration / q_hhi.
+# ---------------------------------------------------------------------------
+@register(
+    "q_theil_index_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM per
+    ), terms AS (
+      SELECT CAST(ROUND(cents * ln(cents * 1.0 * n / s) * 1000000, 0)
+                  AS BIGINT) AS t_unit,
+             CAST(ROUND(ln(s * 1.0 / (cents * 1.0 * n)) * 1000000, 0)
+                  AS BIGINT) AS l_unit
+      FROM per, tot
+    )
+    SELECT tot.n AS n_users,
+           tot.s AS total_cents,
+           ROUND(CAST(SUM(t_unit) AS DOUBLE) / (1000000.0 * tot.s), 6)
+             AS theil_t,
+           ROUND(CAST(SUM(l_unit) AS DOUBLE) / (1000000.0 * tot.n), 6)
+             AS mld_l
+    FROM terms, tot
+    GROUP BY tot.n, tot.s
+    """,
+)
+def q_theil_index_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T and mean-log-deviation (GE(0)) inequality of per-user
+    purchase value — the entropy-family indices that, unlike Gini,
+    DECOMPOSE additively into between-group + within-group terms (the
+    property mixture designers use to attribute corpus concentration to
+    sources).  T = Σ xᵢ·ln(xᵢ·n/S)/S, L = Σ ln(S/(n·xᵢ))/n over exact
+    integer cents.
+
+    Exactness: each user's log term is quantized to exact 1e-6 integer
+    units before the sum (order-independent integer aggregation — a raw
+    double SUM's shuffle-order would not hash-check; the same recipe as
+    q_effective_sample_size's inverse quantization), with two rounded
+    double divisions at the end.
+
+    Scale shape: one user_id hash aggregate (map-side combined), a 1-row
+    broadcast of (n, S), a second map-side integer aggregate — no window,
+    no sort, unlike Gini's prefix-rank two-phase.  Purchase-only filter
+    pushes to the scan."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+    )
+    tot = per.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    x = F.col("cents").cast("double")
+    t_unit = F.round(
+        x * F.log(x * F.col("n") / F.col("s")) * 1e6, 0
+    ).cast("long")
+    l_unit = F.round(
+        F.log(F.col("s") / (x * F.col("n"))) * 1e6, 0
+    ).cast("long")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "n", "s", t_unit.alias("t_unit"), l_unit.alias("l_unit")
+    )
+    return terms.groupBy("n", "s").agg(
+        F.round(
+            F.sum(F.col("t_unit").cast("decimal(38,0)")).cast("double")
+            / (1e6 * F.col("s")),
+            6,
+        ).alias("theil_t"),
+        F.round(
+            F.sum(F.col("l_unit").cast("decimal(38,0)")).cast("double")
+            / (1e6 * F.col("n")),
+            6,
+        ).alias("mld_l"),
+    ).select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_cents"),
+        "theil_t",
+        "mld_l",
+    )

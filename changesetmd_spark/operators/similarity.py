@@ -2529,3 +2529,232 @@ def q_referential_integrity_audit(
     for frame in (n_vecs, docs_wo, vecs_wo, sanity):
         out = out.crossJoin(F.broadcast(frame))
     return out
+
+
+# ---------------------------------------------------------------------------
+# r16: incremental IVF index maintenance (VERDICT r15 next-round #6) — the
+# delta-ingest loop that keeps q_semdedup_ivf / q_embedding_ann_ivf_checked
+# serving under continuous ingest.
+# ---------------------------------------------------------------------------
+_IVF_MAINT_BATCH_MOD = 10  # vec_id % 10 == 7 plays the incoming batch
+
+
+def _ivf_maintenance_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CHECK_CENTROID_IDS)
+    dot_ec = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> v.e[i] * c.ce[i]), (x, y) -> x + y)"
+    ).format(dim=_DIM)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), cent AS (
+      SELECT vec_id AS cell, e AS ce, nrm AS cn
+      FROM n WHERE vec_id IN ({ids})
+    ), assigned AS (
+      SELECT vec_id, cell,
+             CASE WHEN vec_id % {_IVF_MAINT_BATCH_MOD} = 7 THEN 1 ELSE 0 END
+               AS is_batch
+      FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {dot_ec} / (v.nrm * c.cn) DESC, c.cell
+               ) AS rk
+        FROM n v CROSS JOIN cent c)
+      WHERE rk = 1
+    ), per_cell AS (
+      SELECT cell,
+             CAST(SUM(1 - is_batch) AS BIGINT) AS n_base,
+             CAST(SUM(is_batch) AS BIGINT) AS n_batch,
+             CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM assigned GROUP BY cell
+    ), tot AS (
+      SELECT CAST(SUM(n_after) AS BIGINT) AS total_after,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM per_cell
+    )
+    SELECT cell, n_base, n_batch, n_after,
+           CAST(n_batch * 10000 // GREATEST(n_base, 1) AS BIGINT)
+             AS ingest_drift_bp,
+           n_after * n_cells > 2 * total_after AS split_needed
+    FROM per_cell, tot
+    ORDER BY cell
+    """
+
+
+@register("q_ivf_index_maintenance", oracle=_ivf_maintenance_oracle())
+def q_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance report: an incoming batch (vec_id % 10
+    == 7 plays the delta) is assigned to the EXISTING pinned coarse cells
+    (same 8 centroids as q_embedding_ann_ivf_checked — no re-training),
+    and each cell reports base occupancy, batch arrivals, post-ingest
+    occupancy drift in exact basis points, and a split flag for cells past
+    2x the mean occupancy — the production loop that tells an IVF index
+    when a cell needs splitting (or the quantizer re-training) under
+    continuous ingest, without touching base-corpus assignments.
+
+    Scale shape: the batch join is broadcast(8 centroids) x batch — in
+    production only the DELTA is assigned (base counts come from index
+    metadata); this checkable twin recomputes base occupancy through the
+    identical argmax so the driver can hash the whole report.  One 8-key
+    hash aggregate, one broadcast 1-row total; the split predicate is
+    division-cleared integer arithmetic (n_after * n_cells > 2 * total).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    cent = emb.filter(
+        F.col("vec_id").isin(list(_IVF_CHECK_CENTROID_IDS))
+    ).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cell_sim = cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cell", cell_sim.alias("cs"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("vec_id") % _IVF_MAINT_BATCH_MOD == 7, 1)
+            .otherwise(0)
+            .alias("is_batch"),
+        )
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.sum(1 - F.col("is_batch")).alias("n_base"),
+        F.sum("is_batch").alias("n_batch"),
+        F.count("*").alias("n_after"),
+    )
+    tot = per_cell.agg(
+        F.sum("n_after").alias("total_after"),
+        F.count("*").alias("n_cells"),
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_base",
+            "n_batch",
+            "n_after",
+            F.expr("n_batch * 10000 div greatest(n_base, 1)").alias(
+                "ingest_drift_bp"
+            ),
+            (
+                F.col("n_after") * F.col("n_cells")
+                > 2 * F.col("total_after")
+            ).alias("split_needed"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r16: leave-one-out 1-NN label accuracy — the embedding-quality eval that
+# tells you whether the space separates labels at all.
+# ---------------------------------------------------------------------------
+def _knn_label_oracle() -> str:
+    d = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> q.e[i] * c.e[i]), (x, y) -> x + y)"
+    ).format(dim=_DIM)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+               AS nrm
+      FROM v
+    ), nn AS (
+      SELECT query_id, q_label, n_label
+      FROM (
+        SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS n_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({d} / (q.nrm * c.nrm), 5) DESC, c.vec_id
+               ) AS rn
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+      WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS accuracy_bp
+    FROM nn
+    """
+
+
+@register("q_knn_label_accuracy", oracle=_knn_label_oracle())
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN classification accuracy of the label column in
+    embedding space — the standard embedding-quality eval (does cosine
+    geometry recover the labels?) run before trusting the space for
+    SemDeDup / clustering / hard-negative mining.  Each probe vector's
+    nearest OTHER vector votes with its label; accuracy is exact integer
+    basis points.
+
+    Exactness: the same rounded-cosine + vec_id tie-break as
+    q_embedding_topk_cosine (the left-fold dot is bit-identical in both
+    engines), so the chosen neighbor matches before any rounding matters.
+
+    Scale shape: brute-force exact 1-NN for the 5-probe panel —
+    a broadcast of the probes against one corpus scan (the measured
+    ground-truth tier; the production path at 10⁹ vectors is the IVF
+    probe pipeline, q_embedding_ann_ivf_checked, with this query as its
+    recall referee's accuracy twin)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("e")))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    sim = cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"))
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "q_label",
+        F.col("label").alias("n_label"),
+        F.round(sim, 5).alias("cs"),
+        "vec_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    correct = F.sum(
+        F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+    )
+    return nn.agg(
+        F.count("*").alias("n_queries"),
+        correct.alias("n_correct"),
+    ).select(
+        "n_queries",
+        "n_correct",
+        F.expr("n_correct * 10000 div n_queries").alias("accuracy_bp"),
+    )

@@ -1269,3 +1269,78 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: Flesch-family readability profile per source — the classic
+# surface-statistics quality signal (syllables proxied by vowel groups, the
+# standard dependency-free approximation).
+# ---------------------------------------------------------------------------
+@register(
+    "q_readability_scores",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\S+')) AS w,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      FROM documents
+      WHERE len(regexp_extract_all(text, '\S+')) >= 1
+    ), g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS words,
+             CAST(SUM(s) AS BIGINT) AS sentences,
+             CAST(SUM(y) AS BIGINT) AS syllables
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           ROUND(206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / words), 4) AS flesch_ease,
+           ROUND(0.39 * (words * 1.0 / sentences)
+                 + 11.8 * (syllables * 1.0 / words) - 15.59, 4) AS fk_grade
+    FROM g
+    ORDER BY source
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per source (Kincaid
+    1975, public formulas), with syllables approximated by vowel-group
+    runs — the dependency-free proxy every fast quality filter uses.
+    Computed on SOURCE-level exact integer totals (words, sentences,
+    syllables), not per-doc doubles, so the aggregation is
+    order-independent and the two formula evaluations are single IEEE
+    expression trees per source.
+
+    Empty/whitespace-only documents are excluded (zero words would zero
+    the denominator); unpunctuated docs count as one sentence (the
+    standard convention).
+
+    Scale shape: three regexp_count-style counters fused into the
+    documents scan, one hash aggregate on the ~20 source keys with
+    map-side combine — scan-bound at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        token_count(F.col("text")).alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).alias("y"),
+    ).filter(F.col("w") >= 1)
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("y").alias("syllables"),
+    )
+    wps = F.col("words") * 1.0 / F.col("sentences")
+    ypw = F.col("syllables") * 1.0 / F.col("words")
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * ypw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * ypw - 15.59, 4).alias("fk_grade"),
+    ).orderBy("source")

@@ -1581,3 +1581,305 @@ def q_spearman_hourly_correlation(
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: Kendall tau-b between the same two hourly series Spearman uses —
+# the concordance-based rank correlation (robust to the monotone-transform
+# family, finer tie handling than rho).
+# ---------------------------------------------------------------------------
+@register(
+    "q_kendall_tau_hourly",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(SUM(CASE WHEN event_type = '{_SPEARMAN_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = '{_SPEARMAN_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('{_SPEARMAN_A}', '{_SPEARMAN_B}')
+      GROUP BY 1
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM h a JOIN h b ON a.hr < b.hr
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h
+    ), tx AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT COUNT(*) AS t FROM h GROUP BY x)
+    ), ty AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT COUNT(*) AS t FROM h GROUP BY y)
+    )
+    SELECT n AS n_hours, c AS concordant, d AS discordant,
+           ROUND((c - d) * 1.0
+                 / sqrt((n * (n - 1) / 2 - n1) * 1.0
+                        * (n * (n - 1) / 2 - n2)), 6) AS kendall_tau_b
+    FROM pairs, nn, tx, ty
+    """,
+)
+def q_kendall_tau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the hourly view-count and purchase-count
+    series — the concordance form of rank correlation (every hour pair
+    votes concordant/discordant), with the standard tie corrections in
+    the denominator.  Completes the correlation triad (Pearson
+    q_autocorr_lag1, Spearman rho, Kendall tau).
+
+    Exactness: concordant/discordant/tie counts are pure integers; ONE
+    rounded double expression at the end.
+
+    Scale shape: the pair enumeration is a self-join of the HOURLY frame
+    (time-domain bounded — ~672 rows for the corpus month regardless of
+    corpus size, so the quadratic term is a constant ~225k comparisons),
+    after a single (hour) hash aggregate over the events scan.  The tie
+    terms are two value-domain aggregates.  Corpus growth only widens
+    the map-side combine."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_SPEARMAN_A, _SPEARMAN_B)
+    )
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.sum(
+            F.when(F.col("event_type") == _SPEARMAN_A, 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == _SPEARMAN_B, 1).otherwise(0)
+        ).alias("y"),
+    )
+    a = h.select(F.col("hr").alias("ahr"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"))
+    b = h.select(F.col("hr").alias("bhr"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"))
+    prod = (F.col("ax") - F.col("bx")) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ahr") < F.col("bhr"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("d"),
+        )
+    )
+    nn = h.agg(F.count("*").alias("n"))
+    tx = (
+        h.groupBy("x").agg(F.count("*").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n1"))
+    )
+    ty = (
+        h.groupBy("y").agg(F.count("*").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n2"))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_hours"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("d"))
+                * 1.0
+                / F.sqrt(
+                    (n0 - F.col("n1")) * 1.0 * (n0 - F.col("n2"))
+                ),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r16: per-state entropy of the next-event distribution — the
+# sequence-predictability summary on top of q_type_transition_matrix.
+# ---------------------------------------------------------------------------
+@register(
+    "q_transition_entropy",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), pairs AS (
+      SELECT prev, event_type AS next FROM ordered WHERE prev IS NOT NULL
+    ), cells AS (
+      SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY prev, next
+    ), folded AS (
+      SELECT prev,
+             CAST(SUM(n) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list(ROUND(n * ln(n), 9) ORDER BY next),
+                         (a, b) -> a + b) AS sum_nlnn
+      FROM cells GROUP BY prev
+    )
+    SELECT prev AS from_type, t AS n_transitions, k AS n_next_types,
+           ROUND(ln(t) - sum_nlnn / t, 6) AS entropy_nats,
+           ROUND(CASE WHEN k > 1
+                      THEN (ln(t) - sum_nlnn / t) / ln(k)
+                      ELSE 0.0 END, 6) AS entropy_normalized
+    FROM folded
+    ORDER BY from_type
+    """,
+)
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each state's NEXT-event distribution over the
+    per-user event sequences — the one-number predictability summary of
+    the Markov matrix: H(next|prev) = ln T − (Σ n·ln n)/T per prev state,
+    plus the ln(k)-normalized form ([0,1], comparable across states with
+    different fan-out).  Low entropy = deterministic flows (bot replay);
+    high = organic browsing.
+
+    Determinism recipe: per-cell n·ln n terms are rounded to 9 and summed
+    by a left fold over the NEXT-TYPE-ORDERED ≤5-element list in both
+    engines (the q_unigram_drift_kl fold pattern) — never a shuffle-order
+    double SUM.
+
+    Scale shape: one per-user sequence window (partitioned by user_id —
+    bounded per-user frames), a (prev, next) hash aggregate onto ≤25
+    cells, then 5-row folds.  Identical skeleton to the transition
+    matrix it annotates."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next"),
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    cells = pairs.groupBy("prev", "next").agg(F.count("*").alias("n"))
+    folded = cells.groupBy("prev").agg(
+        F.sum("n").alias("t"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "next",
+                    F.round(
+                        F.col("n") * F.log(F.col("n").cast("double")), 9
+                    ).alias("nlnn"),
+                )
+            )
+        ).alias("lst"),
+    )
+    sum_nlnn = F.aggregate(
+        F.transform("lst", lambda s: s["nlnn"]), F.lit(0.0), lambda a, b: a + b
+    )
+    ent = F.log(F.col("t").cast("double")) - sum_nlnn / F.col("t")
+    return folded.select(
+        F.col("prev").alias("from_type"),
+        F.col("t").alias("n_transitions"),
+        F.col("k").alias("n_next_types"),
+        F.round(ent, 6).alias("entropy_nats"),
+        F.round(
+            F.when(
+                F.col("k") > 1, ent / F.log(F.col("k").cast("double"))
+            ).otherwise(0.0),
+            6,
+        ).alias("entropy_normalized"),
+    ).orderBy("from_type")
+
+
+# ---------------------------------------------------------------------------
+# r16: the ACF profile — q_autocorr_lag1 extended to lags 1..6, the input a
+# seasonality/capacity model actually consumes.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 6
+
+
+@register(
+    "q_acf_profile",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT CAST(i AS BIGINT) AS lag
+      FROM UNNEST(generate_series(1, {_ACF_MAX_LAG})) t(i)
+    ), p AS (
+      SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+      FROM h a CROSS JOIN lags l
+      JOIN h b ON a.event_type = b.event_type
+              AND b.hr = a.hr + l.lag * INTERVAL 1 HOUR
+    ), g AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p GROUP BY event_type, lag
+    )
+    SELECT event_type, lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM g
+    ORDER BY event_type, lag
+    """,
+)
+def q_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1..{L} of the hourly count series
+    per event type — the full ACF profile (q_autocorr_lag1 is its first
+    point): persistence decay and any intra-day periodicity show up as
+    the shape of r(lag), which is what seasonality fitting and anomaly
+    thresholds consume.
+
+    Exactness: Pearson r per (type, lag) from six exact DECIMAL(38,0)
+    sums over integer hourly counts, one rounded double expression.
+
+    Scale shape: ONE (type, hour) hash aggregate over the events scan;
+    the lag fan-out multiplies only the tiny hourly frame (≤5 types x
+    ~672 hours x {L} lags) before an equi-join back to itself keyed
+    (type, hr) — corpus growth touches only the first aggregate's
+    map-side combine.""".replace("{L}", str(_ACF_MAX_LAG))
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = h.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        F.expr("hr + lag * INTERVAL 1 HOUR").alias("jhr"),
+        F.col("c").alias("x"),
+    )
+    b = h.select(
+        "event_type", F.col("hr").alias("jhr"), F.col("c").alias("y")
+    )
+    p = a.join(b, ["event_type", "jhr"])
+    g = p.groupBy("event_type", "lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return g.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("r"),
+    ).orderBy("event_type", "lag")

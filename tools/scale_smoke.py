@@ -330,6 +330,30 @@ QUERIES = [
     "q_stream_join_left_outer_expiry",
     "q_stream_stateful_user_totals",
     "q_stream_rollup_hourly",
+    # r16 operators: relational TPC-H completions, web rollup, incremental
+    # IVF maintenance, and the stats/eval additions — every one measured at
+    # each replica tier like the rest of the gauntlet.
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q12_shipping_delay_priority",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_high_balance",
+    "q_domain_rollup",
+    "q_ivf_index_maintenance",
+    "q_jensen_shannon_drift",
+    "q_theil_index_concentration",
+    "q_kendall_tau_hourly",
+    "q_transition_entropy",
+    "q_acf_profile",
+    "q_tcloseness_risk",
+    "q_brier_decomposition",
+    "q_adamic_adar_linkpred",
+    "q_readability_scores",
+    "q_data_quality_expectations",
+    "q_knn_label_accuracy",
 ]
 
 # Skewed-tier gauntlet (VERDICT r12 #2): the user_id window/as-of family
