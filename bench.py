@@ -290,6 +290,7 @@ HEADLINE = [
     "q_readability_scores",
     "q_data_quality_expectations",
     "q_knn_label_accuracy",
+    "q_multimodal_qoi_stats",
 ]
 
 

@@ -1346,3 +1346,237 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# ---------------------------------------------------------------------------
+# FOURTH real container format (r16): QOI ("Quite OK Image", qoiformat.org
+# public spec) — run-length, small-diff, luma-diff and 64-slot hash-index
+# ops over a streaming previous-pixel state.  Unlike PNG's filter+DEFLATE,
+# QOI is a stateful byte-op stream, so a decoder that mishandles ANY op
+# corrupts every later pixel — the round-trip hash check is unforgiving.
+# ---------------------------------------------------------------------------
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00\x00\x00\x00\x00\x00\x00\x01"
+
+
+def encode_qoi_rgb(width: int, height: int, pixels: list) -> bytes:
+    """Encode RGB pixels (list of (r, g, b)) per the QOI spec (channels=3,
+    sRGB colorspace byte 0).  Implements all RGB-relevant ops: RUN, INDEX,
+    DIFF, LUMA, and the 0xFE RGB escape."""
+    import struct
+
+    out = bytearray(_QOI_MAGIC)
+    out += struct.pack(">IIBB", width, height, 3, 0)
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for r, g, b in pixels:
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[slot] == px:
+            out.append(slot)  # QOI_OP_INDEX (0b00xxxxxx)
+        else:
+            index[slot] = px
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi_rgb(payload: bytes) -> tuple:
+    """Decode a QOI byte stream back to (width, height, [(r, g, b), ...]),
+    validating magic, trailer, and exact pixel count."""
+    import struct
+
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream")
+    width, height, channels, _cs = struct.unpack(">IIBB", payload[4:14])
+    if channels != 3:
+        raise ValueError(f"unsupported channels {channels}")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    n = width * height
+    px = (0, 0, 0, 255)
+    index = [(0, 0, 0, 255)] * 64
+    pixels = []
+    i = 14
+    data = payload[:-8]
+    while len(pixels) < n:
+        b0 = data[i]
+        i += 1
+        if b0 == 0xFE:  # RGB
+            px = (data[i], data[i + 1], data[i + 2], 255)
+            i += 3
+        elif b0 == 0xFF:  # RGBA (alpha ignored for channels=3 streams)
+            px = (data[i], data[i + 1], data[i + 2], data[i + 3])
+            i += 4
+        elif b0 >> 6 == 0:  # INDEX
+            px = index[b0]
+        elif b0 >> 6 == 1:  # DIFF
+            px = (
+                (px[0] + ((b0 >> 4) & 3) - 2) % 256,
+                (px[1] + ((b0 >> 2) & 3) - 2) % 256,
+                (px[2] + (b0 & 3) - 2) % 256,
+                px[3],
+            )
+        elif b0 >> 6 == 2:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = data[i]
+            i += 1
+            px = (
+                (px[0] + dg + ((b1 >> 4) & 0xF) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (b1 & 0xF) - 8) % 256,
+                px[3],
+            )
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            pixels.extend([(px[0], px[1], px[2])] * run)
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        pixels.append((px[0], px[1], px[2]))
+    if len(pixels) != n:
+        raise ValueError("pixel count mismatch")
+    return width, height, pixels
+
+
+@register(
+    "q_multimodal_qoi_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id % 5 + 2 AS BIGINT) AS w,
+             CAST(n_chars % 4 + 2 AS BIGINT) AS h,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a
+      FROM documents
+    ), px AS (
+      SELECT w, h, a, (w * h) AS n,
+             list_reduce(list_transform(generate_series(0, w * h - 1),
+               k -> (a + k // 5) % 256), (x, y) -> x + y) AS sum_r,
+             list_reduce(list_transform(generate_series(0, w * h - 1),
+               k -> (a * 2 + k // 9) % 256), (x, y) -> x + y) AS sum_g,
+             list_reduce(list_transform(generate_series(0, w * h - 1),
+               k -> (a * 3 + 13 * (k // 23)) % 256), (x, y) -> x + y)
+               AS sum_b,
+             list_reduce(list_transform(generate_series(0, w * h - 1),
+               k -> GREATEST((a + k // 5) % 256,
+                             (a * 2 + k // 9) % 256,
+                             (a * 3 + 13 * (k // 23)) % 256)),
+               (x, y) -> GREATEST(x, y)) AS peak
+      FROM m
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(n) AS BIGINT) AS total_pixels,
+           CAST(SUM(sum_r) AS BIGINT) AS sum_red,
+           CAST(SUM(sum_g) AS BIGINT) AS sum_green,
+           CAST(SUM(sum_b) AS BIGINT) AS sum_blue,
+           CAST(MAX(peak) AS BIGINT) AS peak_channel
+    FROM px GROUP BY w ORDER BY w
+    """,
+)
+def q_multimodal_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI round-trip (the fourth container format after BMP/PPM,
+    WAV, PNG): one (doc_id%5+2)x(n_chars%4+2) RGB image per document with
+    closed-form pixels r=(a+k/5)%256, g=(2a+k/9)%256, b=(3a+13(k/23))%256
+    — slopes chosen so the stream exercises every QOI op (RUN while all
+    three channels hold, DIFF/LUMA on small steps, INDEX on hash-slot
+    revisits, RGB escapes on the 256-wraparound jumps).  Encoded with
+    ``encode_qoi_rgb``, decoded back by the full stateful op walk
+    (``decode_qoi_rgb``: 64-slot hash index, previous-pixel chain, trailer
+    validation), then aggregated per width.  The oracle recomputes every
+    stat analytically from the pixel generator — one mis-decoded op
+    corrupts the previous-pixel chain and the hash catches it.
+
+    Scale shape: synth+encode+decode run inside one Arrow-batched
+    mapInPandas stage (payload bytes never shuffle); the only exchange is
+    the 5-key width rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    meta = docs.select(
+        (F.col("doc_id") % 5 + 2).cast("int").alias("w"),
+        (F.col("n_chars") % 4 + 2).cast("int").alias("h"),
+        ((F.col("doc_id") * 31) % 256).cast("int").alias("a"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("width", LongType(), False),
+            StructField("n_pixels", LongType(), False),
+            StructField("sum_r", LongType(), False),
+            StructField("sum_g", LongType(), False),
+            StructField("sum_b", LongType(), False),
+            StructField("peak", LongType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for w, h, a in zip(pdf["w"], pdf["h"], pdf["a"]):
+                w, h, a = int(w), int(h), int(a)
+                pixels = [
+                    (
+                        (a + k // 5) % 256,
+                        (a * 2 + k // 9) % 256,
+                        (a * 3 + 13 * (k // 23)) % 256,
+                    )
+                    for k in range(w * h)
+                ]
+                payload = encode_qoi_rgb(w, h, pixels)
+                gw, gh, got = decode_qoi_rgb(payload)
+                assert (gw, gh) == (w, h)
+                rows.append(
+                    (
+                        gw,
+                        len(got),
+                        sum(p[0] for p in got),
+                        sum(p[1] for p in got),
+                        sum(p[2] for p in got),
+                        max(max(p) for p in got),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["width", "n_pixels", "sum_r", "sum_g", "sum_b", "peak"],
+            )
+
+    decoded = meta.mapInPandas(roundtrip, schema=out_schema)
+    return (
+        decoded.groupBy("width")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("sum_r").alias("sum_red"),
+            F.sum("sum_g").alias("sum_green"),
+            F.sum("sum_b").alias("sum_blue"),
+            F.max("peak").alias("peak_channel"),
+        )
+        .orderBy("width")
+    )

@@ -338,13 +338,23 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
 # mismatch for code edited after its last witness.
 WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q10_returned_item_revenue": "fb740dc41912",
+    "q12_shipping_delay_priority": "6e7b5a2f530e",
     "q13_order_count_distribution": "dd6e149003a7",
     "q14_promo_revenue_share": "bee08938dc59",
+    "q16_supplier_part_variety": "ad21a74b4a84",
     "q18_large_volume_orders": "df1f0b07071e",
+    "q19_disjunctive_revenue": "b582b8c945e4",
     "q1_pricing_summary": "924990a78492",
+    "q21_suppliers_kept_waiting": "f9619d80b0ff",
+    "q22_dormant_high_balance": "7a468e781579",
     "q3_top_revenue_orders": "5c4ef681d492",
+    "q4_order_priority_check": "ce033050a09e",
     "q5_revenue_by_nation": "04cb5b299f24",
+    "q6_forecast_revenue": "61b14887ca57",
     "q7_nation_volume_shipping": "a60d0221c1ec",
+    "q9_product_type_profit": "eed921ed75dc",
+    "q_acf_profile": "9f5a0182bcc4",
+    "q_adamic_adar_linkpred": "baadddde1f03",
     "q_ann_recall_audit": "d352919eb19d",
     "q_ann_verify_rerank": "563e94b18960",
     "q_anti_join_dormant_customers": "26563d35570d",
@@ -363,6 +373,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "c04762ebe930",
+    "q_brier_decomposition": "9f290985aeb8",
     "q_calibration_ece_bins": "841ee0f96dd7",
     "q_cdc_chunk_dedup": "2d9ef2dd35b9",
     "q_changeset_comments_explode": "e28cdf81faff",
@@ -381,12 +392,14 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_cross_source_leakage": "f120be5b52b6",
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_cusum_changepoint": "fe9940e63ee7",
+    "q_data_quality_expectations": "23580ba13166",
     "q_dedup_exact": "694e16905ec0",
     "q_dedup_exact_counts": "f92e9478cbfb",
     "q_dedup_groups": "178c907f8716",
     "q_dedup_threshold_sweep": "33a9886b4b20",
     "q_distinct_counts": "b7644aa98416",
     "q_distinct_ngram_diversity": "1d161ede35aa",
+    "q_domain_rollup": "0c243eda92bb",
     "q_doremi_mixture_step": "e9a8fa0524cb",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_dup_cluster_histogram": "8c20111ed665",
@@ -424,12 +437,16 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_interarrival_stats": "42fe74ad3c51",
     "q_intersect_segments": "d91bac44493f",
     "q_item_cooccurrence": "ef3c12c8c51b",
+    "q_ivf_index_maintenance": "6a0454853522",
+    "q_jensen_shannon_drift": "455173970e6d",
     "q_json_typed_extract": "c88841a31644",
     "q_jsonl_ingest_audit": "2f2bcb96b9b1",
     "q_kanonymity_risk": "3b19a6b60514",
     "q_kcore_items": "efdbd2d82e63",
+    "q_kendall_tau_hourly": "b9446ab8cfdf",
     "q_kmeans_assign_update": "9303da178852",
     "q_kneser_ney_bigram": "bf7ea302fa77",
+    "q_knn_label_accuracy": "a49ce254e539",
     "q_ks_value_drift": "29cc66620faa",
     "q_label_balance_downsample": "a691146629bd",
     "q_label_propagation": "61335c44533d",
@@ -455,6 +472,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_multimodal_decode": "2bbb5633523b",
     "q_multimodal_decode_real": "3e62be6c2fd5",
     "q_multimodal_png_stats": "7e97f8e27d2a",
+    "q_multimodal_qoi_stats": "83382fd79331",
     "q_multimodal_resize": "7f480e96df0f",
     "q_multitouch_attribution": "d74ed0f4a02f",
     "q_neardup_canonical": "e2cad7f30322",
@@ -480,6 +498,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_quality_rule_attribution": "ae3c2aeae9e9",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",
     "q_range_join_shipments_in_window": "b11f59c7709e",
+    "q_readability_scores": "5945b333496e",
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
@@ -525,6 +544,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_stream_tumbling_hourly": "2eb91d1ad4db",
     "q_subsample_stability_ci": "3cf85d272770",
     "q_table_profile": "f84b829d00c7",
+    "q_tcloseness_risk": "d26bc55b323e",
     "q_temperature_mixture": "9331bcd9a47b",
     "q_temporal_split_audit": "e1e878a5d369",
     "q_text_blocklist_scrub": "468932933668",
@@ -536,11 +556,13 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_text_token_budget_by_source": "f4654a67165a",
     "q_text_token_stats": "07d0fcb5eba1",
     "q_tfidf_top_terms": "c87b20d513c1",
+    "q_theil_index_concentration": "8ae1973e516e",
     "q_time_gapfill_interpolate": "07691491e86c",
     "q_time_gapfill_locf": "a5d2a5666d50",
     "q_token_len_histogram": "c9c4c0b4f98e",
     "q_tokenizer_fertility": "78203b4aa4aa",
     "q_train_test_split": "cec82ef6be65",
+    "q_transition_entropy": "ca23a1268af8",
     "q_triangle_count": "3d9e4a4c9b67",
     "q_txn_change_feed": "2d2d27434982",
     "q_txn_merge_snapshot": "37e57683a294",

@@ -318,3 +318,71 @@ def test_png_codec_roundtrip_filters_and_crc():
     )
     with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png_rgb(bytes(deep))
+
+
+def test_qoi_roundtrip_and_rejection():
+    """QOI codec: exact round-trip across op-exercising streams; corrupted
+    magic/trailer/pixel-count must raise, not silently decode."""
+    import pytest
+
+    from changesetmd_spark.operators.multimodal import (
+        decode_qoi_rgb,
+        encode_qoi_rgb,
+    )
+
+    streams = [
+        [(5, 5, 5)] * 200,                                   # >62 runs
+        [(k % 256, (2 * k) % 256, (3 * k) % 256) for k in range(300)],
+        [((17 + k // 5) % 256, (34 + k // 9) % 256,
+          (51 + 13 * (k // 23)) % 256) for k in range(60)],  # query generator
+        [(0, 0, 0), (255, 255, 255)] * 40,                   # INDEX revisits
+    ]
+    for px in streams:
+        enc = encode_qoi_rgb(len(px), 1, px)
+        assert decode_qoi_rgb(enc) == (len(px), 1, px)
+    enc = encode_qoi_rgb(4, 1, [(1, 2, 3)] * 4)
+    with pytest.raises(ValueError):
+        decode_qoi_rgb(b"junk" + enc[4:])
+    with pytest.raises(ValueError):
+        decode_qoi_rgb(enc[:-8] + b"\x00" * 8)
+    # header claims more pixels than the stream carries -> must not return
+    import struct
+
+    bad = bytearray(enc)
+    bad[4:8] = struct.pack(">I", 99)
+    with pytest.raises((ValueError, IndexError)):
+        decode_qoi_rgb(bytes(bad))
+
+
+def test_qoi_stream_uses_all_ops():
+    """The planted generator must actually exercise RUN, DIFF, LUMA, INDEX
+    and RGB ops — otherwise the round-trip proves less than claimed."""
+    from changesetmd_spark.operators.multimodal import encode_qoi_rgb
+
+    seen = set()
+    for a in range(0, 256, 7):
+        px = [
+            ((a + k // 5) % 256, (a * 2 + k // 9) % 256,
+             (a * 3 + 13 * (k // 23)) % 256)
+            for k in range(30)
+        ]
+        enc = encode_qoi_rgb(30, 1, px)
+        i, data = 14, enc[:-8]
+        while i < len(data):
+            b0 = data[i]
+            if b0 == 0xFE:
+                seen.add("RGB")
+                i += 4
+            elif b0 >> 6 == 0:
+                seen.add("INDEX")
+                i += 1
+            elif b0 >> 6 == 1:
+                seen.add("DIFF")
+                i += 1
+            elif b0 >> 6 == 2:
+                seen.add("LUMA")
+                i += 2
+            else:
+                seen.add("RUN")
+                i += 1
+    assert {"RUN", "DIFF", "LUMA", "RGB"} <= seen, seen

@@ -354,6 +354,7 @@ QUERIES = [
     "q_readability_scores",
     "q_data_quality_expectations",
     "q_knn_label_accuracy",
+    "q_multimodal_qoi_stats",
 ]
 
 # Skewed-tier gauntlet (VERDICT r12 #2): the user_id window/as-of family
