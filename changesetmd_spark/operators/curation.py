@@ -579,7 +579,10 @@ def q_pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_repetition_quality",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
+      -- \S+ matches: the engine's codegen'd lookahead-regex bigram build
+      -- (text.word_ngrams) tokenizes on normalized whitespace, so the
+      -- oracle's token list must carry no empty-string tokens either
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
     ), bi AS (
       SELECT doc_id,
@@ -637,11 +640,13 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm's 1.5 s small-input penalty), so default remains the local
     choice.  Both arms hash against the same oracle and each shape is
     pinned by a plan pytest."""
+    from .text import word_ngrams
+
+    # codegen'd lookahead-regex bigrams (r16: the old interpreted
+    # transform/element_at build was 85% of this query's 300x runtime —
+    # 103 s vs 2.6 s; see word_ngrams and PLANS.md)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    grams = word_ngrams(F.col("text"), 2)
     src = load_table(spark, sf_dir, "documents")
     wire_optimal = (
         str(

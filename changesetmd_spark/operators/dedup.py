@@ -314,10 +314,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     everybody-collides and the band self-join goes quadratic (observed as an
     OOM at sf0.1).  Word n-grams keep unrelated documents' shingle sets
     disjoint, which is what makes LSH sub-quadratic."""
+    from .text import word_ngrams
+
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(toks)
-    seq = F.sequence(F.lit(1), n - (k - 1))
-    grams = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    # codegen'd lookahead-regex k-grams (r16, see text.word_ngrams: the
+    # interpreted transform build was measured 103 s vs 2.6 s at 300x on
+    # the bigram twin; identical output by exceptAll)
+    grams = word_ngrams(text, k)
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array_distinct(F.array(F.concat_ws(" ", toks)))
     )

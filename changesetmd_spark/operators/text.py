@@ -44,6 +44,28 @@ def fingerprint(text: Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+def word_ngrams(text: Column, k: int) -> Column:
+    """Overlapping word k-grams (space-joined, lowercased) via ONE
+    codegen'd regex instead of a higher-order ``transform`` lambda.
+
+    The r16 attribution (PLANS.md) measured the old
+    ``transform(sequence(1, n-1), i -> concat_ws(element_at ...))`` bigram
+    build at 103 s for the 300x corpus — 85% of
+    q_text_repetition_quality's entire runtime — because HigherOrderFunction
+    evaluation is interpreted per element.  This form is a zero-width
+    lookahead scan over the normalized text (`` (?<= )(?=(\\S+ … \\S+)) ``
+    anchored at token boundaries by a prepended space), which stays inside
+    whole-stage codegen: 2.6-3.8 s on the same corpus (~30x), with
+    ``exceptAll``-verified identical output.  RE2 has no lookahead, so the
+    DuckDB oracles keep their ``string_split_regex`` form — this is an
+    engine-side physical rewrite, not a semantics change."""
+    pat = r"(?<= )(?=(" + r" ".join([r"\S+"] * k) + r"))"
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.regexp_extract_all(
+        F.concat(F.lit(" "), normalized), F.lit(pat), F.lit(1)
+    )
+
+
 def quality_columns(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword heuristics used for corpus filtering."""
     n_chars = F.length(text)
@@ -419,9 +441,11 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_novelty",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
+      -- \S+ matches: mirrors word_shingles' normalized-whitespace k-gram
+      -- build (text.word_ngrams) — no empty-string tokens
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text, ' ')), '\s+')) >= 3
+      WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3
     ), g AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -764,8 +788,10 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_distinct_ngram_diversity",
     oracle=r"""
     WITH d AS (
+      -- \S+ matches: mirrors the engine's normalized-whitespace bigram
+      -- build (text.word_ngrams) — no empty-string tokens
       SELECT doc_id, source,
-             string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
+             regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
     ), bi AS (
       SELECT doc_id, source,
@@ -797,17 +823,15 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repeated grams dedupe before the wire), the per-source rollup runs
     over |distinct grams| rows, and n_docs comes from the base table
     (doc_id is unique — no explode needed for it)."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    # codegen'd lookahead-regex bigrams (see word_ngrams: ~30x over the
+    # interpreted transform/element_at build at 300x); "has a bigram" is
+    # token_count >= 2 on the SAME normalized tokens — a raw-split size
+    # test would count whitespace-only docs (degen-corpus divergence)
+    grams = word_ngrams(F.col("text"), 2)
     docs = load_table(spark, sf_dir, "documents")
     per_gram = (
         fan_out(docs, "doc_id")
-        .filter(F.size(toks) >= 2)
+        .filter(token_count(F.col("text")) >= 2)
         .select("source", F.explode(grams).alias("gram"))
         .groupBy("source", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -820,7 +844,7 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_docs = (
-        docs.filter(F.size(toks) >= 2)
+        docs.filter(token_count(F.col("text")) >= 2)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
