@@ -788,7 +788,9 @@ _SPAN_W = 15  # sliding-window length (tokens) for substring dedup
     "q_duplicate_substring_spans",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
+      -- \S+ matches: mirrors the engine's normalized-whitespace k-gram
+      -- build (text.word_ngrams) — no empty-string tokens
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
     ), posts AS (
       SELECT doc_id, i AS pos,
@@ -849,27 +851,26 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, where the old posexplode(transform(md5(...)))
     evaluated the lambda interpreted — 44.6 s vs 35.3 s on a warm-cache
     re-measure.  Net: the 300× scale ratio fell 92× → ~20×."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # posting generation stays in whole-stage codegen: explode the
-    # POSITIONS, then hash in a plain projection — an md5 inside a
-    # transform() lambda evaluates as an interpreted higher-order function
-    # (A/B at 300x: 44.6 s transform vs 35.3 s this shape)
+    from .text import token_count, word_ngrams
+
+    # r16: posexplode of the codegen'd lookahead-regex k-gram array (see
+    # text.word_ngrams) — the r13 explode-positions shape still carried
+    # the full toks ARRAY through the explode and re-sliced it per
+    # position; exploding the gram STRINGS directly measured 6.8 s vs
+    # 44 s at 300x with an identical posting checksum
     posts = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-        .filter(F.size(toks) >= _SPAN_W)
+        .filter(token_count(F.col("text")) >= _SPAN_W)
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size(toks) - (_SPAN_W - 1))
-            ).alias("pos"),
-            toks.alias("toks"),
+            F.posexplode(word_ngrams(F.col("text"), _SPAN_W)).alias(
+                "pos0", "gram"
+            ),
         )
         .select(
             "doc_id",
-            "pos",
-            _md5_long(
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _SPAN_W))
-            ).alias("h"),
+            (F.col("pos0") + 1).alias("pos"),
+            _md5_long(F.col("gram")).alias("h"),
         )
     )
     from pyspark.sql import Window

@@ -292,7 +292,9 @@ _WIN_POS_BITS = 30
     "q_winnowed_fingerprints",
     oracle=rf"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
+      -- \S+ matches: mirrors the engine's normalized-whitespace k-gram
+      -- build (text.word_ngrams) — no empty-string tokens
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
     ), posts AS (
       SELECT doc_id, len(toks) - {_WIN_K} + 1 AS n_grams, i AS pos,
@@ -342,36 +344,31 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected plan (a)).  Results verified identical before timing."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # r16: posexplode of the codegen'd lookahead-regex k-gram array (see
+    # word_ngrams) — exploding gram STRINGS beats carrying the toks array
+    # through the explode and re-slicing per position (6.8 s vs 44 s at
+    # 300x on the substring-span twin, identical checksums)
     hash32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _WIN_K))
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
+        F.substring(F.md5(F.col("gram")), 1, 8), 16, 10
     ).cast("long")
+    n_tok = token_count(F.col("text"))
     posts = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-        .filter(F.size(toks) >= _WIN_K + _WIN_W - 1)
+        .filter(n_tok >= _WIN_K + _WIN_W - 1)
         .select(
             "doc_id",
-            (F.size(toks) - (_WIN_K - 1)).alias("n_grams"),
-            F.explode(
-                F.sequence(F.lit(1), F.size(toks) - (_WIN_K - 1))
-            ).alias("pos"),
-            toks.alias("toks"),
+            (n_tok - (_WIN_K - 1)).alias("n_grams"),
+            F.posexplode(word_ngrams(F.col("text"), _WIN_K)).alias(
+                "pos0", "gram"
+            ),
         )
         .select(
             "doc_id",
             "n_grams",
-            "pos",
+            (F.col("pos0") + 1).alias("pos"),
             (
                 hash32 * (1 << _WIN_POS_BITS)
-                + ((1 << _WIN_POS_BITS) - 1 - F.col("pos"))
+                + ((1 << _WIN_POS_BITS) - 1 - (F.col("pos0") + 1))
             ).alias("key"),
         )
     )
