@@ -98,32 +98,34 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q3_top_revenue_orders": (1, 2, 3, 4, 5, 6, 8, 11),
     "q5_revenue_by_nation": (1, 2, 3, 4, 5, 6, 8, 11),
     "q7_nation_volume_shipping": (14,),
-    "q_ann_recall_audit": (10, 13),
-    "q_ann_verify_rerank": (6, 9, 12),
+    "q_adamic_adar_linkpred": (16,),
+    "q_ann_recall_audit": (10, 13, 16),
+    "q_ann_verify_rerank": (6, 9, 12, 16),
     "q_anti_join_dormant_customers": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_argmin_supplier_per_part": (15,),
     "q_asof_purchase_last_view": (1, 2, 3, 4, 6, 9, 12, 13),
     "q_asof_two_phase_scalable": (13, 14),
-    "q_association_rules": (13,),
+    "q_association_rules": (13, 16),
     "q_autocorr_lag1": (15,),
     "q_bbox_area_filter": (2, 3, 4, 5, 8, 11),
     "q_bbox_area_topk": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_bbox_containment": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_benford_digit_audit": (15,),
     "q_bigram_lm_fluency": (7, 10, 14),
-    "q_bitext_margin_mining": (9, 10, 13),
-    "q_bitext_margin_mining_ivf": (10, 13),
+    "q_bitext_margin_mining": (9, 10, 13, 16),
+    "q_bitext_margin_mining_ivf": (10, 13, 16),
     "q_bloom_prefilter_join": (8, 11),
     "q_bm25_keyword_search": (2, 3, 4, 5, 8, 11),
     "q_bpe_train_step": (9, 13),
-    "q_calibration_ece_bins": (11, 14),
+    "q_brier_decomposition": (16,),
+    "q_calibration_ece_bins": (11, 14, 16),
     "q_cdc_chunk_dedup": (7, 10, 14),
     "q_changeset_comments_explode": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_changeset_ingest_normalize": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_changeset_join_comments": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_charclass_entropy": (14,),
     "q_chi2_independence": (15,),
-    "q_cluster_silhouette": (15,),
+    "q_cluster_silhouette": (15, 16),
     "q_cohens_kappa_langid": (15,),
     "q_cohort_retention": (7, 11),
     "q_containment_pairs": (14,),
@@ -134,31 +136,31 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_cross_source_leakage": (12,),
     "q_cube_order_status_priority": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_cusum_changepoint": (15,),
-    "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8, 11),
-    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10, 14),
+    "q_dedup_exact": (1, 2, 3, 4, 5, 6, 8, 11, 16),
+    "q_dedup_exact_counts": (1, 2, 3, 4, 5, 7, 10, 14, 16),
     "q_dedup_groups": (2, 3, 4, 5, 6, 8, 9, 12),
-    "q_dedup_threshold_sweep": (11,),
+    "q_dedup_threshold_sweep": (11, 16),
     "q_distinct_counts": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_distinct_ngram_diversity": (12, 13),
+    "q_distinct_ngram_diversity": (12, 13, 16),
     "q_doremi_mixture_step": (12, 13),
     "q_dsir_importance_weights": (7, 10, 14),
     "q_dup_cluster_histogram": (13,),
-    "q_duplicate_substring_spans": (7, 10, 13),
+    "q_duplicate_substring_spans": (7, 10, 13, 16),
     "q_ease_grid_project": (13,),
     "q_effective_sample_size": (15,),
-    "q_embedding_ann_checked": (6, 9, 12),
+    "q_embedding_ann_checked": (6, 9, 12, 16),
     "q_embedding_ann_ivf": (1, 7, 9, 12),
-    "q_embedding_ann_ivf_checked": (8, 11, 15),
+    "q_embedding_ann_ivf_checked": (8, 11, 15, 16),
     "q_embedding_ann_lsh": (1, 7, 9, 12),
-    "q_embedding_binary_hamming": (12,),
-    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9, 12),
-    "q_embedding_dim_moments": (12, 13),
+    "q_embedding_binary_hamming": (12, 16),
+    "q_embedding_centroid_per_label": (1, 2, 3, 4, 7, 9, 12, 16),
+    "q_embedding_dim_moments": (12, 13, 16),
     "q_embedding_int8_quantize": (9, 12),
-    "q_embedding_neardup_cosine": (1, 7, 9, 11, 15),
-    "q_embedding_pca_power": (7, 9, 12),
-    "q_embedding_pq_adc": (8, 11, 15),
-    "q_embedding_random_projection": (8, 11),
-    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10, 13),
+    "q_embedding_neardup_cosine": (1, 7, 9, 11, 15, 16),
+    "q_embedding_pca_power": (7, 9, 12, 16),
+    "q_embedding_pq_adc": (8, 11, 15, 16),
+    "q_embedding_random_projection": (8, 11, 16),
+    "q_embedding_topk_cosine": (1, 2, 3, 4, 7, 9, 10, 13, 16),
     "q_fano_burstiness": (15,),
     "q_fellegi_sunter_scores": (15,),
     "q_funnel_conversion": (7, 10, 15),
@@ -166,26 +168,28 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_fuzzy_name_pairs": (9, 12),
     "q_gini_user_concentration": (14,),
     "q_grouping_sets_order_stats": (1, 2, 3, 4, 6, 9, 12),
-    "q_hard_negative_mining": (8, 11),
+    "q_hard_negative_mining": (8, 11, 16),
     "q_heavy_hitter_terms": (7, 10, 15),
     "q_hhi_concentration": (15,),
-    "q_hits_bipartite": (14,),
+    "q_hits_bipartite": (14, 16),
     "q_hourly_ohlc": (14,),
     "q_hybrid_rrf_search": (11,),
     "q_incremental_hash_dedup": (11,),
     "q_incremental_minhash_neardup": (12, 13),
     "q_interarrival_stats": (15,),
     "q_intersect_segments": (1, 2, 3, 4, 5, 8, 12),
-    "q_item_cooccurrence": (7, 10, 14),
+    "q_item_cooccurrence": (7, 10, 14, 16),
+    "q_ivf_index_maintenance": (16,),
     "q_json_typed_extract": (6, 9, 13),
     "q_jsonl_ingest_audit": (11,),
     "q_kanonymity_risk": (14,),
-    "q_kcore_items": (8, 11),
-    "q_kmeans_assign_update": (7, 9, 12),
+    "q_kcore_items": (8, 11, 16),
+    "q_kmeans_assign_update": (7, 9, 12, 16),
     "q_kneser_ney_bigram": (14,),
+    "q_knn_label_accuracy": (16,),
     "q_ks_value_drift": (14, 15),
     "q_label_balance_downsample": (13,),
-    "q_label_propagation": (8, 11),
+    "q_label_propagation": (8, 11, 16),
     "q_ldiversity_risk": (15,),
     "q_length_bucket_packing": (14,),
     "q_like_part_types": (2, 3, 4, 7, 10, 15),
@@ -201,8 +205,8 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_media_shard_manifest": (7, 9, 12),
     "q_minhash_estimate_error_audit": (10, 11, 13),
     "q_minhash_lsh_candidates": (1, 2, 3, 4, 5, 7, 10, 14),
-    "q_minhash_lsh_checked": (5, 6, 8, 10, 13),
-    "q_mmr_diversified_rerank": (11,),
+    "q_minhash_lsh_checked": (5, 6, 8, 10, 13, 16),
+    "q_mmr_diversified_rerank": (11, 16),
     "q_multimodal_audio_stats": (14,),
     "q_multimodal_byte_stats": (2, 3, 4, 5, 8, 11),
     "q_multimodal_decode": (1, 2, 3, 4, 5, 8, 11, 12),
@@ -211,12 +215,12 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_multimodal_resize": (12,),
     "q_multitouch_attribution": (13, 14),
     "q_neardup_canonical": (8, 9, 12),
-    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10, 14),
-    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10, 14),
-    "q_ngram_novelty": (7, 10, 14),
+    "q_neardup_verify_jaccard": (2, 3, 4, 5, 7, 10, 14, 16),
+    "q_ngram_jaccard_pairs": (1, 2, 3, 4, 5, 7, 10, 14, 16),
+    "q_ngram_novelty": (7, 10, 14, 16),
     "q_orders_per_month": (1, 2, 3, 4, 7, 10, 15),
     "q_outer_join_order_counts": (1, 2, 3, 4, 5, 6, 8, 12),
-    "q_pagerank_items": (7, 10, 14),
+    "q_pagerank_items": (7, 10, 14, 16),
     "q_pareto_frontier_docs": (15,),
     "q_part_value_share": (15,),
     "q_phrase_search": (9, 12),
@@ -233,10 +237,11 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_quality_rule_attribution": (11,),
     "q_rag_chunk_overlap": (7, 10, 14),
     "q_range_join_shipments_in_window": (1, 2, 3, 4, 5, 6, 8, 11),
+    "q_readability_scores": (16,),
     "q_readme_count_comment_tag": (2, 3, 4, 5, 6, 8, 11),
     "q_readme_count_created_by_josm": (2, 3, 4, 5, 7, 9, 12),
     "q_readme_envelope_containment": (2, 3, 4, 5, 6, 8, 11),
-    "q_referential_integrity_audit": (15,),
+    "q_referential_integrity_audit": (15, 16),
     "q_rendezvous_shard_balance": (15,),
     "q_retrieval_mrr_eval": (14,),
     "q_retrieval_ndcg_eval": (12, 13),
@@ -244,9 +249,9 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_salted_join_skewed_types": (1, 7, 10, 15),
     "q_scd2_priority_history": (9, 12),
     "q_seasonality_profile": (13,),
-    "q_semantic_outlier_docs": (14,),
-    "q_semdedup_clustered": (7, 9, 12),
-    "q_semdedup_ivf": (9, 12),
+    "q_semantic_outlier_docs": (14, 16),
+    "q_semdedup_clustered": (7, 9, 12, 16),
+    "q_semdedup_ivf": (9, 12, 16),
     "q_semi_join_active_customers": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_sequence_packing": (7, 10, 14),
     "q_series_ewma": (7, 10, 15),
@@ -281,7 +286,7 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_temperature_mixture": (7, 10, 15),
     "q_temporal_split_audit": (15,),
     "q_text_blocklist_scrub": (5, 8, 11),
-    "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10, 14),
+    "q_text_fingerprint": (1, 2, 3, 4, 5, 7, 10, 14, 16),
     "q_text_lang_id_confusion": (1, 2, 3, 4, 5, 7, 10, 14),
     "q_text_quality": (1, 2, 3, 4, 5, 6, 8, 11),
     "q_text_quality_by_source": (1, 2, 3, 4, 5, 7, 10, 14),
@@ -292,9 +297,9 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_time_gapfill_interpolate": (7, 10, 15),
     "q_time_gapfill_locf": (7, 10, 15),
     "q_token_len_histogram": (7, 10, 14),
-    "q_tokenizer_fertility": (15,),
+    "q_tokenizer_fertility": (15, 16),
     "q_train_test_split": (2, 3, 4, 5, 8, 11),
-    "q_triangle_count": (7, 10, 14),
+    "q_triangle_count": (7, 10, 14, 16),
     "q_txn_change_feed": (12,),
     "q_txn_merge_snapshot": (6, 9, 13),
     "q_type_transition_matrix": (7, 11),
@@ -305,9 +310,9 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_user_value_deciles": (7, 9, 13),
     "q_value_mad_outliers": (7, 10, 15),
     "q_value_percentiles_per_type": (1, 6, 9, 12),
-    "q_vocab_growth": (8, 9, 10, 14),
+    "q_vocab_growth": (8, 9, 10, 14, 16),
     "q_vocab_growth_sketched": (9, 10, 14),
-    "q_vocab_prune_coverage": (13, 14),
+    "q_vocab_prune_coverage": (13, 14, 16),
     "q_welch_ttest_cohorts": (15,),
     "q_window_running_total": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_window_session_per_user": (6, 9, 13),
@@ -315,9 +320,9 @@ WITNESSED_ROUNDS: dict[str, tuple[int, ...]] = {
     "q_window_topk_orders_per_customer": (1, 2, 3, 4, 5, 6, 8, 12),
     "q_window_trailing_hour_sum": (6, 9, 13),
     "q_window_tumbling_hourly": (6, 9, 13),
-    "q_winnowed_fingerprints": (7, 10, 13),
+    "q_winnowed_fingerprints": (7, 10, 13, 16),
     "q_winsorized_stats": (14,),
-    "q_zipf_fit_audit": (12,),
+    "q_zipf_fit_audit": (12, 16),
     "q_zorder_layout": (8, 11),
 }
 
@@ -355,33 +360,33 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q9_product_type_profit": "eed921ed75dc",
     "q_acf_profile": "9f5a0182bcc4",
     "q_adamic_adar_linkpred": "baadddde1f03",
-    "q_ann_recall_audit": "d352919eb19d",
-    "q_ann_verify_rerank": "563e94b18960",
+    "q_ann_recall_audit": "5200ea1d4126",
+    "q_ann_verify_rerank": "0bbf3dea0ed3",
     "q_anti_join_dormant_customers": "26563d35570d",
     "q_argmin_supplier_per_part": "4faa4e3ba1de",
     "q_asof_purchase_last_view": "b1fdf5f673b3",
     "q_asof_two_phase_scalable": "6237fa649e5e",
-    "q_association_rules": "5e8b46d3358a",
+    "q_association_rules": "daac380ceca6",
     "q_autocorr_lag1": "da5d7ee1fbcc",
     "q_bbox_area_filter": "e115f940f1c9",
     "q_bbox_area_topk": "7e12375eb8e2",
     "q_bbox_containment": "2b389e133bd7",
     "q_benford_digit_audit": "a819fa37d454",
     "q_bigram_lm_fluency": "6a3bbc058f88",
-    "q_bitext_margin_mining": "0b40129ff8a2",
-    "q_bitext_margin_mining_ivf": "838aa2186673",
+    "q_bitext_margin_mining": "7b132a5f56e7",
+    "q_bitext_margin_mining_ivf": "7f228fec7adb",
     "q_bloom_prefilter_join": "169b7231bb6c",
     "q_bm25_keyword_search": "603e2228aebe",
     "q_bpe_train_step": "c04762ebe930",
     "q_brier_decomposition": "9f290985aeb8",
-    "q_calibration_ece_bins": "841ee0f96dd7",
+    "q_calibration_ece_bins": "db7f7e5b739e",
     "q_cdc_chunk_dedup": "2d9ef2dd35b9",
     "q_changeset_comments_explode": "e28cdf81faff",
     "q_changeset_ingest_normalize": "91a73d69bd16",
     "q_changeset_join_comments": "67e155a3df90",
     "q_charclass_entropy": "3a322737188e",
     "q_chi2_independence": "cd0f83650244",
-    "q_cluster_silhouette": "ba23a5686d7b",
+    "q_cluster_silhouette": "6387c07a69e0",
     "q_cohens_kappa_langid": "bcdf0d9dfec0",
     "q_cohort_retention": "0e48ae730a60",
     "q_containment_pairs": "5f082ca0cb16",
@@ -393,32 +398,32 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_cube_order_status_priority": "51c528e2fa11",
     "q_cusum_changepoint": "fe9940e63ee7",
     "q_data_quality_expectations": "23580ba13166",
-    "q_dedup_exact": "694e16905ec0",
-    "q_dedup_exact_counts": "f92e9478cbfb",
+    "q_dedup_exact": "69f8810960ce",
+    "q_dedup_exact_counts": "ce5c6051cf4e",
     "q_dedup_groups": "178c907f8716",
-    "q_dedup_threshold_sweep": "33a9886b4b20",
+    "q_dedup_threshold_sweep": "30d99b9c0411",
     "q_distinct_counts": "b7644aa98416",
-    "q_distinct_ngram_diversity": "1d161ede35aa",
+    "q_distinct_ngram_diversity": "791b004f0476",
     "q_domain_rollup": "0c243eda92bb",
     "q_doremi_mixture_step": "e9a8fa0524cb",
     "q_dsir_importance_weights": "e894c9ce8d97",
     "q_dup_cluster_histogram": "8c20111ed665",
-    "q_duplicate_substring_spans": "285b41ced123",
+    "q_duplicate_substring_spans": "e5d5d3bedaed",
     "q_ease_grid_project": "d99b140e38da",
     "q_effective_sample_size": "0455340a4647",
-    "q_embedding_ann_checked": "4702c5d0fb1f",
+    "q_embedding_ann_checked": "e1599ac4fe95",
     "q_embedding_ann_ivf": "77f3261e726c",
-    "q_embedding_ann_ivf_checked": "822e4062996d",
+    "q_embedding_ann_ivf_checked": "1165a0f691fc",
     "q_embedding_ann_lsh": "2b316a9d38c5",
-    "q_embedding_binary_hamming": "fc5c5c9b82e1",
-    "q_embedding_centroid_per_label": "db3e96ecfdb8",
-    "q_embedding_dim_moments": "61a8a029c2ec",
+    "q_embedding_binary_hamming": "062b54315542",
+    "q_embedding_centroid_per_label": "12de276ffea1",
+    "q_embedding_dim_moments": "0ad1e8bf51e7",
     "q_embedding_int8_quantize": "7e2ee87b3d9e",
-    "q_embedding_neardup_cosine": "f5b442b72d4b",
-    "q_embedding_pca_power": "a5c327894b93",
-    "q_embedding_pq_adc": "ca3f851a4f55",
-    "q_embedding_random_projection": "cbb1337a04df",
-    "q_embedding_topk_cosine": "934645d48971",
+    "q_embedding_neardup_cosine": "169c5341bb9e",
+    "q_embedding_pca_power": "86bc9ea39f9b",
+    "q_embedding_pq_adc": "91faa58703f9",
+    "q_embedding_random_projection": "1fef7198eccd",
+    "q_embedding_topk_cosine": "62f42843e676",
     "q_fano_burstiness": "b998a72dd527",
     "q_fellegi_sunter_scores": "8a801e5552ac",
     "q_funnel_conversion": "4937330f3d66",
@@ -426,30 +431,30 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_fuzzy_name_pairs": "9916cde5e5df",
     "q_gini_user_concentration": "1aa2519fc92a",
     "q_grouping_sets_order_stats": "9a27415adf92",
-    "q_hard_negative_mining": "2ce8a3e9b3d3",
+    "q_hard_negative_mining": "b2ab16181eb9",
     "q_heavy_hitter_terms": "7da4342493b1",
     "q_hhi_concentration": "7fac3faf1886",
-    "q_hits_bipartite": "fec53ec5b7e9",
+    "q_hits_bipartite": "12bc4a6f08c4",
     "q_hourly_ohlc": "8bc8718a7dfa",
     "q_hybrid_rrf_search": "eecc54f2b5c4",
     "q_incremental_hash_dedup": "2950e32a06da",
     "q_incremental_minhash_neardup": "d6e1bf0823a4",
     "q_interarrival_stats": "42fe74ad3c51",
     "q_intersect_segments": "d91bac44493f",
-    "q_item_cooccurrence": "ef3c12c8c51b",
+    "q_item_cooccurrence": "60e7a89f148c",
     "q_ivf_index_maintenance": "6a0454853522",
     "q_jensen_shannon_drift": "455173970e6d",
     "q_json_typed_extract": "c88841a31644",
     "q_jsonl_ingest_audit": "2f2bcb96b9b1",
     "q_kanonymity_risk": "3b19a6b60514",
-    "q_kcore_items": "efdbd2d82e63",
+    "q_kcore_items": "d43a0e8dc068",
     "q_kendall_tau_hourly": "b9446ab8cfdf",
-    "q_kmeans_assign_update": "9303da178852",
+    "q_kmeans_assign_update": "1fe8a61ef101",
     "q_kneser_ney_bigram": "bf7ea302fa77",
     "q_knn_label_accuracy": "a49ce254e539",
     "q_ks_value_drift": "29cc66620faa",
     "q_label_balance_downsample": "a691146629bd",
-    "q_label_propagation": "61335c44533d",
+    "q_label_propagation": "fc529ec2d258",
     "q_ldiversity_risk": "4ee1510783e8",
     "q_length_bucket_packing": "5f5c45809b4e",
     "q_like_part_types": "9d4e6f50083c",
@@ -465,8 +470,8 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_media_shard_manifest": "75af061d14f8",
     "q_minhash_estimate_error_audit": "e9b5f216e257",
     "q_minhash_lsh_candidates": "c0b664190cc7",
-    "q_minhash_lsh_checked": "8a77d6e5b846",
-    "q_mmr_diversified_rerank": "b89cbf4fcd70",
+    "q_minhash_lsh_checked": "bfad5406219e",
+    "q_mmr_diversified_rerank": "56f0d42ee9db",
     "q_multimodal_audio_stats": "cb61d3adab76",
     "q_multimodal_byte_stats": "696c11b57902",
     "q_multimodal_decode": "2bbb5633523b",
@@ -476,12 +481,12 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_multimodal_resize": "7f480e96df0f",
     "q_multitouch_attribution": "d74ed0f4a02f",
     "q_neardup_canonical": "e2cad7f30322",
-    "q_neardup_verify_jaccard": "46fe093eb244",
-    "q_ngram_jaccard_pairs": "3e965c94242e",
-    "q_ngram_novelty": "42306be3766f",
+    "q_neardup_verify_jaccard": "b04fc8e4c144",
+    "q_ngram_jaccard_pairs": "9a0b3e944b9a",
+    "q_ngram_novelty": "3d27bd2010d0",
     "q_orders_per_month": "2e7c84bb0ae9",
     "q_outer_join_order_counts": "149621fc6479",
-    "q_pagerank_items": "508378ca5fb4",
+    "q_pagerank_items": "9a1598b92b5a",
     "q_pareto_frontier_docs": "93ed5f9cff76",
     "q_part_value_share": "8ca62c27496e",
     "q_phrase_search": "7517698e473e",
@@ -502,7 +507,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_readme_count_comment_tag": "1b73c20ac6cb",
     "q_readme_count_created_by_josm": "9846bd27b0dd",
     "q_readme_envelope_containment": "e5e856460749",
-    "q_referential_integrity_audit": "c63924b22903",
+    "q_referential_integrity_audit": "2446aa1bd816",
     "q_rendezvous_shard_balance": "062149072c91",
     "q_retrieval_mrr_eval": "90d9fee5d164",
     "q_retrieval_ndcg_eval": "f6b9f5d76920",
@@ -510,9 +515,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_salted_join_skewed_types": "acf413b1e8a6",
     "q_scd2_priority_history": "715bbb6d6636",
     "q_seasonality_profile": "a5aea350f69d",
-    "q_semantic_outlier_docs": "dd201c7db2da",
-    "q_semdedup_clustered": "00c981bf5c8e",
-    "q_semdedup_ivf": "8d8d8438d07d",
+    "q_semantic_outlier_docs": "54c4c300ea88",
+    "q_semdedup_clustered": "0176322a3adf",
+    "q_semdedup_ivf": "8b8a3fb91924",
     "q_semi_join_active_customers": "887971e96ad2",
     "q_sequence_packing": "dcf8880efab6",
     "q_series_ewma": "35d891ee96e8",
@@ -548,7 +553,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_temperature_mixture": "9331bcd9a47b",
     "q_temporal_split_audit": "e1e878a5d369",
     "q_text_blocklist_scrub": "468932933668",
-    "q_text_fingerprint": "8b71b9ddfd6a",
+    "q_text_fingerprint": "053f2a65066d",
     "q_text_lang_id_confusion": "b204de6407b2",
     "q_text_quality": "ec87d2dd2a86",
     "q_text_quality_by_source": "1ca2f822686d",
@@ -560,10 +565,10 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_time_gapfill_interpolate": "07691491e86c",
     "q_time_gapfill_locf": "a5d2a5666d50",
     "q_token_len_histogram": "c9c4c0b4f98e",
-    "q_tokenizer_fertility": "78203b4aa4aa",
+    "q_tokenizer_fertility": "3f0ba0b22f54",
     "q_train_test_split": "cec82ef6be65",
     "q_transition_entropy": "ca23a1268af8",
-    "q_triangle_count": "3d9e4a4c9b67",
+    "q_triangle_count": "b6ae6c79140f",
     "q_txn_change_feed": "2d2d27434982",
     "q_txn_merge_snapshot": "37e57683a294",
     "q_type_transition_matrix": "8c2ffed88a00",
@@ -574,9 +579,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_user_value_deciles": "08499d201391",
     "q_value_mad_outliers": "76767b7f944e",
     "q_value_percentiles_per_type": "db145439f0ba",
-    "q_vocab_growth": "4702706bc4a5",
+    "q_vocab_growth": "6d85065238b9",
     "q_vocab_growth_sketched": "cb7d63b54367",
-    "q_vocab_prune_coverage": "a580b3659a43",
+    "q_vocab_prune_coverage": "8cc936341ad4",
     "q_welch_ttest_cohorts": "5facc07d6d5d",
     "q_window_running_total": "07f6b6a670fc",
     "q_window_session_per_user": "1cb3d953f1c8",
@@ -584,9 +589,9 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_window_topk_orders_per_customer": "9bd5767bcdc7",
     "q_window_trailing_hour_sum": "c63920d26d47",
     "q_window_tumbling_hourly": "1d16e1c77c37",
-    "q_winnowed_fingerprints": "424c117829ff",
+    "q_winnowed_fingerprints": "9d5b373709e3",
     "q_winsorized_stats": "3fb7c38862c2",
-    "q_zipf_fit_audit": "6b3a1847b9af",
+    "q_zipf_fit_audit": "9ca3d9a7ac88",
     "q_zorder_layout": "562293014cd1",
 }
 
@@ -623,11 +628,20 @@ def effective_last_witness(name: str) -> int:
 
 
 def _window_ordered(d: dict) -> dict:
-    """Return ``d`` ordered least-recently-externally-verified first
-    (never-verified and changed-since-witness queries lead); registration
-    order breaks ties.  The sort is stable, so equal last-witnessed rounds
-    keep their relative registration order."""
-    names = sorted(d, key=effective_last_witness)
+    """Return ``d`` ordered least-recently-externally-verified first;
+    registration order breaks ties (the sort is stable).  Within the
+    never-effectively-witnessed head group, queries with NO witness at all
+    sort before changed-since-witness ones (VERDICT r16 #1): a brand-new
+    query has zero external evidence, while a reworked one at least had a
+    past hash-green run on a close ancestor — when the head group exceeds
+    the driver's ~50-slot window, first-exposure risk drains first."""
+    names = sorted(
+        d,
+        key=lambda n: (
+            effective_last_witness(n),
+            1 if WITNESSED_ROUNDS.get(n) else 0,
+        ),
+    )
     return {n: d[n] for n in names}
 
 
