@@ -352,12 +352,22 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("gram")), 1, 8), 16, 10
     ).cast("long")
     n_tok = token_count(F.col("text"))
-    posts = (
+    # r17 (VERDICT r16 #3): stage n_tok in a projection BELOW the explode.
+    # Deriving n_grams in the same select as posexplode lands its defining
+    # expression in the Project ABOVE Generate — a full-document
+    # regexp_extract_all re-evaluated once per exploded GRAM row (81M
+    # document scans at 300x, ~45 of the row's 54 s).  Staged, the regex
+    # runs once per document and an 8-byte long rides the explode:
+    # 64 -> 9.5 s compute at 300x, identical output.
+    staged = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-        .filter(n_tok >= _WIN_K + _WIN_W - 1)
-        .select(
+        .select("doc_id", "text", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") >= _WIN_K + _WIN_W - 1)
+    )
+    posts = (
+        staged.select(
             "doc_id",
-            (n_tok - (_WIN_K - 1)).alias("n_grams"),
+            (F.col("n_tok") - (_WIN_K - 1)).alias("n_grams"),
             F.posexplode(word_ngrams(F.col("text"), _WIN_K)).alias(
                 "pos0", "gram"
             ),
