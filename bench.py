@@ -291,6 +291,8 @@ HEADLINE = [
     "q_data_quality_expectations",
     "q_knn_label_accuracy",
     "q_multimodal_qoi_stats",
+    # r17 additions
+    "q_session_advised",
 ]
 
 

@@ -206,6 +206,63 @@ def q_session_two_phase_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Auto-switch threshold (VERDICT r16 #4): the r14 celebrity-tier A/B
+# showed the two-phase twin wins only when one key absorbs MILLIONS of
+# rows (63.95x vs 37.73x at 3M rows on one user) and is a wash at ~10k
+# rows per key (24.8x vs 25.1x at the 1%-hot-tail tier).  100k rows per
+# key is the documented crossover guard: far above anything the uniform
+# tiers produce, comfortably below the celebrity regime.
+_SESSION_HOT_KEY_ROWS = 100_000
+
+
+@register(
+    "q_session_advised",
+    oracle=_SESSION_ORACLE.replace(
+        "FROM numbered\n    GROUP BY user_id, session_id",
+        """FROM numbered, (
+      SELECT CAST(MAX(n) > 100000 AS BIGINT) AS used_two_phase
+      FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id)
+    ) f
+    GROUP BY user_id, session_id, f.used_two_phase""",
+    ).replace(
+        "COUNT(*) AS n_events",
+        "COUNT(*) AS n_events,\n           f.used_two_phase",
+    ),
+)
+def q_session_advised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisor-driven sessionization (VERDICT r16 #4): measure the key
+    distribution first — the q_skew_key_advisor pass, reduced to the one
+    number the decision needs (max rows on any user_id) — then pick the
+    physical plan: plain ``session_window`` below the documented
+    _SESSION_HOT_KEY_ROWS crossover, the chunked two-phase twin above it.
+    Mirrors q_skew_advised_salted_join's measure→mitigate contract: the
+    decision itself is emitted (``used_two_phase``) so it is part of the
+    hash-checked oracle (the oracle computes the same predicate in SQL),
+    and both plans are row-identical by the shared _SESSION_ORACLE
+    contract, so the switch can never change results — only the shuffle
+    shape.
+
+    Scale shape: the advice is one map-side-combinable key aggregate
+    folded to a single driver scalar (bounded, not a data collect) — the
+    same probe a production job runs before choosing a straggler-proof
+    plan; then exactly one of the two documented session strategies."""
+    events = load_table(spark, sf_dir, "events")
+    max_n = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+        or 0
+    )
+    hot = int(max_n) > _SESSION_HOT_KEY_ROWS
+    base = (
+        q_session_two_phase_scalable if hot else q_window_session_per_user
+    )(spark, sf_dir)
+    return base.withColumn(
+        "used_two_phase", F.lit(1 if hot else 0).cast("long")
+    )
+
+
 @register(
     "q_window_trailing_hour_sum",
     oracle="""

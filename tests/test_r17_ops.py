@@ -1,0 +1,93 @@
+"""Round-17 operators: the advisor-switched sessionization and friends."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from changesetmd_spark.operators import windows_batch
+from changesetmd_spark.operators.windows_batch import (
+    q_session_advised,
+    q_session_two_phase_scalable,
+    q_window_session_per_user,
+)
+
+
+@pytest.fixture(scope="module")
+def hot_events_dir(spark, tmp_path_factory):
+    """A tiny events corpus with one celebrity user: user 7 owns 300 of
+    360 rows spread over several days; nine cold users own the rest."""
+    root = str(tmp_path_factory.mktemp("hot_events"))
+    base = datetime.datetime(2024, 3, 1, 20, 0, 0)
+    rows = []
+    # hot user: six 50-event blocks at 20-minute spacing (one session
+    # each: gaps < 30 min), blocks 48h apart (new session each), every
+    # block starting 20:00 so the session crosses midnight — the chunk
+    # boundary the two-phase plan must reassemble
+    for i in range(300):
+        ts = base + datetime.timedelta(
+            hours=48 * (i // 50), minutes=20 * (i % 50)
+        )
+        rows.append((i, ts, 7, "view", float(i), None))
+    for u in range(9):
+        for j in range(1, 8):
+            ts = base + datetime.timedelta(days=u, hours=j * 2)
+            rows.append((1000 + u * 10 + j, ts, 100 + u, "view", 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_session_advised_cold_path_matches_native(spark, sf_dir):
+    """On the driver's uniform corpus no key is near the crossover: the
+    advisor must pick the native plan and the output must equal it
+    row-for-row (plus the decision column)."""
+    adv = q_session_advised(spark, sf_dir)
+    nat = q_window_session_per_user(spark, sf_dir)
+    assert adv.select(F.max("used_two_phase")).first()[0] == 0
+    assert adv.drop("used_two_phase").exceptAll(nat).count() == 0
+    assert nat.exceptAll(adv.drop("used_two_phase")).count() == 0
+
+
+def test_session_advised_hot_path_switches_and_matches(
+    spark, hot_events_dir, monkeypatch
+):
+    """With the crossover lowered under the celebrity fixture's hot-key
+    volume, the advisor must pick the two-phase plan — and the result must
+    stay row-identical to BOTH physical strategies (the switch may only
+    change the shuffle shape, never the sessions)."""
+    monkeypatch.setattr(windows_batch, "_SESSION_HOT_KEY_ROWS", 100)
+    adv = q_session_advised(spark, hot_events_dir)
+    assert adv.select(F.max("used_two_phase")).first()[0] == 1
+    two = q_session_two_phase_scalable(spark, hot_events_dir)
+    nat = q_window_session_per_user(spark, hot_events_dir)
+    core = adv.drop("used_two_phase")
+    assert core.exceptAll(two).count() == 0
+    assert two.exceptAll(core).count() == 0
+    assert core.exceptAll(nat).count() == 0
+    assert nat.exceptAll(core).count() == 0
+    # the fixture really exercises the merge: six midnight-spanning
+    # sessions — phase 2 reassembled every one across its chunk boundary
+    hot = core.filter(F.col("user_id") == 7)
+    assert hot.count() == 6
+    assert (
+        hot.filter(
+            F.to_date("session_start") != F.to_date("session_end")
+        ).count()
+        == 6
+    )
+
+
+def test_session_advised_threshold_is_call_time(spark, hot_events_dir):
+    """Same fixture, real 100k threshold: 300 rows on the hot key is far
+    below the crossover, so the advisor stays on the native plan."""
+    adv = q_session_advised(spark, hot_events_dir)
+    assert adv.select(F.max("used_two_phase")).first()[0] == 0

@@ -364,6 +364,10 @@ SKEW_QUERIES = [
     "q_asof_purchase_last_view",
     "q_window_session_per_user",
     "q_session_two_phase_scalable",
+    # r17: the advisor-switched session plan — at the celebrity tier it
+    # must measure, pick the two-phase arm, and land at (or under) the
+    # twin's row; at the hot-tail tier it stays native (the measured wash)
+    "q_session_advised",
     "q_asof_two_phase_scalable",
     "q_user_value_deciles",
     "q_skew_key_advisor",
