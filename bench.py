@@ -293,6 +293,7 @@ HEADLINE = [
     "q_multimodal_qoi_stats",
     # r17 additions
     "q_session_advised",
+    "q_quality_classifier_train_step",
 ]
 
 

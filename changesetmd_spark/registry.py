@@ -659,6 +659,7 @@ def _load_all() -> None:
         fuzzy,
         geometry,
         layout,
+        mlstep,
         multimodal,
         phrase,
         pii,

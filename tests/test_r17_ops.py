@@ -91,3 +91,99 @@ def test_session_advised_threshold_is_call_time(spark, hot_events_dir):
     below the crossover, so the advisor stays on the native plan."""
     adv = q_session_advised(spark, hot_events_dir)
     assert adv.select(F.max("used_two_phase")).first()[0] == 0
+
+
+def test_quality_classifier_train_step_python_referee(spark, sf_dir):
+    """Independent pure-Python recomputation of the whole Newton step —
+    tokenization, md5 bucketing, capped counts, exact-integer Gram and
+    gradient, Fraction-free Cramer solve, and both loss passes — compared
+    against the distributed query's output value-for-value."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from changesetmd_spark.operators.mlstep import (
+        _D,
+        _RIDGE4,
+        _X_CAP,
+        q_quality_classifier_train_step,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    X, Y = [], []
+    for _doc_id, source, text in docs:
+        y = 1 if len(source or "") % 2 == 0 else 0
+        toks = re.findall(r"\S+", (text or "").lower())
+        cnt = [0] * _D
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            cnt[h % _D] += 1
+        X.append([min(c, _X_CAP) for c in cnt])
+        Y.append(y)
+    n = len(X)
+    M = [
+        [
+            sum(x[i] * x[j] for x in X) + (_RIDGE4 if i == j else 0)
+            for j in range(_D)
+        ]
+        for i in range(_D)
+    ]
+    g = [sum(x[j] * (2 * y - 1) for x, y in zip(X, Y)) for j in range(_D)]
+
+    def minor(mat, j, k):
+        rows = [r for r in range(_D) if r != j]
+        cols = [c for c in range(_D) if c != k]
+        a = [[mat[r][c] for c in cols] for r in rows]
+        return (
+            a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+            - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+            + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+        )
+
+    det = sum((-1) ** k * M[0][k] * minor(M, 0, k) for k in range(_D))
+    ws = [
+        round(
+            float(
+                2
+                * sum(
+                    (-1) ** (j + k) * minor(M, j, k) * g[k]
+                    for k in range(_D)
+                )
+            )
+            / float(det),
+            6,
+        )
+        for j in range(_D)
+    ]
+    loss_before = round(n * math.log(2.0), 6)
+    la = sum(
+        round(
+            math.log(
+                1.0
+                + math.exp(
+                    -(2 * y - 1) * sum(ws[j] * x[j] for j in range(_D))
+                )
+            ),
+            8,
+        )
+        for x, y in zip(X, Y)
+    )
+    loss_after = round(la, 6)
+
+    out = {
+        r["feature_idx"]: r.asDict()
+        for r in q_quality_classifier_train_step(spark, sf_dir).collect()
+    }
+    assert len(out) == _D
+    for j in range(_D):
+        assert out[j]["grad2"] == g[j]
+        assert out[j]["w_new"] == ws[j]
+        assert out[j]["n_docs"] == n
+        assert out[j]["loss_before"] == loss_before
+        assert abs(out[j]["loss_after"] - loss_after) < 5e-7
+        assert out[j]["loss_delta"] < 0  # the step actually descended

@@ -238,6 +238,13 @@ QUERIES = [
     "q_mmr_diversified_rerank",
     # r11: skew advisor — key aggregate + broadcast roll-up + TakeOrdered
     "q_skew_key_advisor",
+    # r17: Newton/IRLS step — token explode + per-doc feature agg into ONE
+    # 15-number exchange, driver 4x4 solve, one more scan for the loss;
+    # the exchange is constant-size at every corpus size
+    "q_quality_classifier_train_step",
+    # r17: advised sessionization in the uniform tiers too (advisor probe
+    # + the native arm it picks there)
+    "q_session_advised",
     "q_skew_advised_salted_join",
     "q_doremi_mixture_step",
     "q_retrieval_ndcg_eval",
