@@ -31,7 +31,7 @@ def _capped_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+            F.get_json_object(F.col("props"), "$.k").try_cast("long").alias(
                 "item_id"
             ),
         )
@@ -896,7 +896,7 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+            F.get_json_object(F.col("props"), "$.k").try_cast("long").alias(
                 "item_id"
             ),
         )

@@ -2363,7 +2363,7 @@ def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-chained.  No window, no join of event-scale frames."""
     t = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item_id"),
         F.when(
             F.col("ts") < F.lit(_SPLIT_CUTOFF).cast("timestamp"), 0
         )

@@ -1737,7 +1737,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ≤types rollup.  The q1 shape over the item dimension."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item_id"),
     )
     per = e.groupBy("event_type", "item_id").agg(
         F.count("*").cast("decimal(38,0)").alias("c")

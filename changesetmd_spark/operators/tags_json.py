@@ -79,7 +79,7 @@ def q_map_key_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_map_value_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    k = tag_value(props_map(), "k").cast("long")
+    k = tag_value(props_map(), "k").try_cast("long")
     return (
         events.withColumn("k", k)
         .filter(F.col("k") >= 10)

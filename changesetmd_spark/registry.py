@@ -47,6 +47,17 @@ _PROPS_SAFE = "(CASE WHEN json_valid(props) THEN props END)"
 
 
 def _canonicalize_oracle(sql: str) -> str:
+    # Dirty-value contract (r17, found by the streaming degen sweep): a
+    # props value like {"k": ""} kills BOTH engines' numeric extraction,
+    # differently (DuckDB ConversionException vs Spark ANSI
+    # CAST_INVALID_INPUT).  Engine side uses ``try_cast`` at every
+    # props-number site; these rewrites give every oracle the matching
+    # NULL-on-malformed semantics.  Must run BEFORE the props->> /
+    # json_extract_string splices below so the raw patterns still match.
+    sql = sql.replace(
+        "CAST(json_extract_string(", "TRY_CAST(json_extract_string("
+    )
+    sql = sql.replace("CAST(props->>", "TRY_CAST(props->>")
     sql = sql.replace("FROM embeddings", f"FROM {EMB_CLEAN_SQL} embeddings")
     sql = sql.replace(
         "json_extract_string(props,", f"json_extract_string({_PROPS_SAFE},"

@@ -356,7 +356,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state); dedup state is watermark-bounded in a production deployment
     (``dropDuplicatesWithinWatermark``).  The base snapshot is the bounded
     artifact (distinct pairs, not raw events)."""
-    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    item = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     base = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts") < F.lit(_INC_CUTOFF).cast("timestamp"))
@@ -587,7 +587,7 @@ def q_stream_dedup_reemit_after_expiry(
     dedup deployable at 100 TB/day where unbounded dropDuplicates state
     is not; the rollup is a key-shuffle aggregate on the emitted rows
     only."""
-    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    item = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     ev = load_table(spark, sf_dir, "events")
     b0 = (
         ev.filter(F.col("ts") < F.lit(_INC_CUTOFF).cast("timestamp"))

@@ -35,7 +35,7 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_GEN_VERSION = "v1"
+_GEN_VERSION = "v2"
 _SRC_SF_DIR = "/root/testdata/sf0.001"
 
 # documents degenerate rows: (text, lang, source).  doc_id and n_chars are
@@ -127,6 +127,17 @@ def build_degen_dir() -> str:
     next_ev_id = pa.compute.max(base_ev["event_id"]).as_py() + 1
     ts0 = base_ev["ts"][0].as_py()
     et0 = base_ev["event_type"][0].as_py()
+    # v2 (VERDICT r16 #6, streaming degen classes): ids are residue-pinned
+    # so the staged-batch queries route them deterministically —
+    # q_stream_late_data_drop sends event_id % 4 == 1 in the LATE batch.
+    import datetime as _dt
+
+    def _with_residue(base: int, residue: int) -> int:
+        return base + ((residue - base) % 4)
+
+    late_ts = _dt.datetime(2023, 6, 1, 12, 0, 0)  # months before the span
+    late_id0 = _with_residue(next_ev_id + 10, 1)
+    dup_id0 = next_ev_id + 20
     ev_rows = [
         {"event_id": next_ev_id, "ts": ts0, "user_id": 999_001,
          "event_type": et0, "value": 1.0, "props": "{}"},
@@ -134,6 +145,22 @@ def build_degen_dir() -> str:
          "event_type": et0, "value": 1.0, "props": '{"device": "", "country": ""}'},
         {"event_id": next_ev_id + 2, "ts": ts0, "user_id": 999_003,
          "event_type": et0, "value": 1.0, "props": "  "},
+        # v2: empty-STRING numeric value — the props-number try_cast
+        # contract class ({"k": ""} killed both engines' CAST, differently)
+        {"event_id": next_ev_id + 3, "ts": ts0, "user_id": 999_004,
+         "event_type": et0, "value": 1.0, "props": '{"k": ""}'},
+        # v2: all-late pair — windows expired months before the watermark;
+        # the late-drop engine rule and its oracle must drop both
+        {"event_id": late_id0, "ts": late_ts, "user_id": 999_005,
+         "event_type": et0, "value": 1.0, "props": '{"k": 3}'},
+        {"event_id": late_id0 + 4, "ts": late_ts, "user_id": 999_005,
+         "event_type": et0, "value": 2.0, "props": '{"k": 3}'},
+        # v2: exact duplicate pair (same user/ts/props, distinct ids) —
+        # the dedup/distinct family must collapse them identically
+        {"event_id": dup_id0, "ts": ts0, "user_id": 999_006,
+         "event_type": et0, "value": 2.0, "props": '{"k": 7}'},
+        {"event_id": dup_id0 + 1, "ts": ts0, "user_id": 999_006,
+         "event_type": et0, "value": 2.0, "props": '{"k": 7}'},
     ]
     _append_rows(ev_src, os.path.join(root, "events.parquet"), ev_rows)
 
