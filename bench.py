@@ -294,6 +294,7 @@ HEADLINE = [
     # r17 additions
     "q_session_advised",
     "q_quality_classifier_train_step",
+    "q_asof_advised",
 ]
 
 

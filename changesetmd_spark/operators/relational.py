@@ -623,6 +623,60 @@ def q_asof_two_phase_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Auto-switch threshold for the as-of advisor (r17, the q_session_advised
+# pattern applied to this family): the r14 celebrity-tier A/B showed the
+# two-phase twin wins 2.4x when one key absorbs millions of purchase/view
+# rows (31.26x vs 12.92x at ~3M rows on one user) and is a wash at ~7k
+# rows per key (10.9x vs 11.5x).  100k rows per key is the documented
+# crossover guard, matching the session family's.
+_ASOF_HOT_KEY_ROWS = 100_000
+
+
+@register(
+    "q_asof_advised",
+    oracle=_ASOF_ORACLE.replace(
+        "GROUP BY p.event_id, p.ts",
+        """GROUP BY p.event_id, p.ts, f.used_two_phase""",
+    ).replace(
+        "FROM events p",
+        """, f.used_two_phase
+    FROM events p CROSS JOIN (
+      SELECT CAST(MAX(n) > 100000 AS BIGINT) AS used_two_phase
+      FROM (SELECT COUNT(*) AS n FROM events
+            WHERE event_type IN ('purchase', 'view') GROUP BY user_id)
+    ) f""",
+    ),
+)
+def q_asof_advised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisor-driven as-of join: measure the purchase+view row count of
+    the hottest user (the exact population the union+window plan sorts on
+    one task), then pick the physical strategy — plain union+window below
+    the documented _ASOF_HOT_KEY_ROWS crossover, the chunked two-phase
+    twin above it.  The decision is emitted (``used_two_phase``) so it is
+    part of the hash-checked contract, and both arms share _ASOF_ORACLE
+    row-for-row, so the switch can only change the shuffle shape.
+
+    Scale shape: the advice is one filtered map-side-combinable key
+    aggregate folded to a single driver scalar; then exactly one of the
+    two documented as-of strategies."""
+    events = load_table(spark, sf_dir, "events")
+    max_n = (
+        events.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+        or 0
+    )
+    hot = int(max_n) > _ASOF_HOT_KEY_ROWS
+    base = (
+        q_asof_two_phase_scalable if hot else q_asof_purchase_last_view
+    )(spark, sf_dir)
+    return base.withColumn(
+        "used_two_phase", F.lit(1 if hot else 0).cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot / unpivot (SURVEY §2.4 extension): wide<->long reshaping as native
 # relational ops.  Pivot with an EXPLICIT value list — at scale an implicit

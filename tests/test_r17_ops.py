@@ -32,11 +32,20 @@ def hot_events_dir(spark, tmp_path_factory):
         ts = base + datetime.timedelta(
             hours=48 * (i // 50), minutes=20 * (i % 50)
         )
-        rows.append((i, ts, 7, "view", float(i), None))
+        etype = "purchase" if i % 5 == 4 else "view"
+        rows.append((i, ts, 7, etype, float(i), None))
     for u in range(9):
         for j in range(1, 8):
             ts = base + datetime.timedelta(days=u, hours=j * 2)
             rows.append((1000 + u * 10 + j, ts, 100 + u, "view", 1.0, None))
+    # as-of cross-chunk case: a purchase whose only prior view sits on an
+    # earlier calendar day (exercises the two-phase plan's phase-2 fallback)
+    rows.append(
+        (2000, datetime.datetime(2024, 3, 10, 10, 0), 150, "view", 1.0, None)
+    )
+    rows.append(
+        (2001, datetime.datetime(2024, 3, 11, 9, 0), 150, "purchase", 1.0, None)
+    )
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
@@ -187,3 +196,33 @@ def test_quality_classifier_train_step_python_referee(spark, sf_dir):
         assert out[j]["loss_before"] == loss_before
         assert abs(out[j]["loss_after"] - loss_after) < 5e-7
         assert out[j]["loss_delta"] < 0  # the step actually descended
+
+
+def test_asof_advised_switches_and_matches(
+    spark, hot_events_dir, monkeypatch
+):
+    """The as-of advisor (q_session_advised's sibling): hot fixture +
+    lowered crossover → two-phase arm, output row-identical to both
+    physical strategies; real threshold → native arm."""
+    from changesetmd_spark.operators import relational as rel
+
+    adv_cold = rel.q_asof_advised(spark, hot_events_dir)
+    assert adv_cold.select(F.max("used_two_phase")).first()[0] == 0
+
+    monkeypatch.setattr(rel, "_ASOF_HOT_KEY_ROWS", 100)
+    adv = rel.q_asof_advised(spark, hot_events_dir)
+    assert adv.select(F.max("used_two_phase")).first()[0] == 1
+    core = adv.drop("used_two_phase")
+    naive = rel.q_asof_purchase_last_view(spark, hot_events_dir)
+    two = rel.q_asof_two_phase_scalable(spark, hot_events_dir)
+    for other in (naive, two):
+        assert core.exceptAll(other).count() == 0
+        assert other.exceptAll(core).count() == 0
+    # the fixture exercises the cross-chunk fallback: at least one
+    # purchase's latest prior view is in an earlier calendar day
+    import datetime as _dt
+
+    crossed = core.filter(
+        F.to_date("purchase_ts") != F.to_date("last_view_ts")
+    )
+    assert crossed.count() >= 1

@@ -245,6 +245,7 @@ QUERIES = [
     # r17: advised sessionization in the uniform tiers too (advisor probe
     # + the native arm it picks there)
     "q_session_advised",
+    "q_asof_advised",
     "q_skew_advised_salted_join",
     "q_doremi_mixture_step",
     "q_retrieval_ndcg_eval",
@@ -375,6 +376,8 @@ SKEW_QUERIES = [
     # must measure, pick the two-phase arm, and land at (or under) the
     # twin's row; at the hot-tail tier it stays native (the measured wash)
     "q_session_advised",
+    # r17: same advisor pattern on the as-of family
+    "q_asof_advised",
     "q_asof_two_phase_scalable",
     "q_user_value_deciles",
     "q_skew_key_advisor",
