@@ -784,3 +784,43 @@ def test_rendezvous_is_map_only_until_rollup(spark, sf_dir):
     plan = _physical_plan(df)
     assert "Generate" not in plan, plan
     assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_winnowing_no_regex_above_generate(spark, sf_dir):
+    """r17 regression guard for the explode-sibling trap (PLANS.md r17):
+    an expensive expression selected NEXT TO a posexplode lands in the
+    Project ABOVE Generate and is re-evaluated once per exploded row —
+    q_winnowed_fingerprints paid 45 of its 54 s at 300x recomputing the
+    document token count per gram.  The staged shape keeps every regex at
+    or below the Generate node."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = QS["q_winnowed_fingerprints"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # walk the node details: any Project whose input carries the exploded
+    # pos0/gram columns must not re-evaluate a regexp over the raw text
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Project" in block.split("\n")[0]:
+            if "pos0" in block and "Input" in block:
+                assert "regexp_extract_all(text" not in block, block
+
+
+def test_quality_classifier_constant_exchange_shape(spark, sf_dir):
+    """The Newton step's returned frame (the loss pass) must stay at the
+    documented shape: the per-doc feature aggregate's exchange plus the
+    single-row fold — never a corpus join."""
+    df = QS["q_quality_classifier_train_step"](spark, sf_dir)
+    assert shuffle_count(df) <= 3, shuffle_count(df)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # weights x loss is broadcast
