@@ -375,6 +375,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_ann_verify_rerank": "0bbf3dea0ed3",
     "q_anti_join_dormant_customers": "26563d35570d",
     "q_argmin_supplier_per_part": "4faa4e3ba1de",
+    "q_asof_advised": "3094a126cb2b",
     "q_asof_purchase_last_view": "b1fdf5f673b3",
     "q_asof_two_phase_scalable": "6237fa649e5e",
     "q_association_rules": "daac380ceca6",
@@ -510,6 +511,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_prf_expansion_terms": "2c975dc99f67",
     "q_priority_sample_topk": "99c7ac328f46",
     "q_psi_value_drift": "875b0c4aff87",
+    "q_quality_classifier_train_step": "332279d63718",
     "q_quality_percentile_gate": "cff9f3163c44",
     "q_quality_rule_attribution": "ae3c2aeae9e9",
     "q_rag_chunk_overlap": "dc7e8f6bf33d",
@@ -533,6 +535,7 @@ WITNESSED_FINGERPRINTS: dict[str, str] = {
     "q_sequence_packing": "dcf8880efab6",
     "q_series_ewma": "35d891ee96e8",
     "q_series_linear_trend": "cb4906c6ba1d",
+    "q_session_advised": "812a1ec517ce",
     "q_session_two_phase_scalable": "d53d1a69ee72",
     "q_set_ops_customer_cohorts": "c1752c02ad53",
     "q_simhash_checked": "5dbf1427fcac",

@@ -18,6 +18,17 @@ from changesetmd_spark.tables import load_table
 QS = registry.queries()
 
 
+def _round_like_engine(x: float, ndigits: int) -> float:
+    """Spark/DuckDB-convention rounding of a double: HALF_UP over the
+    SHORTEST decimal representation (Java Double.toString ==
+    Python repr for round-trip-shortest), not Python's half-even over
+    the exact binary value."""
+    from decimal import ROUND_HALF_UP
+
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def test_q6_revenue_exact_recount(spark, sf_dir):
     """Q6's one-row revenue matches a Decimal recount of the same filter."""
     row = QS["q6_forecast_revenue"](spark, sf_dir).collect()[0]
@@ -394,7 +405,14 @@ def test_adamic_adar_recount(spark, sf_dir):
         if deg[u] <= 500:
             by_user[u].append(i)
     for u, items in by_user.items():
-        w = round(1e9 / math.log(deg[u])) if deg[u] >= 2 else None
+        # mirror the ENGINE's rounding convention, not Python's: Spark
+        # round(double) goes through the shortest decimal representation
+        # (Double.toString -> BigDecimal, HALF_UP), while Python round()
+        # rounds the exact binary value half-even — the two diverge when
+        # the shortest repr ends in ...5 (r17: two boundary pairs appeared
+        # with regenerated testdata).  DuckDB's ROUND agrees with Spark
+        # here, so the oracle gate was green; only this referee differed.
+        w = _round_like_engine(1e9 / math.log(deg[u]), 0) if deg[u] >= 2 else None
         items = sorted(x for x in items if x is not None)
         for a_i in range(len(items)):
             for b_i in range(a_i + 1, len(items)):
@@ -407,7 +425,9 @@ def test_adamic_adar_recount(spark, sf_dir):
     assert set(rows) == set(expect)
     for k, (n, units) in expect.items():
         assert rows[k].n_both == n
-        assert abs(rows[k].adamic_adar - round(units / 1e9, 6)) < 1e-9
+        assert abs(
+            rows[k].adamic_adar - _round_like_engine(units / 1e9, 6)
+        ) < 1e-9
 
 
 def test_knn_accuracy_recount(spark, sf_dir):
