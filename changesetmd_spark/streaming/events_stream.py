@@ -103,6 +103,52 @@ def _staged_dir(sf_dir: str, name: str) -> str:
     return d
 
 
+def state_width(spark: SparkSession, sf_dir: str, table: str = "events") -> int:
+    """Scale-adaptive stateful-shuffle width (guide §2: derive partitioning
+    from input size, never a constant tuned to one host).
+
+    Streaming state partitions are frozen into the checkpoint at first
+    start, so AQE's runtime coalescing cannot shrink them — every stateful
+    operator pays a fixed state-store open/commit (and, for Python-stateful
+    ops, an Arrow worker round-trip) per partition per micro-batch whether
+    or not the partition holds keys.  Measured on the driver corpus
+    (sf0.1, 2 MB events): the stream-stream interval joins run 15.1 s at
+    the session default width 32 and 3.1 s at width 2 — the other 30
+    partitions were pure empty-state overhead; the full sweep (32/8/4/2/1)
+    is in OPTIMIZATION_r17.md.  Width therefore tracks the SOURCE SIZE —
+    one partition per MB of source parquet, floored at 1 and capped at the
+    session's parallelism — so the 10×/100× scale tiers widen back to
+    10/32 partitions and a real cluster (defaultParallelism in the
+    thousands) is capped by cores, not by this heuristic.  Production
+    override: ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` (sizing by expected
+    |live keys| beats any bytes proxy when the operator's keyspace is
+    known)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    p = table_path(sf_dir, table)
+    try:
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        else:
+            nbytes = os.path.getsize(p)
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    return int(
+        max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                (nbytes + (1 << 20) - 1) // (1 << 20),
+            ),
+        )
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as an unbounded source: explicit schema (streaming sources
     cannot infer), nanos→micros ts conversion as in tables.load_table.
@@ -204,7 +250,7 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    out = run_stream_to_table(agg)
+    out = run_stream_to_table(agg, shuffle_partitions=state_width(spark, sf_dir))
     return out.select(
         F.date_format("window.start", _TS).alias("window_start"),
         "n_events",
@@ -234,7 +280,7 @@ def q_stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    out = run_stream_to_table(agg)
+    out = run_stream_to_table(agg, shuffle_partitions=state_width(spark, sf_dir))
     return out.select(
         F.date_format("window.start", _TS).alias("window_start"),
         "event_type",
@@ -277,7 +323,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(F.count("*").alias("n_events"))
     )
-    out = run_stream_to_table(agg)
+    out = run_stream_to_table(agg, shuffle_partitions=state_width(spark, sf_dir))
     return out.select(
         "user_id",
         F.date_format("session_window.start", _TS).alias("session_start"),
@@ -309,7 +355,9 @@ def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_type", "user_id"])
         .select("event_type", "user_id")
     )
-    out = run_stream_to_table(dd, output_mode="append")
+    out = run_stream_to_table(
+        dd, output_mode="append", shuffle_partitions=state_width(spark, sf_dir)
+    )
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_distinct_users")
     )
@@ -373,7 +421,11 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "item_id")
     )
     new_pairs = dd.join(base, ["user_id", "item_id"], "left_anti")
-    out = run_stream_to_table(new_pairs, output_mode="append")
+    out = run_stream_to_table(
+        new_pairs,
+        output_mode="append",
+        shuffle_partitions=state_width(spark, sf_dir),
+    )
     return out.groupBy("item_id").agg(F.count("*").alias("n_new_users"))
 
 
@@ -511,7 +563,9 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count("*").alias("n_events"))
     )
-    out = run_stream_to_table(agg, output_mode="update")
+    out = run_stream_to_table(
+        agg, output_mode="update", shuffle_partitions=state_width(spark, sf_dir)
+    )
     return out.groupBy(
         F.date_format("window.start", _TS).alias("window_start")
     ).agg(F.max("n_events").alias("n_events"))
@@ -620,7 +674,9 @@ def q_stream_dedup_reemit_after_expiry(
     dd = sdf.withWatermark(
         "ts", f"{_LATE_DELAY_MS} milliseconds"
     ).dropDuplicatesWithinWatermark(["user_id", "item_id"])
-    out = run_stream_to_table(dd, output_mode="append")
+    out = run_stream_to_table(
+        dd, output_mode="append", shuffle_partitions=state_width(spark, sf_dir)
+    )
     cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
     base_keys = b0.select("user_id", "item_id").withColumn(
         "_in_base", F.lit(1)
@@ -686,7 +742,7 @@ def q_stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(key)["v"], 4).alias("close"),
         )
     )
-    out = run_stream_to_table(agg)
+    out = run_stream_to_table(agg, shuffle_partitions=state_width(spark, sf_dir))
     return out.select(
         "event_type",
         F.date_format("window.start", _TS).alias("window_start"),

@@ -27,6 +27,7 @@ from .events_stream import (
     _scoped_conf,
     _staged_batch_events,
     run_stream_to_table,
+    state_width,
     stream_events,
 )
 
@@ -78,7 +79,11 @@ def q_stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     )
-    out = run_stream_to_table(joined, output_mode="append")
+    out = run_stream_to_table(
+        joined,
+        output_mode="append",
+        shuffle_partitions=state_width(spark, sf_dir),
+    )
     return out.select(
         "purchase_id",
         "click_id",
@@ -206,7 +211,11 @@ def q_stream_join_left_outer_expiry(
         & (F.col("c_ts") <= F.col("p_ts")),
         "left_outer",
     )
-    out = run_stream_to_table(joined, output_mode="append")
+    out = run_stream_to_table(
+        joined,
+        output_mode="append",
+        shuffle_partitions=state_width(spark, sf_dir),
+    )
     return out.select(
         "purchase_id",
         "user_id",

@@ -51,9 +51,14 @@ def run_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,
     checkpoint_dir: str,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Maintain the rollup table incrementally: one availableNow pass over
-    whatever new data the checkpoint hasn't seen, MERGE into ``rollup_dir``."""
+    whatever new data the checkpoint hasn't seen, MERGE into ``rollup_dir``.
+
+    ``shuffle_partitions`` pins the stateful width for this maintenance run
+    (see events_stream.state_width — frozen into the checkpoint, so it must
+    be chosen at first start, not left to the session default)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_parquet(
@@ -63,15 +68,21 @@ def run_hourly_rollup(
             key=["bucket_start", "event_type"],
         )
 
-    q = (
-        hourly_event_rollup(events)
-        .writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .events_stream import _scoped_conf
+
+    conf = {}
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    with _scoped_conf(spark, conf):
+        q = (
+            hourly_event_rollup(events)
+            .writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # mirror run_stream_to_table's state telemetry for the scale smoke
     from . import events_stream as _es
 
@@ -107,7 +118,7 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — hash-checked against the batch aggregate it must converge to.
     This is the rollup's at-rest state being verified, not a transient
     query result."""
-    from .events_stream import stream_events
+    from .events_stream import state_width, stream_events
 
     base = f"/tmp/changesetmd_rollup_q_{uuid.uuid4().hex}"
     rollup_dir = os.path.join(base, "rollup")
@@ -117,6 +128,7 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_events(spark, sf_dir),
             rollup_dir,
             os.path.join(base, "checkpoint"),
+            shuffle_partitions=state_width(spark, sf_dir),
         )
         roll = spark.read.parquet(rollup_dir).select(
             F.date_format("bucket_start", _TS).alias("bucket_start_s"),
