@@ -617,6 +617,45 @@ def simhash64(tokens: Column) -> Column:
     return out
 
 
+def simhash64_signatures(
+    df: DataFrame, id_col: str, tokens: Column
+) -> DataFrame:
+    """(id, 64-bit SimHash) via explode → 64 flat codegen vote aggregates —
+    value-identical to :func:`simhash64` (pinned by
+    tests/test_dedup_lsh.py::test_simhash_frame_equals_expression) but ~2.5×
+    faster: the expression form re-walks the token-hash array once per bit
+    through 64 interpreted ``F.aggregate`` lambdas (HOFs are
+    CodegenFallback), while this shape hashes each token once and folds all
+    64 bit-votes in one whole-stage-codegen hash aggregate — the
+    q_simhash_checked plan shape (r17 measurement: 6.0 s → 2.3 s warm at
+    sf0.1; the md5-based checked twin was already faster than the xxhash64
+    "fast path" for exactly this reason).
+
+    ``explode_outer`` keeps token-less documents (empty/NULL text): their
+    single NULL-token row contributes vote 0 on every bit, so they keep the
+    all-zero signature the expression form gives them and still pair with
+    each other in the band join."""
+    toks = df.select(F.col(id_col), F.explode_outer(tokens).alias("_t"))
+    h = F.when(F.col("_t").isNotNull(), F.xxhash64("_t"))
+    bit = lambda i: F.shiftright(h, i).bitwiseAND(F.lit(1))  # noqa: E731
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(bit(i) == 1, 1)
+                .when(h.isNotNull(), -1)
+                .otherwise(0)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("sim"))
+
+
 def simhash_band_pairs(
     signatures: DataFrame,
     max_distance: int = 8,
@@ -768,15 +807,10 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket grows ~n/128 and its self-join goes quadratic.  At test scale no
     bucket reaches the cap, so the output is still the exact distance-≤8
     pair set."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
-        .select(
-            "doc_id",
-            simhash64(
-                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
-            ).alias("sim"),
-        )
+    docs = simhash64_signatures(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0),
     )
     return simhash_band_pairs(docs, max_distance=8, bucket_cap=_LSH_BUCKET_CAP)
 

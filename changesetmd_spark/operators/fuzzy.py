@@ -63,20 +63,32 @@ def blocked_fuzzy_pairs(
             F.col("n").alias("name_2"),
             F.col(blk).alias("blk"),
         )
+        # Two r17 changes, same output (oracle hash green at sf0.01):
+        # 1. Threshold Levenshtein (Spark 3.5+): the banded DP stops once
+        #    distance provably exceeds ``max_dist`` and returns -1; almost
+        #    every candidate pair is far apart, so the common case is
+        #    O(len·max_dist) instead of O(len²), and survivors' returned
+        #    distances are exact — identical values to the unbounded form.
+        # 2. Gate INSIDE each block arm, before the pair-dedup exchange
+        #    (guide §2.3: filter before you shuffle).  The r11 "dedup
+        #    before the DP" ordering was right when the DP was unbounded
+        #    and dominant; with the thresholded DP at ~50 ns/pair the
+        #    economics flip — shuffling every candidate pair (name payloads
+        #    included) costs far more than running the cheap gate twice on
+        #    the few pairs both keys block.  The distinct then dedups the
+        #    tiny survivor set (keys + dist only, no name payload).
         return (
             a.join(b, "blk")
             .filter(F.col("custkey_1") < F.col("custkey_2"))
-            .select("custkey_1", "custkey_2", "name_1", "name_2")
+            .withColumn(
+                "edit_dist",
+                F.levenshtein("name_1", "name_2", max_dist).cast("long"),
+            )
+            .filter(F.col("edit_dist") >= 0)
+            .select("custkey_1", "custkey_2", "edit_dist")
         )
 
-    cand = half("blk_p").unionAll(half("blk_s")).distinct()
-    return (
-        cand.withColumn(
-            "edit_dist", F.levenshtein("name_1", "name_2").cast("long")
-        )
-        .filter(F.col("edit_dist") <= max_dist)
-        .select("custkey_1", "custkey_2", "edit_dist")
-    )
+    return half("blk_p").unionAll(half("blk_s")).distinct()
 
 
 @register(
@@ -262,7 +274,15 @@ def q_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "custkey_1",
             "custkey_2",
-            F.levenshtein("name_1", "name_2").cast("long").alias("edit_dist"),
+            # names carried through, NOT compared here: the report is the
+            # top-20 by (fs_weight, keys), and fs_weight never reads
+            # edit_dist — so the Levenshtein DP is deferred to after the
+            # TakeOrdered and runs on 20 pairs instead of every blocked
+            # candidate (guide §1.2: don't compute things you throw away;
+            # r17 measurement: 4.1 s → 2.5 s warm at sf0.1).  Same rows,
+            # same values: survivors' distances are computed identically.
+            "name_1",
+            "name_2",
             F.when(F.col("nat_1") == F.col("nat_2"), 1)
             .otherwise(0)
             .alias("ag_nation"),
@@ -298,7 +318,8 @@ def q_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "custkey_1",
             "custkey_2",
-            "edit_dist",
+            "name_1",
+            "name_2",
             (F.col("ag_nation") + F.col("ag_seg") + F.col("ag_bal"))
             .cast("long")
             .alias("n_agree"),
@@ -313,4 +334,11 @@ def q_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("fs_weight"), F.asc("custkey_1"), F.asc("custkey_2")
         )
         .limit(_FS_TOP)
+        .select(
+            "custkey_1",
+            "custkey_2",
+            F.levenshtein("name_1", "name_2").cast("long").alias("edit_dist"),
+            "n_agree",
+            "fs_weight",
+        )
     )

@@ -74,6 +74,38 @@ def test_simhash_banding_equals_all_pairs(spark, sf_dir):
     assert got == want
 
 
+def test_simhash_frame_equals_expression(spark, sf_dir):
+    """The r17 flat-aggregate signature builder (simhash64_signatures:
+    explode → 64 codegen vote sums) must produce bit-identical fingerprints
+    to the original per-row expression form (simhash64: 64 interpreted
+    F.aggregate folds) — including token-less documents, which must keep
+    the all-zero signature rather than vanish in the explode."""
+    from changesetmd_spark.operators.dedup import (
+        simhash64,
+        simhash64_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant the degenerate shapes alongside the real corpus
+    extra = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, "   "), (10_000_003, None)],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    want = {
+        r.doc_id: r.sim
+        for r in docs.select("doc_id", simhash64(toks).alias("sim")).collect()
+    }
+    got = {
+        r.doc_id: r.sim
+        for r in simhash64_signatures(docs, "doc_id", toks).collect()
+    }
+    # expression form maps NULL/empty token arrays to 0; frame form must too
+    assert want[10_000_001] == want[10_000_002] == want[10_000_003] == 0
+    assert got == want
+
+
 def test_minhash_signature_properties(spark):
     df = spark.createDataFrame(
         [
