@@ -5,6 +5,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as _F
 
+_SIZE_SUFFIX = {"k": 10, "m": 20, "g": 30, "t": 40, "p": 50}
+
+
+def _conf_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728", "128MB", "1g")."""
+    v = value.strip().lower()
+    for tail in ("ib", "b"):
+        if v.endswith(tail) and v[: -len(tail)][-1:] in _SIZE_SUFFIX:
+            v = v[: -len(tail)]
+            break
+        if v.endswith("b") and v[:-1].isdigit():
+            v = v[:-1]
+            break
+    if v and v[-1] in _SIZE_SUFFIX:
+        return int(float(v[:-1]) * (1 << _SIZE_SUFFIX[v[-1]]))
+    return int(v)
+
 
 def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
     """Widen a narrow scan to the session parallelism — conditionally.
@@ -19,6 +36,31 @@ def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
     partitioning.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    nbytes = getattr(df, "_src_nbytes", None)
+    if nbytes is not None:
+        # Pure-Python width estimate from the source-size hint tables.
+        # load_table attaches (r17): a parquet scan plans roughly one split
+        # per spark.sql.files.maxPartitionBytes, so a source under
+        # parallelism×maxPartitionBytes is narrower than the session and
+        # gets widened — the same decision the exact check below makes on
+        # every corpus this engine sees (single small files → 1 partition
+        # → widen; a genuinely wide 100 TB scan → thousands of splits → no
+        # widen), without the ~150 ms driver-side RDD conversion that the
+        # exact check costs on every builder invocation.  The LIVE session
+        # conf (not a hardcoded 128 MB) keeps the estimate honest when a
+        # caller shrinks the split size to widen a scan for real.
+        try:
+            split = _conf_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "128MB"
+                )
+            )
+        except ValueError:
+            split = 128 << 20
+        est_parts = max(1, -(-int(nbytes) // max(split, 1)))
+        if est_parts >= parallelism:
+            return df
+        return df.repartition(parallelism, *keys)
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism, *keys)

@@ -115,12 +115,20 @@ def state_width(spark: SparkSession, sf_dir: str, table: str = "events") -> int:
     (sf0.1, 2 MB events): the stream-stream interval joins run 15.1 s at
     the session default width 32 and 3.1 s at width 2 — the other 30
     partitions were pure empty-state overhead; the full sweep (32/8/4/2/1)
-    is in OPTIMIZATION_r17.md.  Width therefore tracks the SOURCE SIZE —
-    one partition per MB of source parquet, floored at 1 and capped at the
-    session's parallelism — so the 10×/100× scale tiers widen back to
-    10/32 partitions and a real cluster (defaultParallelism in the
-    thousands) is capped by cores, not by this heuristic.  Production
-    override: ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` (sizing by expected
+    is in OPTIMIZATION_r17.md.
+
+    Width sizing: per-batch cost ≈ a·w (fixed state-store open/commit per
+    partition) + b/w (partition-parallel data work), minimized at
+    w* = sqrt(b/a) — so width grows with the SQRT of source size, not
+    linearly (the linear bytes/1MB rule overshot at the 10× tier:
+    width 21 ran 15.2 s where width 8 ran 5.7 s on
+    q_stream_incremental_dedup; sqrt lands at 5).  Calibration from the
+    measured sweep: 1 partition per sqrt(MB of source parquet), floored
+    at 1 and capped at the session's parallelism — sf0.1 resolves to 2
+    (the sweep's optimum), the 10×/100×/300× tiers to 5/15/26, and a
+    real cluster (defaultParallelism in the thousands) is capped by
+    cores, not by this heuristic.  Production override:
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` (sizing by expected
     |live keys| beats any bytes proxy when the operator's keyspace is
     known)."""
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
@@ -138,12 +146,13 @@ def state_width(spark: SparkSession, sf_dir: str, table: str = "events") -> int:
             nbytes = os.path.getsize(p)
     except OSError:
         return spark.sparkContext.defaultParallelism
+    mb = max(1.0, nbytes / (1 << 20))
     return int(
         max(
             1,
             min(
                 spark.sparkContext.defaultParallelism,
-                (nbytes + (1 << 20) - 1) // (1 << 20),
+                -(-(mb**0.5) // 1),  # ceil(sqrt(MB))
             ),
         )
     )

@@ -45,7 +45,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     # events.ts has shipped in two physical encodings across driver testdata
     # generations: parquet TIMESTAMP(NANOS) (surfaced as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong — exact integer division, since a
@@ -78,6 +79,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.filter(
             (~F.isnan(ss)) & (ss < F.lit(float("inf"))) & (ss > 0)
         )
+    # Source-size hint for util.fan_out (r17): deciding "is this scan
+    # narrower than the session parallelism" via df.rdd.getNumPartitions()
+    # costs a ~150 ms driver-side RDD conversion per call — ~0.15 s added
+    # to EVERY bench sample of every fan_out query.  The byte size lets
+    # fan_out estimate the scan width in pure Python; a transformed frame
+    # loses the (Python-side) attribute and falls back to the exact RDD
+    # check.  Attached to the FINAL frame (the ts/embedding normalizations
+    # above return new DataFrames).
+    try:
+        if os.path.isdir(path):
+            df._src_nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            df._src_nbytes = os.path.getsize(path)
+    except OSError:
+        pass
     return df
 
 
