@@ -55,6 +55,21 @@ _BT_SEED_STRIDE = 256
 # the broadcast, still no corpus cross-product.  Keeps the 100 TB claim
 # honest past n ≈ 1.6·10^7 vectors without pressuring driver memory.
 _BT_SEED_BCAST_MAX = 64_000
+# Small-corpus scoring arm (r17, guide §2.4/§3.2): with K = n/256 cells the
+# expansion join has only K distinct keys, and on a small corpus AQE
+# additionally coalesces its tiny (pre-expansion) inputs to ONE partition —
+# the 64-dim cosine fold over Σ|x_cell|·|y_cell| pairs, the query's real
+# work, then runs single-task (measured 1.65 s single-task vs 0.27 s at 32
+# tasks for the same 500k folds).  When the candidate half is broadcastable
+# (k ≤ this many cells ⇒ y side ≈ 128·k rows ≈ ≤ 34 MB), score it as a
+# round-robin-repartitioned streamed side × broadcast hash join: the
+# round-robin exchange is a few MB, cannot be pruned as redundant (the
+# window already hash-partitions by x_id) and AQE never coalesces an
+# explicit-width repartition, so the expansion stage keeps the session's
+# full parallelism.  Past the threshold the shuffle equi-join arm keeps
+# K ≥ 512 cells of natural parallelism and nothing needs the extra
+# exchange of a vector-carrying frame.
+_BT_Y_BCAST_MAX_CELLS = 512
 
 
 def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:
@@ -313,14 +328,23 @@ def ivf_scored_from(
     """
     import math
 
+    # One scan of the source feeds seeds, coarse, and both halves — without
+    # the checkpoint the optimizer re-plans the whole subtree (scan + the
+    # triple clean-filter folds + seed_assign's sort-aggregate) once per
+    # consumer: six FileScans and two seed_assign aggregations in one plan
+    # (r17, guide §1.2/§5).  Lazy local checkpoints: each materializes at
+    # most once, at first use.
+    emb = emb.localCheckpoint(eager=False)
     seeds = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
     )
     k = seeds.count()  # one tiny job over an n/stride-row frame
     s = max(1, math.isqrt(k))
-    coarse = seeds.filter(
-        F.col("cell_id") % (stride * s) == 0
-    ).select(F.col("cell_id").alias("coarse_id"), F.col("ce").alias("cc"))
+    coarse = (
+        seeds.filter(F.col("cell_id") % (stride * s) == 0)
+        .select(F.col("cell_id").alias("coarse_id"), F.col("ce").alias("cc"))
+        .localCheckpoint(eager=False)
+    )
 
     # fine seed → nearest coarse cell (K·C folds, both tiny + broadcast)
     d_sc = _l2sq(F.col("ce"), F.col("cc"))
@@ -339,6 +363,7 @@ def ivf_scored_from(
             F.col("s.coarse_id").alias("coarse_id"),
             F.col("s.ce").alias("ce"),
         )
+        .localCheckpoint(eager=False)  # shared by both routes — compute once
     )
 
     def _route(side: DataFrame, id_col: str, e_col: str, keep: int) -> DataFrame:
@@ -389,6 +414,14 @@ def ivf_scored_from(
     )
     x_probe = _route(xs, "x_id", "xe", _BT_IVF_PROBE)
     y_assign = _route(ys, "y_id", "ye", 1)
+    if k <= _BT_Y_BCAST_MAX_CELLS:
+        # small-corpus arm (see _BT_Y_BCAST_MAX_CELLS): broadcast the
+        # single-cell candidate half, round-robin the probe half so the
+        # expansion stage keeps full parallelism instead of AQE's
+        # one-coalesced-partition read of the tiny pre-expansion inputs
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        x_probe = x_probe.repartition(par)
+        y_assign = F.broadcast(y_assign)
     scored = x_probe.join(y_assign, "cell_id").select(
         "x_id",
         "y_id",
