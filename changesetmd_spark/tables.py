@@ -32,6 +32,51 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (abspath, total bytes, max mtime_ns) → inferred StructType.  Metadata-only
+# memo (r17, guide §5 driver work): ``spark.read.parquet`` eagerly infers the
+# schema from file footers on the DRIVER — measured 65-206 ms per call on the
+# driver testdata vs 10-24 ms with an explicit schema.  Every builder pays
+# that per table load, in every bench sample.  The key fingerprints the
+# source (size + newest mtime), so regenerated data re-infers; query RESULTS
+# are never cached — the scan still reads the parquet on every run.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _stat_source(path: str) -> tuple[int, int] | None:
+    """(total bytes, newest mtime_ns) of a parquet file or flat part-file
+    directory; None when unreadable (caller falls back to inference)."""
+    try:
+        if os.path.isdir(path):
+            nbytes = 0
+            mtime = 0
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(path, f))
+                    nbytes += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+            return nbytes, mtime
+        st = os.stat(path)
+        return st.st_size, st.st_mtime_ns
+    except OSError:
+        return None
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str):
+    """``spark.read.parquet`` without the per-call driver-side schema
+    inference when the source is unchanged since last seen.  Returns
+    (DataFrame, source stat) — the stat doubles as fan_out's size hint."""
+    stat = _stat_source(path)
+    if stat is None:
+        return spark.read.parquet(path), None
+    key = (os.path.abspath(path), *stat)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path), stat
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df, stat
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Queries must behave identically under a caller-owned SparkSession
     (the driver's verify constructs its own): events.parquet stores
@@ -46,7 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     path = table_path(sf_dir, name)
-    df = spark.read.parquet(path)
+    df, stat = read_parquet_cached_schema(spark, path)
     # events.ts has shipped in two physical encodings across driver testdata
     # generations: parquet TIMESTAMP(NANOS) (surfaced as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong — exact integer division, since a
@@ -87,17 +132,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # loses the (Python-side) attribute and falls back to the exact RDD
     # check.  Attached to the FINAL frame (the ts/embedding normalizations
     # above return new DataFrames).
-    try:
-        if os.path.isdir(path):
-            df._src_nbytes = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        else:
-            df._src_nbytes = os.path.getsize(path)
-    except OSError:
-        pass
+    if stat is not None:
+        df._src_nbytes = stat[0]
     return df
 
 
