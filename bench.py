@@ -930,7 +930,41 @@ def main() -> None:
     ) as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(json.dumps(out))
+    # The stdout line is SLIM (VERDICT r17 #2): the r16 full payload —
+    # 254 queries x (min, median, fingerprint, probe) + nested pin/
+    # suppression records — truncated in the driver's capture, which
+    # nulled the entire round-over-round PERF table.  Stdout carries only
+    # what the driver's comparison needs (totals + per-query min/median +
+    # scalar health probes); everything else lives in BENCH_full.json,
+    # written above and committed with each close.  The timed region and
+    # every existing `queries` entry are unchanged.
+    slim = {
+        k: out[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "queries_median",
+            "sf",
+            "replication_steady_state_sec_per_diff",
+            "sentinel",
+            "io_sentinel",
+            "run_median_ratio",
+            "run_contaminated",
+            "sentinel_vs_prev_ratio",
+            "io_sentinel_vs_prev_ratio",
+            "vs_prev_common",
+            "errors",
+        )
+        if k in out
+    }
+    slim["xml_ingest_rate_per_sec"] = (out.get("xml_ingest") or {}).get(
+        "rate_per_sec"
+    )
+    slim["n_regression_flags"] = len(regressions)
+    slim["full_record"] = "BENCH_full.json"
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

@@ -634,7 +634,16 @@ def simhash64_signatures(
     ``explode_outer`` keeps token-less documents (empty/NULL text): their
     single NULL-token row contributes vote 0 on every bit, so they keep the
     all-zero signature the expression form gives them and still pair with
-    each other in the band join."""
+    each other in the band join.
+
+    NULL-element caveat (ADVICE r17): for a token array CONTAINING NULL
+    elements the two forms diverge — :func:`simhash64`'s ``xxhash64`` maps
+    a NULL token to the seed (42) and votes on its bits, while this form's
+    NULL-guarded vote maps it to 0.  Every current caller tokenizes via
+    ``regexp_extract_all``/``split``, which cannot emit NULL elements, so
+    the divergence is unreachable today; a future caller feeding hand-built
+    arrays must pre-filter NULL elements (``F.filter(tokens, isNotNull)``)
+    on whichever form it uses."""
     toks = df.select(F.col(id_col), F.explode_outer(tokens).alias("_t"))
     h = F.when(F.col("_t").isNotNull(), F.xxhash64("_t"))
     bit = lambda i: F.shiftright(h, i).bitwiseAND(F.lit(1))  # noqa: E731
@@ -794,7 +803,229 @@ def q_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(sigs, max_distance=8)
 
 
-@register("q_simhash_near_dup")  # no oracle: xxhash64 is Spark-specific
+# --- xxhash64 in DuckDB SQL (r18, VERDICT r17 #3) ---------------------------
+# q_simhash_near_dup had been `no_oracle` since round 1 because its token
+# hash is Spark's xxhash64.  XXH64 is a public spec (and Spark's
+# catalyst XXH64 is a faithful implementation of it over the UTF-8 bytes),
+# so the oracle can compute it in pure DuckDB SQL: hex-decode the token to a
+# byte list, fold the 32-byte stripes / 8-byte words / 4-byte chunk / tail
+# bytes with list_reduce, then the avalanche.  DuckDB integer ops error on
+# overflow (no wraparound), so every step runs in HUGEINT with an explicit
+# mod 2^64, and 64x64 multiplication is split at 32 bits so no intermediate
+# exceeds HUGEINT's range.  Verified: 0 mismatches vs a pure-Python XXH64
+# reference on 177 tokens of length 0-200 incl. multi-byte UTF-8, and the
+# full oracle hash-compares green at every test SF (tests/
+# test_oracle_queries.py).
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = 1 << 64
+
+
+def _sql_mul64(a: str, b: str) -> str:
+    """(a*b) mod 2^64 with no HUGEINT intermediate above ~2^65."""
+    return (
+        f"((((({a})::HUGEINT % 4294967296) * (({b})::HUGEINT % 4294967296))"
+        f" + (((({a})::HUGEINT % 4294967296) * (({b})::HUGEINT // 4294967296)"
+        f" + (({a})::HUGEINT // 4294967296) * (({b})::HUGEINT % 4294967296))"
+        f" % 4294967296) * 4294967296) % {_M64})::UBIGINT"
+    )
+
+
+def _sql_add64(*terms: str) -> str:
+    s = " + ".join(f"({t})::HUGEINT" for t in terms)
+    return f"(({s}) % {_M64})::UBIGINT"
+
+
+def _sql_rotl64(x: str, r: int) -> str:
+    keep = 1 << (64 - r)
+    return (
+        f"(((({x})::HUGEINT % {keep}) * {1 << r})::UBIGINT"
+        f" | (({x})::UBIGINT >> {64 - r}))"
+    )
+
+
+def _sql_xor(a: str, b: str) -> str:
+    return f"xor(({a})::UBIGINT, ({b})::UBIGINT)"
+
+
+def _sql_xxh_round(acc: str, inp: str) -> str:
+    return _sql_mul64(
+        _sql_rotl64(_sql_add64(acc, _sql_mul64(inp, str(_XXH_P2))), 31),
+        str(_XXH_P1),
+    )
+
+
+def _xxh64_ctes(seed: int = 42) -> str:
+    """CTE chain (to splice after a ``toks`` relation carrying a ``_t``
+    VARCHAR column) that computes ``_h`` = xxhash64(utf8(_t), seed) as
+    UBIGINT in ``xh_final``, preserving all other columns of ``toks``."""
+    p1, p2, p4, p5 = _XXH_P1, _XXH_P2, _XXH_P4, _XXH_P5
+    mask = _M64 - 1
+    v_init = (
+        f"[{(seed + p1 + p2) & mask}::UBIGINT, {(seed + p2) & mask}::UBIGINT,"
+        f" {seed & mask}::UBIGINT, {(seed - p1) & mask}::UBIGINT]"
+    )
+    stripe_lambda = (
+        "(vs, st) -> ["
+        + ", ".join(_sql_xxh_round(f"vs[{i}]", f"st[{i}]") for i in (1, 2, 3, 4))
+        + "]"
+    )
+    # converge + the four merge rounds.  The merge is a FOLD over _vs
+    # (h = (h ^ round(0, v)) * P1 + P4 per accumulator) rather than four
+    # textually-nested rounds: every SQL helper here pastes its operand
+    # string several times, so nesting grows the generated text as 3^depth
+    # (a first cut produced a 450 KB oracle); folds and staged columns keep
+    # it linear (~17 KB).
+    conv = _sql_add64(
+        _sql_rotl64("_vs[1]", 1), _sql_rotl64("_vs[2]", 7),
+        _sql_rotl64("_vs[3]", 12), _sql_rotl64("_vs[4]", 18),
+    )
+    merge_step = "(h, v) -> " + _sql_add64(
+        _sql_mul64(
+            _sql_xor("h", _sql_xxh_round("0::UBIGINT", "v")), str(p1)
+        ),
+        str(p4),
+    )
+    merge = f"list_reduce(list_prepend({conv}, _vs), {merge_step})"
+    word_step = "(h, k) -> " + _sql_add64(
+        _sql_mul64(
+            _sql_rotl64(_sql_xor("h", _sql_xxh_round("0::UBIGINT", "k")), 27),
+            str(p1),
+        ),
+        str(p4),
+    )
+    byte_step = "(h, b) -> " + _sql_mul64(
+        _sql_rotl64(_sql_xor("h", _sql_mul64("b", str(p5))), 11), str(p1)
+    )
+    h3 = _sql_add64(
+        _sql_mul64(
+            _sql_rotl64(_sql_xor("_h2", _sql_mul64("_c4", str(_XXH_P1))), 23),
+            str(_XXH_P2),
+        ),
+        str(_XXH_P3),
+    )
+    word8 = " + ".join(
+        f"_bs[8*j + {m + 1}]::HUGEINT * {1 << (8 * m)}" for m in range(8)
+    )
+    chunk4 = " + ".join(
+        f"_bs[_p4 + {m + 1}]::HUGEINT * {1 << (8 * m)}" for m in range(4)
+    )
+    return f"""
+    xh_raw AS (
+      SELECT *, hex(_t) AS _hx, strlen(_t)::BIGINT AS _n FROM toks
+    ), xh_bytes AS (
+      SELECT * EXCLUDE (_hx),
+             list_transform(range(0, _n),
+               i -> ('0x' || substr(_hx, (2*i + 1)::INT, 2))::UBIGINT) AS _bs
+      FROM xh_raw
+    ), xh_words AS (
+      SELECT *, list_transform(range(0, _n // 8),
+               j -> ({word8})::UBIGINT) AS _ws
+      FROM xh_bytes
+    ), xh_vstate AS (
+      SELECT *,
+             CASE WHEN _n >= 32
+                  THEN list_reduce(list_prepend({v_init},
+                         list_transform(range(0, _n // 32),
+                           s -> [_ws[4*s + 1], _ws[4*s + 2],
+                                 _ws[4*s + 3], _ws[4*s + 4]])),
+                       {stripe_lambda})
+                  ELSE NULL END AS _vs
+      FROM xh_words
+    ), xh_hbase AS (
+      SELECT * EXCLUDE (_vs),
+             {_sql_add64(
+                 f"CASE WHEN _n >= 32 THEN {merge} "
+                 f"ELSE {(seed + p5) & mask}::UBIGINT END",
+                 "_n::UBIGINT",
+             )} AS _h1
+      FROM xh_vstate
+    ), xh_hwords AS (
+      SELECT * EXCLUDE (_h1),
+             list_reduce(
+               list_prepend(_h1, _ws[4*(_n // 32) + 1 : _n // 8]),
+               {word_step}) AS _h2,
+             ((_n // 8) * 8)::BIGINT AS _p4
+      FROM xh_hbase
+    ), xh_hchunk_pre AS (
+      SELECT *,
+             CASE WHEN _n - _p4 >= 4 THEN ({chunk4})::UBIGINT END AS _c4
+      FROM xh_hwords
+    ), xh_hchunk AS (
+      SELECT * EXCLUDE (_ws, _h2, _c4, _p4),
+             CASE WHEN _c4 IS NOT NULL THEN {h3} ELSE _h2 END AS _h3,
+             (_p4 + CASE WHEN _c4 IS NOT NULL THEN 4 ELSE 0 END)::BIGINT AS _pb
+      FROM xh_hchunk_pre
+    ), xh_hbytes AS (
+      SELECT * EXCLUDE (_bs, _n, _h3, _pb),
+             list_reduce(list_prepend(_h3, _bs[_pb + 1 : _n]),
+               {byte_step}) AS _h4
+      FROM xh_hchunk
+    ), xh_av1 AS (
+      SELECT * EXCLUDE (_h4),
+             {_sql_mul64(_sql_xor("_h4", "(_h4) >> 33"), str(_XXH_P2))} AS _a1
+      FROM xh_hbytes
+    ), xh_av2 AS (
+      SELECT * EXCLUDE (_a1),
+             {_sql_mul64(_sql_xor("_a1", "(_a1) >> 29"), str(_XXH_P3))} AS _a2
+      FROM xh_av1
+    ), xh_final AS (
+      SELECT * EXCLUDE (_a2), {_sql_xor("_a2", "(_a2) >> 32")} AS _h
+      FROM xh_av2
+    )"""
+
+
+def _simhash_near_dup_oracle() -> str:
+    """DuckDB SQL reproducing q_simhash_near_dup end to end: xxhash64 token
+    hashes (the CTE chain above) → 64 per-bit ±1 vote sums → fingerprint →
+    the 9-band × 7-bit pigeonhole bucketing of simhash_band_pairs (with the
+    _LSH_BUCKET_CAP oversized-bucket drop) → hamming ≤ 8 verify.  Token-less
+    sampled docs keep the all-zero signature (the explode_outer contract),
+    via the LEFT JOIN back to the sample."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (_h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    fp = "\n               + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::UBIGINT ELSE 0 END"
+        for i in range(64)
+    )
+    bands = ", ".join(
+        f"((fp >> {i * 7}) & 127) | {(i + 1) << 7}" for i in range(9)
+    )
+    return rf"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS _t
+      FROM sampled
+    ), {_xxh64_ctes(42).strip()}, v AS (
+      SELECT doc_id, {votes}
+      FROM xh_final GROUP BY doc_id
+    ), f AS (
+      SELECT doc_id, ({fp})::UBIGINT AS fp FROM v
+    ), allf AS (
+      SELECT s.doc_id, COALESCE(f.fp, 0::UBIGINT) AS fp
+      FROM sampled s LEFT JOIN f USING (doc_id)
+    ), banded AS (
+      SELECT doc_id, fp, unnest([{bands}]) AS band FROM allf
+    ), kept AS (
+      SELECT * FROM banded
+      WHERE band IN (SELECT band FROM banded
+                     GROUP BY band HAVING COUNT(*) <= {_LSH_BUCKET_CAP})
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 8
+    """
+
+
+@register("q_simhash_near_dup", oracle=_simhash_near_dup_oracle())
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ 8 over the sampled
     corpus, found via pigeonhole-exact 9-band × 7-bit bucketing

@@ -38,26 +38,39 @@ def fan_out(df: DataFrame, *keys: str | Column) -> DataFrame:
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     nbytes = getattr(df, "_src_nbytes", None)
     if nbytes is not None:
-        # Pure-Python width estimate from the source-size hint tables.
-        # load_table attaches (r17): a parquet scan plans roughly one split
-        # per spark.sql.files.maxPartitionBytes, so a source under
-        # parallelism×maxPartitionBytes is narrower than the session and
-        # gets widened — the same decision the exact check below makes on
-        # every corpus this engine sees (single small files → 1 partition
-        # → widen; a genuinely wide 100 TB scan → thousands of splits → no
-        # widen), without the ~150 ms driver-side RDD conversion that the
-        # exact check costs on every builder invocation.  The LIVE session
-        # conf (not a hardcoded 128 MB) keeps the estimate honest when a
-        # caller shrinks the split size to widen a scan for real.
+        # Pure-Python width estimate from the source-size hint
+        # load_table attaches (r17), without the ~150 ms driver-side RDD
+        # conversion the exact check below costs on every builder call.
+        # r18 (ADVICE r17): mirror FilePartition.maxSplitBytes instead of
+        # a bare bytes/maxPartitionBytes — Spark charges every file
+        # openCostInBytes when bin-packing AND splits an under-filling
+        # scan finer (down to bytesPerCore) to fill the session
+        # parallelism.  The old estimate ignored both, so a multi-file
+        # replicated scale dir (e.g. the 32-file, ~180 MB documents dir
+        # at the 300x tier, which Spark already plans at ~parallelism
+        # splits) was repartitioned for nothing — a full exchange of raw
+        # input.  Live session confs (not hardcoded constants) keep the
+        # estimate honest when a caller shrinks the split size to widen
+        # a scan for real.
+        conf = df.sparkSession.conf
         try:
-            split = _conf_bytes(
-                df.sparkSession.conf.get(
-                    "spark.sql.files.maxPartitionBytes", "128MB"
-                )
+            split_cap = _conf_bytes(
+                conf.get("spark.sql.files.maxPartitionBytes", "128MB")
             )
         except ValueError:
-            split = 128 << 20
-        est_parts = max(1, -(-int(nbytes) // max(split, 1)))
+            split_cap = 128 << 20
+        try:
+            open_cost = _conf_bytes(
+                conf.get("spark.sql.files.openCostInBytes", "4MB")
+            )
+        except ValueError:
+            open_cost = 4 << 20
+        nfiles = int(getattr(df, "_src_nfiles", 1) or 1)
+        padded = int(nbytes) + nfiles * open_cost
+        split = min(
+            split_cap, max(open_cost, padded // max(parallelism, 1))
+        )
+        est_parts = max(1, -(-padded // max(split, 1)))
         if est_parts >= parallelism:
             return df
         return df.repartition(parallelism, *keys)

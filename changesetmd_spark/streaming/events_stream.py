@@ -133,7 +133,15 @@ def state_width(spark: SparkSession, sf_dir: str, table: str = "events") -> int:
     known)."""
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
-        return int(env)
+        # ADVICE r17: a malformed or non-positive override ("abc", "0",
+        # "-1") must fall through to the size heuristic, not crash the
+        # query or hand shuffle.partitions an invalid value.
+        try:
+            width = int(env)
+            if width >= 1:
+                return width
+        except ValueError:
+            pass
     p = table_path(sf_dir, table)
     try:
         if os.path.isdir(p):

@@ -42,21 +42,31 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
-def _stat_source(path: str) -> tuple[int, int] | None:
-    """(total bytes, newest mtime_ns) of a parquet file or flat part-file
-    directory; None when unreadable (caller falls back to inference)."""
+def _stat_source(path: str) -> tuple[int, int, int] | None:
+    """(total bytes, newest mtime_ns, file count) of a parquet file or
+    part-file directory — walked recursively, so nested/partitioned
+    layouts are fingerprinted too (ADVICE r17: the flat listdir gave
+    them a constant (0, 0) key, which would silently serve a stale
+    cached schema after a regeneration).  None when unreadable or when
+    no ``*.parquet`` leaf exists (unknown layout — caller falls back to
+    plain inference and never caches)."""
     try:
         if os.path.isdir(path):
             nbytes = 0
             mtime = 0
-            for f in os.listdir(path):
-                if f.endswith(".parquet"):
-                    st = os.stat(os.path.join(path, f))
-                    nbytes += st.st_size
-                    mtime = max(mtime, st.st_mtime_ns)
-            return nbytes, mtime
+            nfiles = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        st = os.stat(os.path.join(root, f))
+                        nbytes += st.st_size
+                        mtime = max(mtime, st.st_mtime_ns)
+                        nfiles += 1
+            if nfiles == 0:
+                return None
+            return nbytes, mtime, nfiles
         st = os.stat(path)
-        return st.st_size, st.st_mtime_ns
+        return st.st_size, st.st_mtime_ns, 1
     except OSError:
         return None
 
@@ -134,6 +144,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # above return new DataFrames).
     if stat is not None:
         df._src_nbytes = stat[0]
+        df._src_nfiles = stat[2]
     return df
 
 
