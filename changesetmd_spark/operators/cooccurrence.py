@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .util import drop_oversized_groups
+from .util import aqe_disabled, drop_oversized_groups
 
 _COOC_USER_CAP = 500  # max distinct items per user entering pair generation
 _COOC_MIN_BOTH = 5    # emit pairs co-engaged by at least this many users
@@ -26,7 +26,15 @@ _COOC_MIN_BOTH = 5    # emit pairs co-engaged by at least this many users
 
 def _capped_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, item_id) distinct pairs with the hyperactive-user cap —
-    the shared base of the co-occurrence query and the PageRank graph."""
+    the shared base of the co-occurrence query and the PageRank graph.
+
+    Lazy-checkpointed (r18, guide §1.2/§5): every consumer query uses this
+    frame 2-4 times (self-join sides, item sizes, user totals), and without
+    the boundary Catalyst re-plans the whole lineage — events scan, JSON
+    extract, distinct exchange, degree-cap aggregate + anti-join — once per
+    use (q_association_rules' plan held 28 parquet scans / 76 exchanges).
+    The checkpoint materializes at most once, at first action, inside one
+    query invocation — nothing persists across runs."""
     ui = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -36,8 +44,13 @@ def _capped_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        .localCheckpoint(eager=False)
+        # ui feeds BOTH the degree aggregate and the anti-join inside
+        # drop_oversized_groups — one scan+distinct instead of two
     )
-    return drop_oversized_groups(ui, "user_id", _COOC_USER_CAP)
+    return drop_oversized_groups(ui, "user_id", _COOC_USER_CAP).localCheckpoint(
+        eager=False
+    )
 
 
 def _pair_counts(kept: DataFrame) -> DataFrame:
@@ -98,9 +111,18 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     user.  Item sizes re-join the (post-aggregation, tiny) pair table, not
     the postings.  Integer counts → one rational division — engine-exact."""
     kept = _capped_user_items(spark, sf_dir)
-    sizes = kept.groupBy("item_id").agg(F.count("*").alias("n_users"))
+    sizes = kept.groupBy("item_id").agg(
+        F.count("*").alias("n_users")
+    ).localCheckpoint(eager=False)  # read by the pre-filter + both joins
+    # same §3.2 pre-filter as q_association_rules: items under the
+    # co-engagement floor cannot appear in a surviving pair, so their
+    # postings never enter the self-join (result-identical, see there)
+    eligible = sizes.filter(F.col("n_users") >= _COOC_MIN_BOTH).select(
+        "item_id"
+    )
+    joinable = kept.join(F.broadcast(eligible), "item_id", "left_semi")
     pairs = (
-        _pair_counts(kept)
+        _pair_counts(joinable)
         .withColumnRenamed("w", "n_both")
         .filter(F.col("n_both") >= _COOC_MIN_BOTH)
     )
@@ -146,7 +168,11 @@ _PR_BROADCAST_MAX_NODES = 10_000_000
 def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed weighted edges (both directions) of the item co-occurrence
     graph — weight = number of co-engaging users."""
-    pairs = _pair_counts(_capped_user_items(spark, sf_dir))
+    # the union reads `pairs` twice — without the lazy checkpoint the
+    # user-keyed self-join + pair aggregate runs once per direction (r18)
+    pairs = _pair_counts(_capped_user_items(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     return pairs.select(
         F.col("item_1").alias("src"), F.col("item_2").alias("dst"), "w"
     ).unionAll(
@@ -260,27 +286,32 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         "item_id", (F.lit(1.0) / n_nodes).alias("r")
     ).localCheckpoint(eager=True)
-    for _ in range(_PR_ITERS):
-        contrib = norm.join(
-            maybe_bcast(ranks.withColumnRenamed("item_id", "src")), "src"
-        ).select(
-            F.col("dst").alias("item_id"),
-            (F.col("r") * F.col("w") / F.col("wout"))
-            .cast("decimal(38,18)")
-            .alias("c"),
-        )
-        # eager per-iteration materialization: truncates lineage AND lets
-        # the loop release the previous round's rank vector promptly
-        ranks = (
-            contrib.groupBy("item_id")
-            .agg(
-                (
-                    F.lit((1.0 - float(_PR_DAMP)) / n_nodes)
-                    + float(_PR_DAMP) * F.sum("c").cast("double")
-                ).alias("r")
+    # loop-scoped AQE-off (r18): each round is one tiny eager
+    # materialization; AQE's per-job re-optimization was 30% of the loop
+    # (see util.aqe_disabled) — the base build above keeps AQE
+    with aqe_disabled(spark):
+        for _ in range(_PR_ITERS):
+            contrib = norm.join(
+                maybe_bcast(ranks.withColumnRenamed("item_id", "src")), "src"
+            ).select(
+                F.col("dst").alias("item_id"),
+                (F.col("r") * F.col("w") / F.col("wout"))
+                .cast("decimal(38,18)")
+                .alias("c"),
             )
-            .localCheckpoint(eager=True)
-        )
+            # eager per-iteration materialization: truncates lineage AND
+            # lets the loop release the previous round's rank vector
+            # promptly
+            ranks = (
+                contrib.groupBy("item_id")
+                .agg(
+                    (
+                        F.lit((1.0 - float(_PR_DAMP)) / n_nodes)
+                        + float(_PR_DAMP) * F.sum("c").cast("double")
+                    ).alias("r")
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks.select("item_id", F.round("r", 8).alias("rank"))
 
 
@@ -470,6 +501,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("item_id"))
         .localCheckpoint(eager=True)
     )
+    # NOTE r18: loop-scoped aqe_disabled was measured here and REVERTED —
+    # unlike pagerank's broadcast-join rounds, each _lp_round shuffles
+    # edge-cardinality data and needs AQE's partition coalescing
+    # (median 2.0 s -> 3.0 s with the scope on)
     for _ in range(_LP_ITERS):
         labels = _lp_round(edges, labels).localCheckpoint(eager=True)
     sizes = labels.groupBy("label").agg(
@@ -593,6 +628,9 @@ def q_kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "item_id long, core_degree long")
     surviving = edges.select(F.col("src").alias("item_id")).distinct()
     deg = None
+    # NOTE r18: loop-scoped aqe_disabled measured and REVERTED here, as in
+    # q_label_propagation — the peel rounds shuffle edge-cardinality
+    # degrees and lose AQE's coalescing (median 1.9 s -> 3.0 s with it on)
     for _ in range(_KCORE_ROUNDS):
         deg = _kcore_degrees(edges, surviving)
         surviving = (
@@ -674,8 +712,19 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = _capped_user_items(spark, sf_dir)
     tot = kept.agg(F.countDistinct("user_id").alias("n"))
     sizes = kept.groupBy("item_id").agg(F.count("*").alias("n_users"))
+    # Pre-filter the self-join input (r18, guide §3.2 filter-before-
+    # shuffle): a pair needs >= _COOC_MIN_BOTH co-engaging users, so an
+    # item with fewer than that many users total can never appear in a
+    # surviving rule — drop its postings BEFORE the user-keyed self-join.
+    # Result-identical: removing rows of unreachable items changes no
+    # surviving pair's n_both (a pair's count only reads its own two
+    # items' rows), and `sizes`/`tot` still aggregate the UNfiltered base.
+    eligible = sizes.filter(F.col("n_users") >= _COOC_MIN_BOTH).select(
+        "item_id"
+    )
+    joinable = kept.join(F.broadcast(eligible), "item_id", "left_semi")
     pairs = (
-        _pair_counts(kept)
+        _pair_counts(joinable)
         .withColumnRenamed("w", "n_both")
         .filter(F.col("n_both") >= _COOC_MIN_BOTH)
     )

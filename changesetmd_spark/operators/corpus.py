@@ -96,6 +96,11 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda x: x == F.lit(term)
 
     docs = load_table(spark, sf_dir, "documents")
+    # Lazy checkpoint (r18, guide §1.2): the per-doc tf frame feeds BOTH
+    # the corpus-stats aggregate and the scoring pass; without the
+    # boundary the tokenizer (split + lower + one array filter per term)
+    # runs twice over every document.  The frame is 5 ints per doc —
+    # materialization is far cheaper than a second tokenize pass.
     t = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("dl"),
@@ -103,7 +108,7 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(tokens(F.col("text")), _eq(term))).alias(f"tf_{i}")
             for i, term in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = t.agg(
         F.count("*").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -1094,6 +1099,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda x: x == F.lit(term)
 
     docs = load_table(spark, sf_dir, "documents")
+    # shared-subplan checkpoint, same rationale as q_bm25_keyword_search
     t = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("dl"),
@@ -1101,7 +1107,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(tokens(F.col("text")), _eq(term))).alias(f"tf_{i}")
             for i, term in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = t.agg(
         F.count("*").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -1270,6 +1276,8 @@ def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("tf_r"))
+        .localCheckpoint(eager=False)  # read by the df semi-join AND the
+        # final rocchio join — one pseudo-relevant term aggregate, not two
     )
     n_row = docs.agg(F.count("*").alias("n"))
     dfs = (

@@ -188,6 +188,39 @@ class TxnTable:
             )
         return schema.jsonValue()
 
+    def _cluster_write_gate(self, df: DataFrame) -> bool:
+        """Size-gated clustered write (r18, VERDICT r17 #5 / guide §6): a
+        partitionBy write from W shuffle partitions opens up to W files per
+        partition value — measured 1,340 files (85% < 8 KB) across the
+        three bench commits.  On /tmp page cache those are nearly free and
+        the extra shuffle measurably LOSES (the r17 experiment), but at
+        object-store scale small files dominate, so the hash-distribution
+        shuffle (Iceberg write.distribution-mode=hash) engages when the
+        optimizer's size estimate for the frame crosses
+        ``spark.changesetmd.txn.clusterWriteBytes`` (default 256m; the
+        bench corpora sit far below it, so the measured /tmp regime is
+        byte-identical)."""
+        try:
+            conf = df.sparkSession.conf.get(
+                "spark.changesetmd.txn.clusterWriteBytes", "256m"
+            )
+            from ..operators.util import _conf_bytes
+
+            threshold = _conf_bytes(conf)
+            if threshold <= 0:
+                return False
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if est >= 1 << 62:
+                # RDD-backed plans (createDataFrame, localCheckpoint)
+                # carry the Long.MaxValue default, not a real estimate —
+                # never let "unknown" read as "huge"
+                return False
+            return est >= threshold
+        except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
+            return False
+
     def _write_data_dir(
         self, df: DataFrame
     ) -> tuple[str, list[str], bool, dict]:
@@ -209,6 +242,11 @@ class TxnTable:
                 df = df.withColumn(
                     self.partition_col, F.to_date(self.partition_source)
                 )
+            if self._cluster_write_gate(df):
+                # hash-cluster rows by partition value so each value is
+                # written by one task — one target-size file per partition
+                # instead of (tasks x partitions) shards
+                df = df.repartition(F.col(self.partition_col))
             (
                 df.sortWithinPartitions(self.partition_col)
                 .write.partitionBy(self.partition_col)
@@ -428,19 +466,45 @@ class TxnTable:
                         )
                     # partitions to rewrite: where batch keys live now ∪
                     # where incoming rows land (column-pruned + broadcast
-                    # semi-join — current data never shuffles)
+                    # semi-join — current data never shuffles).  r18: the
+                    # key-location scan only needs partitions the incoming
+                    # batch does NOT already touch — a partition in the
+                    # incoming set is affected regardless of where its keys
+                    # live, so pre-pruning `current` to the complement
+                    # turns the common whole-table-coverage merge's scan
+                    # into a no-partition scan (partition filters prune at
+                    # planning).  Affected set is unchanged by definition.
+                    inc_vals = [
+                        r[0]
+                        for r in incoming.select(self.partition_col)
+                        .distinct()
+                        .collect()
+                    ]
+                    inc_non_null = [v for v in inc_vals if v is not None]
+                    outside = (
+                        ~F.col(self.partition_col).isin(inc_non_null)
+                        if inc_non_null
+                        else F.lit(True)
+                    )
+                    # NULL partitions: isin() is NULL-valued on NULL input,
+                    # so include/exclude them explicitly depending on
+                    # whether the batch already covers the NULL partition
+                    if any(v is None for v in inc_vals):
+                        outside = outside & F.col(
+                            self.partition_col
+                        ).isNotNull()
+                    else:
+                        outside = outside | F.col(
+                            self.partition_col
+                        ).isNull()
                     hit = (
                         current.select(*key_cols, self.partition_col)
+                        .filter(outside)
                         .join(F.broadcast(keys), on=key_cols, how="left_semi")
                         .select(self.partition_col)
                     )
-                    affected_vals = [
-                        r[0]
-                        for r in hit.union(
-                            incoming.select(self.partition_col)
-                        )
-                        .distinct()
-                        .collect()
+                    affected_vals = inc_vals + [
+                        r[0] for r in hit.distinct().collect()
                     ]
                     affected = {
                         self._partition_dirname(v) for v in affected_vals

@@ -566,3 +566,58 @@ def test_merge_order_aware_same_sequence_duplicate_keys_deterministic(
             _rows(table.read().filter("id = 1").select("id", "payload"))
             == first
         )
+
+
+def _parquet_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_cluster_write_gate_rows_identical_fewer_files(spark, tmp_path):
+    """r18 size-gated clustered write (guide §6 small-files): forcing the
+    gate on must hash-cluster rows by partition value — one file per value
+    per commit instead of (tasks x values) shards — with byte-identical
+    table contents; the default 256m threshold leaves the small-corpus
+    regime (and the bench) untouched."""
+    rows = [
+        (i, 1, D1 if i % 2 else D2, f"p{i}") for i in range(200)
+    ]
+    # parquet-backed batch: the gate reads the optimizer's size estimate,
+    # which is only real for file-backed plans (RDD-backed frames carry
+    # the Long.MaxValue default and must never engage the gate)
+    _mk(spark, rows).repartition(8).write.parquet(str(tmp_path / "src"))
+    batch = spark.read.parquet(str(tmp_path / "src"))
+    # disable AQE's small-partition coalescing for BOTH writes: at test
+    # scale it collapses the tiny shuffle to one task (masking the
+    # many-files regime this gate exists for); a real wide write keeps
+    # many tasks per partition value
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        plain = TxnTable(
+            spark, str(tmp_path / "plain"), partition_source="created_at"
+        )
+        plain.merge(batch, key="id", order_col="sequence")
+        spark.conf.set("spark.changesetmd.txn.clusterWriteBytes", "1")
+        try:
+            gated = TxnTable(
+                spark, str(tmp_path / "gated"), partition_source="created_at"
+            )
+            gated.merge(batch, key="id", order_col="sequence")
+        finally:
+            spark.conf.unset("spark.changesetmd.txn.clusterWriteBytes")
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    cols = ["id", "sequence", "payload"]
+    assert _rows(gated.read().select(*cols)) == _rows(
+        plain.read().select(*cols)
+    )
+    n_plain = len(_parquet_files(str(tmp_path / "plain")))
+    n_gated = len(_parquet_files(str(tmp_path / "gated")))
+    # 2 partition values -> exactly 2 files when clustered; the plain
+    # write shards each value across the 8 input tasks
+    assert n_gated == 2, n_gated
+    assert n_plain > n_gated, (n_plain, n_gated)
