@@ -72,9 +72,138 @@ _BT_SEED_BCAST_MAX = 64_000
 _BT_Y_BCAST_MAX_CELLS = 512
 
 
+# --- numpy batch arm (r18, guide §4.2) --------------------------------------
+# Above _BT_Y_BCAST_MAX_CELLS cells the IVF pipeline is FOLD-BOUND: at the
+# 300x tier it evaluates ~330M interpreted 64-dim `F.aggregate` folds
+# (~0.4-1 µs each — routing 63 s + pair cosine 77 s of a 255 s query).
+# The folds are embarrassingly batchable, so this arm hands whole Arrow
+# batches to numpy and accumulates DIM-BY-DIM IN INDEX ORDER — each
+# per-element term rounds exactly once and the running sum adds in the
+# same sequence as the JVM's sequential left fold, so every distance and
+# cosine is IEEE-bit-identical to the expression form (pinned by
+# tests/test_similarity_ann.py::test_bitext_ivf_numpy_arm_equivalence).
+# Gated to _BT_Y_BCAST_MAX_CELLS < K <= _BT_SEED_BCAST_MAX: below, the
+# broadcast arm's plan (the bench regime) is untouched; above, the seed
+# table no longer fits the driver and the shuffle-join arm takes over.
+
+
+def _np_fold_l2sq(X, C):
+    """(B, dim) × (M, dim) → (B, M) squared L2, dim-sequential fold —
+    value-identical to similarity._l2sq (see block comment above)."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for j in range(X.shape[1]):
+        t = X[:, j, None] - C[None, :, j]
+        acc += t * t
+    return acc
+
+
+def _np_route_factory(
+    CC, seed_cells, SE, seed_start, seed_cnt, probe, keep, id_name
+):
+    """mapInArrow function: batches of (id, e) → (id, cell_id) routing
+    rows, reproducing _route's two-level argmin with its exact (d, id)
+    tie-breaks.  Only the id and the vector cross the Python boundary in;
+    only (id, cell) rows cross out — payloads are re-attached by a join.
+
+    ``CC`` (C, dim) is sorted by coarse_id ascending and the seed arrays
+    by (coarse index, cell_id) ascending, so numpy's stable argsort on
+    distance alone reproduces the (d, coarse_id) / (d, cell_id) ordering."""
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        S = int(seed_cnt.max())
+        span = np.arange(S)[None, :]
+        sentinel = np.iinfo(np.int64).max
+        probe_eff = min(probe, CC.shape[0])  # tiny corpora: C < P
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            B = len(ids)
+            if B == 0:
+                continue
+            X = np.asarray(
+                batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            ).reshape(B, -1)
+            D = _np_fold_l2sq(X, CC)
+            order = np.argsort(D, axis=1, kind="stable")[:, :probe_eff]
+            ds, cells = [], []
+            for p in range(probe_eff):
+                ci = order[:, p]
+                cnt = seed_cnt[ci][:, None]
+                valid = span < cnt
+                idx = np.where(valid, seed_start[ci][:, None] + span, 0)
+                acc = np.zeros((B, S))
+                for j in range(X.shape[1]):
+                    t = X[:, j, None] - SE[idx, j]
+                    acc += t * t
+                ds.append(np.where(valid, acc, np.inf))
+                cells.append(np.where(valid, seed_cells[idx], sentinel))
+            Dc = np.concatenate(ds, axis=1)
+            Cc = np.concatenate(cells, axis=1)
+            rows = np.arange(B)[:, None]
+            o1 = np.argsort(Cc, axis=1, kind="stable")  # cells unique/row
+            Dc = Dc[rows, o1]
+            Cc = Cc[rows, o1]
+            keep_eff = min(keep, Dc.shape[1])
+            o2 = np.argsort(Dc, axis=1, kind="stable")[:, :keep_eff]
+            out_cells = Cc[rows, o2].ravel()
+            out_ids = np.repeat(ids, keep_eff)
+            m = out_cells != sentinel  # rows with < keep real candidates
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids[m], pa.int64()),
+                    pa.array(out_cells[m], pa.int64()),
+                ],
+                names=[id_name, "cell_id"],
+            )
+
+    return fn
+
+
+def _np_pair_score(xpdf, ypdf):
+    """Cogrouped per-cell pair scoring: all |X|·|Y| cosines of one fine
+    cell as a dim-sequential accumulated product — bit-identical to
+    similarity.cosine's fold (dot in index order, then one norm-product
+    rounding, then the division)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(xpdf) == 0 or len(ypdf) == 0:
+        return pd.DataFrame(
+            {
+                "x_id": pd.Series(dtype="int64"),
+                "y_id": pd.Series(dtype="int64"),
+                "cs": pd.Series(dtype="float64"),
+            }
+        )
+    X = np.stack(xpdf["xe"].to_numpy())
+    Y = np.stack(ypdf["ye"].to_numpy())
+    acc = np.zeros((len(X), len(Y)))
+    for j in range(X.shape[1]):
+        acc += X[:, j, None] * Y[None, :, j]
+    denom = xpdf["xn"].to_numpy()[:, None] * ypdf["yn"].to_numpy()[None, :]
+    cs = acc / denom
+    return pd.DataFrame(
+        {
+            "x_id": np.repeat(xpdf["x_id"].to_numpy(), len(Y)),
+            "y_id": np.tile(ypdf["y_id"].to_numpy(), len(X)),
+            "cs": cs.ravel(),
+        }
+    )
+
+
 def _knn_sum(scored: DataFrame, key: str, other: str, out: str) -> DataFrame:
     """Per-``key`` sum of its top-``_K`` cosines, folded over an explicitly
-    sorted list so the summation order is engine-independent."""
+    sorted list so the summation order is engine-independent.
+
+    NOTE r18: a collect_list + slice hash aggregate was measured here and
+    REVERTED — without a bounded top-K accumulator the agg buffers hold
+    every candidate per key (all 174M structs at the 300x tier) before
+    the slice, and the spill costs far more than the window's streaming
+    sort (x300 margin stage ~2.5x slower)."""
     w = Window.partitionBy(key).orderBy(F.desc("cs"), F.asc(other))
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _K
@@ -369,7 +498,15 @@ def ivf_scored_from(
     def _route(side: DataFrame, id_col: str, e_col: str, keep: int) -> DataFrame:
         """Two-level route: P nearest coarse cells (n·C folds, broadcast),
         then the ``keep`` nearest fine seeds among those cells' seeds
-        (n·P·(K/C) folds, broadcast equi-join on coarse_id)."""
+        (n·P·(K/C) folds, broadcast equi-join on coarse_id).
+
+        NOTE r18: a skinny-window variant (project to (id, cell, d)
+        before the top-k exchanges, re-attach the vector by a join after
+        the cut — guide §2.3) was measured and REVERTED: this expression
+        route now only runs on the small arm (K ≤ _BT_Y_BCAST_MAX_CELLS;
+        the numpy batch arm covers the middle sizes), where the two extra
+        joins cost more than the tiny payload shuffle they save
+        (sf0.1 A/B: 3.04 s vs 3.57 s min-of-3)."""
         d_vc = _l2sq(F.col(e_col), F.col("cc"))
         probed = (
             side.crossJoin(F.broadcast(coarse))
@@ -412,6 +549,51 @@ def ivf_scored_from(
         F.col("e").alias("ye"),
         F.col("nrm").alias("yn"),
     )
+    if _BT_Y_BCAST_MAX_CELLS < k <= _BT_SEED_BCAST_MAX:
+        # numpy batch arm (see the module-level block comment): the fold
+        # count is ~n·√K·(1+P) for routing plus Σ|x_cell|·|y_cell| for the
+        # cosines — interpreted per-row folds are the bottleneck at this
+        # size, so route and score in vectorized batches with the exact
+        # fold order.  Coarse/seed tables collect to the driver (bounded
+        # by _BT_SEED_BCAST_MAX ⇒ ≤ ~32 MB) sorted so stable argsort
+        # reproduces the (d, id) tie-breaks.
+        import numpy as np
+
+        c_rows = sorted(coarse.collect(), key=lambda r: r["coarse_id"])
+        cc_arr = np.array([r["cc"] for r in c_rows])
+        cidx = {int(r["coarse_id"]): i for i, r in enumerate(c_rows)}
+        sa_rows = sorted(
+            seed_assign.collect(),
+            key=lambda r: (cidx[r["coarse_id"]], r["cell_id"]),
+        )
+        seed_cells = np.array([r["cell_id"] for r in sa_rows], dtype=np.int64)
+        se_arr = np.array([r["ce"] for r in sa_rows])
+        seed_cnt = np.zeros(len(c_rows), dtype=np.int64)
+        for r in sa_rows:
+            seed_cnt[cidx[r["coarse_id"]]] += 1
+        seed_start = np.concatenate(([0], np.cumsum(seed_cnt)[:-1]))
+        x_sk = xs.select("x_id", "xe").mapInArrow(
+            _np_route_factory(
+                cc_arr, seed_cells, se_arr, seed_start, seed_cnt,
+                _BT_IVF_PROBE, _BT_IVF_PROBE, "x_id",
+            ),
+            "x_id long, cell_id long",
+        )
+        y_sk = ys.select("y_id", "ye").mapInArrow(
+            _np_route_factory(
+                cc_arr, seed_cells, se_arr, seed_start, seed_cnt,
+                _BT_IVF_PROBE, 1, "y_id",
+            ),
+            "y_id long, cell_id long",
+        )
+        x_probe = x_sk.join(xs, "x_id")
+        y_assign = y_sk.join(ys, "y_id")
+        scored = (
+            x_probe.groupBy("cell_id")
+            .cogroup(y_assign.groupBy("cell_id"))
+            .applyInPandas(_np_pair_score, "x_id long, y_id long, cs double")
+        )
+        return scored.localCheckpoint(eager=False) if checkpoint else scored
     x_probe = _route(xs, "x_id", "xe", _BT_IVF_PROBE)
     y_assign = _route(ys, "y_id", "ye", 1)
     if k <= _BT_Y_BCAST_MAX_CELLS:
@@ -444,6 +626,10 @@ def mine_margin_pairs(scored: DataFrame) -> DataFrame:
             F.col("cs") / ((F.col("sx") + F.col("sy")) / F.lit(2.0 * _K)),
         )
     )
+    # NOTE r18: a min-of-struct argmax aggregate was measured here and
+    # REVERTED — warm-for-warm at the 300x tier the window was faster
+    # (26.0 s vs 31.1 s for the full margin stage) and carries no NaN
+    # ordering subtleties.
     w = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.asc("y_id"))
     return (
         m.withColumn("rn", F.row_number().over(w))

@@ -283,3 +283,43 @@ def test_priority_sample_degenerate_tau_is_zero(spark, tmp_path):
     assert len(rows) == n
     for r in rows:
         assert r.w_hat5 == float(r.n_chars), r
+
+
+def test_bitext_ivf_numpy_arm_equivalence(spark, sf_dir, monkeypatch):
+    """r18: the numpy batch arm (routing via mapInArrow + cogrouped pair
+    scoring) must be BIT-IDENTICAL to the expression arm — same routing
+    decisions (stable argsort reproduces the (d, id) tie-breaks) and the
+    same IEEE doubles (dim-sequential accumulation == the JVM's left
+    fold).  Forced on at test scale via the cell gate."""
+    from changesetmd_spark.operators import bitext as bt
+    from changesetmd_spark.operators.bitext import l2_norm, to_double_vec
+    from changesetmd_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", to_double_vec(F.col("embedding")).alias("e")
+        )
+        .withColumn("nrm", l2_norm(F.col("e")))
+    )
+    expr_rows = sorted(
+        tuple(r) for r in bt.ivf_scored_from(emb, checkpoint=False).collect()
+    )
+    monkeypatch.setattr(bt, "_BT_Y_BCAST_MAX_CELLS", 0)
+    np_rows = sorted(
+        tuple(r) for r in bt.ivf_scored_from(emb, checkpoint=False).collect()
+    )
+    assert len(np_rows) == len(expr_rows)
+    assert np_rows == expr_rows  # exact doubles, not approx
+
+    # and end-to-end through the registered query against its oracle
+    from changesetmd_spark.registry import oracles, queries
+
+    from .oracle import compare_to_oracle
+
+    compare_to_oracle(
+        queries()["q_bitext_margin_mining_ivf"](spark, sf_dir),
+        oracles()["q_bitext_margin_mining_ivf"],
+        sf_dir,
+    )
