@@ -171,6 +171,52 @@ _ND_PLANT_OFFSET = 10_000_000
 _ND_EPS = "(1.0 + CAST((i * 37) % 11 - 5 AS DOUBLE) / 250.0)"
 
 
+def _plane_signature_rows(
+    spark: SparkSession,
+    corpus: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    seed_fn,
+) -> DataFrame:
+    """(vec_id, e, nrm, t, b) hyperplane-LSH bucket rows with the planes
+    as a broadcast DATA table instead of literal arrays (r18, guide §1.2
+    per-task work — but here the cost was per-INVOCATION driver work):
+    n_tables·n_planes·64 literal leaves made a multi-thousand-node
+    expression tree whose analysis/optimization/codegen cost (~3 s for
+    q_embedding_neardup_cosine's 48 planes, ~1.3 s just to evaluate over
+    600 rows) dwarfed the actual dot folds.  The planes join via a
+    constant-key Broadcast HASH join (the no-BNLJ plan guards keep
+    holding) and the bucket id re-assembles as Σ 2^(n_planes-1-p)·bit_p —
+    integer arithmetic, bucket-for-bucket identical to the chained
+    ``sig*2 + bit`` form (verified row-identical output on the driver
+    corpus before the swap)."""
+    rows = [
+        (t, 1 << (n_planes - 1 - p), hyperplane(seed_fn(t, p)))
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    planes = spark.createDataFrame(
+        rows, "t int, w int, plane array<double>"
+    ).withColumn("_k", F.lit(1))
+    bit = F.when(dot(F.col("e"), F.col("plane")) >= 0, F.col("w")).otherwise(
+        F.lit(0)
+    )
+    return (
+        corpus.withColumn("_k", F.lit(1))
+        .join(F.broadcast(planes), "_k")
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(bit).cast("int").alias("b"),
+            # e/nrm are constant within a (vec_id, t) group (replicated
+            # from one source row), so first() is deterministic here
+            F.first("e").alias("e"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "e", "nrm", "t", "b")
+    )
+
+
+
 @register(
     "q_embedding_neardup_cosine",
     oracle=f"""
@@ -226,24 +272,12 @@ def q_embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(planted).withColumn("nrm", l2_norm(F.col("e")))
 
-    tables = []
-    for t in range(_ND_TABLES):
-        sig = F.lit(0)
-        for p in range(_ND_PLANES):
-            plane = F.array(*[F.lit(v) for v in hyperplane(1000 * (t + 1) + p)])
-            sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
-        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
-    hashed = (
-        corpus.select(
-            "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
-        )
-        .select(
-            "vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
-        )
+    hashed = _plane_signature_rows(
+        spark, corpus, _ND_TABLES, _ND_PLANES,
+        lambda t, p: 1000 * (t + 1) + p,
         # both sides of the bucket self-join read this frame; without
-        # persist the 48-fold signature projection runs twice
-        .persist()
-    )
+        # persist the signature build runs twice
+    ).persist()
 
     a = hashed.select(
         "t", "b", F.col("vec_id").alias("vec_id_1"),
@@ -352,16 +386,11 @@ def q_embedding_ann_lsh(
     )
     emb = emb.withColumn("nrm", l2_norm(F.col("e")))
 
-    tables = []
-    for t in range(n_tables):
-        sig = F.lit(0)
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in hyperplane(100 * t + p + 1)])
-            sig = sig * 2 + F.when(dot(F.col("e"), plane) >= 0, 1).otherwise(0)
-        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
-    hashed = emb.select(
-        "vec_id", "e", "nrm", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "e", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    hashed = _plane_signature_rows(
+        spark, emb, n_tables, n_planes, lambda t, p: 100 * t + p + 1
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint (r18): the query filter AND the candidate join both
+    # read `hashed`; without the boundary the signature build runs twice
 
     queries = hashed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
