@@ -186,23 +186,32 @@ def _plane_signature_rows(
     q_embedding_neardup_cosine's 48 planes, ~1.3 s just to evaluate over
     600 rows) dwarfed the actual dot folds.  The planes join via a
     constant-key Broadcast HASH join (the no-BNLJ plan guards keep
-    holding) and the bucket id re-assembles as Σ 2^(n_planes-1-p)·bit_p —
-    integer arithmetic, bucket-for-bucket identical to the chained
-    ``sig*2 + bit`` form (verified row-identical output on the driver
-    corpus before the swap)."""
+    holding); the key must stay NON-FOLDABLE on the corpus side —
+    ``lit(1) = lit(1)`` constant-folds to a keyless condition and the
+    join degrades to BroadcastNestedLoopJoin — hence the
+    ``coalesce(pmod(vec_id, 1), 0)`` spelling (always 0, never NULL, and
+    Catalyst has no pmod-by-one rule).  The bucket id re-assembles as
+    Σ 2^(n_planes-1-p)·bit_p — integer arithmetic, bucket-for-bucket
+    identical to the chained ``sig*2 + bit`` form (verified row-identical
+    output on the driver corpus before the swap)."""
     rows = [
-        (t, 1 << (n_planes - 1 - p), hyperplane(seed_fn(t, p)))
+        # _k rides in the DATA (a LocalRelation column is non-foldable;
+        # a lit(0) projection folds and degrades the join to BNLJ)
+        (t, 1 << (n_planes - 1 - p), hyperplane(seed_fn(t, p)), 0)
         for t in range(n_tables)
         for p in range(n_planes)
     ]
     planes = spark.createDataFrame(
-        rows, "t int, w int, plane array<double>"
-    ).withColumn("_k", F.lit(1))
+        rows, "t int, w int, plane array<double>, _k int"
+    )
     bit = F.when(dot(F.col("e"), F.col("plane")) >= 0, F.col("w")).otherwise(
         F.lit(0)
     )
     return (
-        corpus.withColumn("_k", F.lit(1))
+        corpus.withColumn(
+            "_k",
+            F.coalesce(F.pmod(F.col("vec_id"), F.lit(1)), F.lit(0)).cast("int"),
+        )
         .join(F.broadcast(planes), "_k")
         .groupBy("vec_id", "t")
         .agg(

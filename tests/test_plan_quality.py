@@ -148,16 +148,29 @@ def test_simhash_registered_query_equi_join_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_embedding_neardup_equi_join_only(spark, sf_dir):
+def test_embedding_neardup_equi_join_only(spark, sf_dir, monkeypatch):
     """q_embedding_neardup_cosine must generate candidates via the LSH
     bucket equi-join on (table, bucket) — the previous all-pairs
-    BroadcastNestedLoopJoin was O(n²) and dead at corpus scale."""
-    from changesetmd_spark import registry
+    BroadcastNestedLoopJoin was O(n²) and dead at corpus scale.
 
-    df = registry.queries()["q_embedding_neardup_cosine"](spark, sf_dir)
-    plan = _physical_plan(df)
+    The registered query returns a materialized (localCheckpoint) frame
+    whose top-level plan is a bare RDD scan, so the shape assertions run
+    on the INTERNAL plan with the materialization bypassed — otherwise
+    this guard is vacuous (r18: it silently passed while the planes
+    attach was a BNLJ; the non-foldable `_k` key in
+    `_plane_signature_rows` is what keeps it a BroadcastHashJoin)."""
+    from changesetmd_spark import registry
+    from changesetmd_spark.operators import util
+
+    monkeypatch.setattr(util, "materialize_releasing", lambda out, *f: out)
+    internal = registry.queries()["q_embedding_neardup_cosine"](spark, sf_dir)
+    plan = _physical_plan(internal)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the 48-row planes attach
+    monkeypatch.undo()
+
+    df = registry.queries()["q_embedding_neardup_cosine"](spark, sf_dir)
     # the planted twins must actually be found (non-vacuous hash check):
     # one pair per planted vector, all at cosine ≈ 0.999+
     rows = df.collect()

@@ -165,15 +165,15 @@ def test_hash_failed_rows_are_not_witnessed():
 def test_oracleless_queries_are_the_designed_set():
     """Oracle-less (rows-only) queries are allowed in the window — an
     external rows check is still stronger than none — but the set must stay
-    exactly the designed engine-specific six (hashing fast paths, ANN
+    exactly the designed engine-specific five (hashing fast paths, ANN
     recall paths, sketches).  q_multimodal_decode graduated to hash-checked
-    in r12 via the dependency-free PPM codec."""
+    in r12 via the dependency-free PPM codec; q_simhash_near_dup in r18 via
+    the pure-SQL XXH64 oracle (VERDICT r17 #3)."""
     names = set(registry.queries())
     oracles = set(registry.oracles())
     rows_only = names - oracles
     assert rows_only == {
         "q_minhash_lsh_candidates",
-        "q_simhash_near_dup",
         "q_embedding_ann_lsh",
         "q_embedding_ann_ivf",
         "q_sketch_cardinality_and_quantiles",
